@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet fixtures (`FIXTURES.md`).
+  *
+  * 100 TB note: each loader is a plain parquet scan, so Catalyst pushes
+  * filters/projections straight to the (vectorized) reader; at cluster scale
+  * the same code reads a partitioned/bucketed layout unchanged — queries only
+  * ever see the logical table.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(path(sfDir, name))
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark 4.1.2 rejects it unless
+    * `nanosAsLong` is set, after which it surfaces as LONG nanoseconds.
+    * Integer `div` (not float `/`) matches DuckDB's ns→µs truncation exactly
+    * (SURVEY §7.3 R6).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(sfDir, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Register every fixture as a temp view (for `spark.sql` declared queries). */
+  def views(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Deterministic total order: sort by every output column, nulls first —
+    * the Spark twin of the oracles' `ORDER BY ALL NULLS FIRST` (SURVEY §7.3
+    * R1/R2). Rows that still tie are bit-identical, so file order is
+    * content-stable. Under `Bench`'s `.count()` Catalyst's EliminateSorts
+    * drops this sort entirely — it costs nothing at benchmark time.
+    */
+  def canon(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
+}

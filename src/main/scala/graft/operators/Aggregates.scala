@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.{Decl, Tables}
+import graft.functions.WeightedAvg
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.4 aggregations, §2.6 sorts/limits, §2.7 set operations.
+  *
+  * All aggregates run as HashAggregateExec with partial (map-side) + final
+  * phases — the single-shuffle shape that scales linearly with input. Double
+  * aggregates are rounded per SURVEY §7.3 R3 (2 dp money, 6 dp ratios).
+  */
+object Aggregates {
+
+  // ---------------------------------------------------------------- §2.4
+  private val aggs: Map[String, Decl] = Map(
+    // TPC-H-Q1-style pricing summary: the flagship multi-aggregate.
+    "agg_groupby_pricing" -> Decl(
+      (s, d) => Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity), 2) AS sum_qty,
+             |round(sum(l_extendedprice), 2) AS sum_base_price,
+             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             |round(avg(l_quantity), 6) AS avg_qty,
+             |round(avg(l_discount), 6) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Exact distinct = Expand + two-phase agg; at 100 TB prefer
+    // approx_count_distinct (below) unless exactness is contractual.
+    "agg_count_distinct" -> Decl(
+      (s, d) => Tables(s, d, "orders")
+        .agg(countDistinct(col("o_custkey")).as("n_cust")),
+      Some("SELECT count(DISTINCT o_custkey) AS n_cust FROM orders")),
+
+    "agg_multi_distinct" -> Decl(
+      (s, d) => Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             countDistinct(col("o_orderstatus")).as("n_status"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+             |count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Variance family computed on l_discount (magnitude ~0.1) so 6 dp
+    // rounding has plenty of slack vs cross-engine summation-order noise.
+    "agg_stats" -> Decl(
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(min(col("l_extendedprice")), 2).as("min_price"),
+             round(max(col("l_extendedprice")), 2).as("max_price"),
+             round(avg(col("l_discount")), 6).as("avg_disc"),
+             round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+             round(var_samp(col("l_discount")), 6).as("var_disc"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |round(min(l_extendedprice), 2) AS min_price,
+             |round(max(l_extendedprice), 2) AS max_price,
+             |round(avg(l_discount), 6) AS avg_disc,
+             |round(stddev_samp(l_discount), 6) AS sd_disc,
+             |round(var_samp(l_discount), 6) AS var_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "agg_grouping_sets" -> Decl(
+      (s, d) => { Tables.views(s, d); s.sql(GroupingSetsSql) },
+      Some(GroupingSetsSql)),
+
+    "agg_rollup" -> Decl(
+      (s, d) => { Tables.views(s, d); s.sql(RollupSql) },
+      Some(RollupSql)),
+
+    "agg_cube" -> Decl(
+      (s, d) => { Tables.views(s, d); s.sql(CubeSql) },
+      Some(CubeSql)),
+
+    "agg_having" -> Decl(
+      (s, d) => Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .filter(col("n") >= 12)
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // HLL sketch — implementation-defined result, so no SQL oracle; bounds
+    // vs the exact count are asserted in AggregatesSpec. This is the
+    // distinct-count to reach for at 100 TB (no Expand blow-up).
+    "agg_approx_distinct" -> Decl(
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // Per-group collected list, canonicalized by sorting then flattened to a
+    // primitive string (output rule R5).
+    "agg_collect_sorted" -> Decl(
+      (s, d) => Tables(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"),
+             count(lit(1)).as("n"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names, count(*) AS n
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // Custom typed Aggregator (graft.functions.WeightedAvg).
+    "agg_custom_typed" -> Decl(
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(WeightedAvg(col("l_extendedprice"), col("l_quantity")), 2).as("wavg_price"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price,
+             |count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
+
+  // Same SQL text runs on Spark and DuckDB (grouping() cast to INT on both).
+  private def GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      |round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY ALL NULLS FIRST""".stripMargin
+
+  private def RollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |CAST(grouping(o_orderstatus) AS INT) AS g_s,
+      |CAST(grouping(o_orderpriority) AS INT) AS g_p,
+      |count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY ALL NULLS FIRST""".stripMargin
+
+  private def CubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      |count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY ALL NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- §2.6
+  private val sorts: Map[String, Decl] = Map(
+    // Multi-column sort with an explicit nulls-first spec on a manufactured
+    // nullable column. SortExec is spillable; a global sort at 100 TB is a
+    // range-partitioned shuffle — fine when the output demands total order.
+    "sort_multicol" -> Decl(
+      (s, d) => Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"),
+                expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+                round(col("c_acctbal"), 2).as("bal"))
+        .orderBy(col("seg").asc_nulls_first, col("bal").desc, col("c_custkey").asc),
+      Some("""SELECT c_custkey, c_name, nullif(c_mktsegment, 'BUILDING') AS seg,
+             |round(c_acctbal, 2) AS bal
+             |FROM customer
+             |ORDER BY seg ASC NULLS FIRST, bal DESC NULLS LAST, c_custkey ASC""".stripMargin)),
+
+    // Global top-k: TakeOrderedAndProject — per-partition heaps + driver
+    // merge of k rows, never a full sort. THE top-k plan at any scale.
+    "topk_order_limit" -> Decl(
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("total").desc, col("o_orderkey").asc)
+        .limit(10),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+             |ORDER BY total DESC NULLS LAST, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    "limit_offset" -> Decl(
+      (s, d) => { Tables.views(s, d); s.sql(LimitOffsetSql) },
+      Some(LimitOffsetSql)))
+
+  private def LimitOffsetSql: String =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |ORDER BY o_orderkey LIMIT 100 OFFSET 50""".stripMargin
+
+  // ---------------------------------------------------------------- §2.7
+  private val sets: Map[String, Decl] = Map(
+    "set_union_all" -> Decl(
+      (s, d) => {
+        val a = Tables(s, d, "customer").select(
+          col("c_nationkey").as("nk"), round(col("c_acctbal"), 2).as("bal"), lit("cust").as("src"))
+        val b = Tables(s, d, "supplier").select(
+          col("s_nationkey").as("nk"), round(col("s_acctbal"), 2).as("bal"), lit("supp").as("src"))
+        Tables.canon(a.unionAll(b))
+      },
+      Some("""SELECT c_nationkey AS nk, round(c_acctbal, 2) AS bal, 'cust' AS src FROM customer
+             |UNION ALL
+             |SELECT s_nationkey AS nk, round(s_acctbal, 2) AS bal, 'supp' AS src FROM supplier
+             |ORDER BY ALL NULLS FIRST""".stripMargin)),
+
+    "set_union_distinct" -> Decl(
+      (s, d) => {
+        val a = Tables(s, d, "customer").select(col("c_nationkey").as("nk"))
+        val b = Tables(s, d, "supplier").select(col("s_nationkey").as("nk"))
+        Tables.canon(a.union(b).distinct())
+      },
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |UNION SELECT s_nationkey AS nk FROM supplier
+             |ORDER BY ALL NULLS FIRST""".stripMargin)),
+
+    // Set + bag intersect in one declared result, tagged by mode.
+    "set_intersect" -> Decl(
+      (s, d) => {
+        val hi = Tables(s, d, "orders").filter(col("o_totalprice") > 300000).select("o_custkey")
+        val fin = Tables(s, d, "orders").filter(col("o_orderstatus") === "F").select("o_custkey")
+        val setI = hi.intersect(fin).withColumn("mode", lit("set"))
+        val bagI = hi.intersectAll(fin).withColumn("mode", lit("bag"))
+        Tables.canon(setI.unionAll(bagI))
+      },
+      Some("""SELECT * FROM (
+             |SELECT o_custkey, 'set' AS mode FROM
+             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+             |   INTERSECT
+             |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |UNION ALL
+             |SELECT o_custkey, 'bag' AS mode FROM
+             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+             |   INTERSECT ALL
+             |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |) ORDER BY ALL NULLS FIRST""".stripMargin)),
+
+    "set_except" -> Decl(
+      (s, d) => {
+        val hi = Tables(s, d, "orders").filter(col("o_totalprice") > 300000).select("o_custkey")
+        val fin = Tables(s, d, "orders").filter(col("o_orderstatus") === "F").select("o_custkey")
+        val setE = hi.except(fin).withColumn("mode", lit("set"))
+        val bagE = hi.exceptAll(fin).withColumn("mode", lit("bag"))
+        Tables.canon(setE.unionAll(bagE))
+      },
+      Some("""SELECT * FROM (
+             |SELECT o_custkey, 'set' AS mode FROM
+             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+             |   EXCEPT
+             |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |UNION ALL
+             |SELECT o_custkey, 'bag' AS mode FROM
+             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+             |   EXCEPT ALL
+             |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |) ORDER BY ALL NULLS FIRST""".stripMargin)))
+
+  val decls: Map[String, Decl] = aggs ++ sorts ++ sets
+}
