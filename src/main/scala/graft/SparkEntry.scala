@@ -11,7 +11,9 @@ object SparkEntry {
 
   private def registry: Map[String, Decl] =
     operators.Relational.decls ++
-    operators.Aggregates.decls
+    operators.Aggregates.decls ++
+    operators.Windows.decls ++
+    functions.Scalars.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 5-way star join + aggregate — scan, broadcast dims, shuffle agg.
