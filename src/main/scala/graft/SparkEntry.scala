@@ -13,7 +13,9 @@ object SparkEntry {
     operators.Relational.decls ++
     operators.Aggregates.decls ++
     operators.Windows.decls ++
-    functions.Scalars.decls
+    functions.Scalars.decls ++
+    operators.AdtQueries.decls ++
+    operators.Pipeline.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 5-way star join + aggregate — scan, broadcast dims, shuffle agg.

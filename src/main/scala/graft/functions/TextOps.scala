@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators: tokenization and
+  * word shingles as built-in expressions (split / sequence / transform),
+  * per-row and codegen-friendly.
+  */
+object TextOps {
+
+  /** Whitespace tokens (fixture text is single-space separated, trimmed). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-grams joined by a single space. Docs shorter than n yield an
+    * empty array (guards the descending-`sequence` footgun when
+    * size-n+1 < 1).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+    .otherwise(array().cast("array<string>"))
+}

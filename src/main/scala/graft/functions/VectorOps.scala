@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `ARRAY<FLOAT>` columns as pure higher-order-
+  * function expressions (codegen'd, no UDF). All arithmetic is promoted
+  * float→double inside the lambdas so results match engines that compute
+  * in double end-to-end.
+  *
+  * 100 TB path: these are per-row expressions — they scan-parallelize
+  * trivially. For top-k neighbor search over billions of vectors, pair
+  * them with the LSH bucketing in `graft.operators.Minhash` / an IVF
+  * routing table so the candidate set per query is bounded, then apply
+  * `cosine` only to candidates (see `sim_ann_lsh`).
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** ‖a‖₂ in double. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double; null-safe on zero norms is the caller's
+    * concern (fixture vectors are never zero).
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

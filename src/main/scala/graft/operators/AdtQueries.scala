@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{Decl, Tables}
+import graft.adt.Adt
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.10 — the ADT layer's declared queries.
+  *
+  * `OrderState = Open(priority) | Shipped(ship_date) | Returned`, built from
+  * `orders` columns with `graft.adt.Adt`. Declared outputs are primitives
+  * only (R5), so each DuckDB oracle is the algebraically-equal CASE
+  * expression over the base columns — which is exactly what Catalyst
+  * simplifies our tagged-struct accessors into.
+  */
+object AdtQueries {
+
+  /** orders + an ADT `state` column. */
+  private def withState(s: SparkSession, d: String): DataFrame = {
+    val o = Tables(s, d, "orders")
+    o.withColumn("state", Adt.construct(
+      (col("o_orderstatus") === "O") -> Adt.variant("Open")("priority" -> col("o_orderpriority")),
+      (col("o_orderstatus") === "F") -> Adt.variant("Shipped")("ship_date" -> col("o_orderdate")),
+      (col("o_orderstatus") === "P") -> Adt.variant("Returned")()))
+  }
+  private def state: Column = col("state")
+
+  val decls: Map[String, Decl] = Map(
+    // Construct, then deconstruct to primitives: tag + per-variant payloads.
+    "adt_construct" -> Decl(
+      (s, d) => Tables.canon(
+        withState(s, d).select(
+          col("o_orderkey"),
+          Adt.tagOf(state).as("tag"),
+          Adt.payload(state, "Open").getField("priority").as("open_priority"),
+          Adt.payload(state, "Shipped").getField("ship_date").as("shipped_date"))),
+      Some("""SELECT o_orderkey,
+             |CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Shipped'
+             |                   WHEN 'P' THEN 'Returned' END AS tag,
+             |CASE WHEN o_orderstatus = 'O' THEN o_orderpriority END AS open_priority,
+             |CASE WHEN o_orderstatus = 'F' THEN o_orderdate END AS shipped_date
+             |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+
+    // `WHERE state matches Shipped(d) AND d < …`
+    "adt_pattern_filter" -> Decl(
+      (s, d) => Tables.canon(
+        withState(s, d)
+          .filter(Adt.is(state, "Shipped") &&
+                  Adt.payload(state, "Shipped").getField("ship_date") <
+                    lit("1997-01-01 00:00:00").cast("timestamp"))
+          .select(col("o_orderkey"),
+                  Adt.payload(state, "Shipped").getField("ship_date").as("shipped_date"))),
+      Some("""SELECT o_orderkey, o_orderdate AS shipped_date FROM orders
+             |WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |ORDER BY ALL NULLS FIRST""".stripMargin)),
+
+    // A `match` expression with per-variant result expressions.
+    "adt_pattern_project" -> Decl(
+      (s, d) => Tables.canon(
+        withState(s, d).select(
+          col("o_orderkey"),
+          Adt.matchOn(state)(
+            "Open"     -> (p => concat(lit("open:"), p.getField("priority"))),
+            "Shipped"  -> (p => concat(lit("shipped:"), year(p.getField("ship_date")).cast("string"))),
+            "Returned" -> (_ => lit("returned"))).as("descr"))),
+      Some("""SELECT o_orderkey,
+             |CASE WHEN o_orderstatus = 'O' THEN 'open:' || o_orderpriority
+             |     WHEN o_orderstatus = 'F' THEN 'shipped:' || CAST(year(o_orderdate) AS VARCHAR)
+             |     WHEN o_orderstatus = 'P' THEN 'returned' END AS descr
+             |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+
+    // Aggregate grouped by variant tag — groupBy on a struct field is just a
+    // groupBy on a derived column; partial aggregation applies as usual.
+    "adt_groupby_variant" -> Decl(
+      (s, d) => withState(s, d)
+        .groupBy(Adt.tagOf(state).as("tag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("tag"),
+      Some("""SELECT CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Shipped'
+             |                          WHEN 'P' THEN 'Returned' END AS tag,
+             |count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY 1 ORDER BY tag""".stripMargin)),
+
+    // Spark 4 VariantType: schema-on-read over the JSON payload; declared
+    // output is primitive (R5).
+    "adt_variant_type" -> Decl(
+      (s, d) => Tables.canon(
+        Tables.events(s, d).select(
+          col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_num"),
+          expr("CAST(variant_get(parse_json(props), '$.k', 'string') AS STRING)").as("k_str"))),
+      Some("""SELECT event_id,
+             |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+             |json_extract_string(props, '$.k') AS k_str
+             |FROM events ORDER BY ALL NULLS FIRST""".stripMargin)))
+}

@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.{Decl, Tables}
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.11 — LLM-data-pipeline operators over `documents` and
+  * `embeddings`: dedup (exact + MinHash-LSH near-dup), similarity search,
+  * text analysis, multimodal text⋈vector.
+  *
+  * The fixture corpus has no natural duplicates (verified at sf0.01), so
+  * the dedup queries union the corpus with deterministic perturbed copies
+  * (case/whitespace noise for exact-dedup normalization; word drops for
+  * near-dedup) — that makes every dup group's existence part of the
+  * asserted semantics instead of an accident of the data.
+  */
+object Pipeline {
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+
+  /** corpus ∪ perturbed copies (ids offset by 1M, last two words dropped) —
+    * the near-dup test-bed.
+    */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = docsWithTokens(s, d)
+    val pert = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      slice(col("toks"), lit(1), greatest(size(col("toks")) - 2, lit(1))).as("toks"))
+    docs.unionAll(pert)
+  }
+
+  val decls: Map[String, Decl] = Map(
+    // ------------------------------------------------------------- dedup
+    // Exact dedup on normalized text: md5(lower(trim(text))) groups. One
+    // shuffle on the 128-bit hash — at 100 TB this is the cheapest possible
+    // exact-dup pass (hash first, never shuffle full texts).
+    "dedup_exact" -> Decl(
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val noisy = docs.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text"))
+        docs.unionAll(noisy)
+          .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+          .groupBy("h")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+          .filter(col("n") > 1)
+          .orderBy("h")
+      },
+      Some("""SELECT h, count(*) AS n, min(doc_id) AS first_id, max(doc_id) AS last_id FROM (
+             |  SELECT doc_id, md5(lower(trim(text))) AS h FROM (
+             |    SELECT doc_id, text FROM documents
+             |    UNION ALL
+             |    SELECT doc_id + 1000000, upper(text) || '  ' FROM documents))
+             |GROUP BY h HAVING count(*) > 1 ORDER BY h""".stripMargin)),
+
+    // MinHash-LSH near-dup: shingle → 32-perm signature → 8 banded keys →
+    // bucket self-join → exact-Jaccard verification of candidates only.
+    // Approximate-by-design (recall < 1), so no SQL oracle; PipelineSpec
+    // property-tests candidates against exhaustive Jaccard at sf0.001.
+    "dedup_near_minhash" -> Decl(
+      (s, d) => {
+        val sh = nearDupCorpus(s, d)
+          .select(col("doc_id"), array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val banded = sh
+          .select(col("doc_id"),
+                  explode(Minhash.bandSignatures(Minhash.signature(col("sh")))).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val cand = banded.as("a")
+          .join(banded.as("b"),
+                col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+                col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val withSets = cand
+          .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+          .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        withSets
+          .withColumn("jaccard", round(
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // -------------------------------------------------------- similarity
+    // Brute-force top-k cosine vs one query vector: the correctness
+    // baseline. The query row is broadcast; the scan side never shuffles —
+    // at 100 TB this is one pass + a TakeOrdered(k).
+    "sim_cosine_topk" -> Decl(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+                  round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some("""SELECT vec_id,
+             |round(list_cosine_similarity(
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |  (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+             |   FROM embeddings WHERE vec_id = 0)), 6) AS cos
+             |FROM embeddings WHERE vec_id <> 0
+             |ORDER BY cos DESC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin)),
+
+    // All pairs ≥ τ within a label: equi key (label) + residual cosine —
+    // hash join on label, never a global cross product. Skewed labels would
+    // be salted at scale.
+    "sim_pair_threshold" -> Decl(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+        val b = emb.select(col("label").as("lb"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+        a.join(b, col("label") === col("lb") && col("id_a") < col("id_b"))
+          .withColumn("cos", round(VectorOps.cosine(col("ea"), col("eb")), 6))
+          .filter(col("cos") >= 0.30)
+          .select("label", "id_a", "id_b", "cos")
+          .orderBy("label", "id_a", "id_b")
+      },
+      Some("""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+             |round(list_cosine_similarity(
+             |  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |  list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+             |FROM embeddings a JOIN embeddings b
+             |ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(
+             |  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |  list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.30
+             |ORDER BY label, id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------- text
+    "text_wordcount" -> Decl(
+      (s, d) => docsWithTokens(s, d)
+        .select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(100),
+      Some("""SELECT word, count(*) AS cnt FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+             |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 100""".stripMargin)),
+
+    "text_lang_stats" -> Decl(
+      (s, d) => Tables(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(col("n_chars")), 6).as("avg_chars"),
+             countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+             |count(DISTINCT source) AS n_sources
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // tf-idf with top-3 terms per doc. Ranking happens on the ROUNDED score
+    // (+ term tiebreak) so cross-engine float noise can't reorder the
+    // window. Three shuffles total (tf, df, window) — each on a bounded key.
+    "text_tfidf_topterms" -> Decl(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+        val dfq = tok.groupBy("term").agg(countDistinct("doc_id").as("dfreq"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dl, "doc_id").join(dfq, "term").crossJoin(broadcast(n))
+          .withColumn("tfidf", round(
+            (col("cnt").cast("double") / col("dlen").cast("double")) *
+            log(col("n_docs").cast("double") / col("dfreq").cast("double")), 6))
+        val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "term", "tfidf")
+          .orderBy("doc_id", "term")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM tok GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |  round((CAST(cnt AS DOUBLE) / CAST(dlen AS DOUBLE)) *
+             |        ln(CAST(n_docs AS DOUBLE) / CAST(dfreq AS DOUBLE)), 6) AS tfidf
+             |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tfidf FROM (
+             |  SELECT doc_id, term, tfidf,
+             |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+             |  FROM scored)
+             |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin)),
+
+    // -------------------------------------------------------- multimodal
+    // Text + vector + metadata in one row: plain equi join documents ⋈
+    // embeddings, aggregated by lang × label.
+    "multimodal_join" -> Decl(
+      (s, d) => {
+        val docs = Tables(s, d, "documents"); val emb = Tables(s, d, "embeddings")
+        docs.join(emb, docs("doc_id") === emb("vec_id"))
+          .groupBy(col("lang"), col("label"))
+          .agg(count(lit(1)).as("n"),
+               round(avg(col("n_chars")), 6).as("avg_chars"),
+               round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("avg_first_dim"))
+          .orderBy("lang", "label")
+      },
+      Some("""SELECT lang, label, count(*) AS n, round(avg(n_chars), 6) AS avg_chars,
+             |round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_first_dim
+             |FROM documents JOIN embeddings ON doc_id = vec_id
+             |GROUP BY lang, label ORDER BY lang, label""".stripMargin)))
+}
