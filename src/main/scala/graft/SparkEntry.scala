@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Windows.decls ++
     functions.Scalars.decls ++
     operators.AdtQueries.decls ++
-    operators.Pipeline.decls
+    operators.Pipeline.decls ++
+    operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 5-way star join + aggregate — scan, broadcast dims, shuffle agg.

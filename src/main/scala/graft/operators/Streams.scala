@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.{Decl, Tables}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.9 streaming — declared batch twins.
+  *
+  * The same `StreamOps` transformations run over `MemoryStream` input in
+  * `StreamingSpec` (watermarks, late data, stateful dedup, custom state);
+  * here each key's batch twin is declared with a DuckDB oracle wherever the
+  * end-of-stream result is deterministic — which turns out to be all of
+  * them, including the foreachBatch sink (which really runs a streaming
+  * query and then aggregates what the sink wrote).
+  */
+object Streams {
+
+  val decls: Map[String, Decl] = Map(
+    "stream_tumbling_agg" -> Decl(
+      (s, d) => StreamOps.tumbling(Tables.events(s, d)).orderBy("wstart", "event_type"),
+      Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
+             |event_type, count(*) AS n, round(sum(value), 6) AS sv
+             |FROM events GROUP BY wstart, event_type
+             |ORDER BY wstart, event_type""".stripMargin)),
+
+    // DuckDB twin: every event belongs to the 4 15-min-aligned windows
+    // covering it — enumerate them with a VALUES cross join. (time_bucket's
+    // 2000-01-03 origin and Spark's epoch origin agree on 15-min grids.)
+    "stream_sliding_agg" -> Decl(
+      (s, d) => StreamOps.sliding(Tables.events(s, d)).orderBy("wstart", "event_type"),
+      Some("""SELECT wstart, event_type, count(*) AS n, round(sum(value), 6) AS sv FROM (
+             |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+             |           - to_minutes(CAST(o.off * 15 AS BIGINT)) AS wstart,
+             |         event_type, value
+             |  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) o(off))
+             |GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin)),
+
+    // DuckDB twin: gaps-and-islands with Spark's boundary semantics — a
+    // session keeps absorbing events while the gap is <= 10 min; only a gap
+    // STRICTLY greater than the threshold starts a new session (verified
+    // against session_window on a handcrafted fixture in StreamingSpec).
+    "stream_session_window" -> Decl(
+      (s, d) => StreamOps.sessions(Tables.events(s, d)).orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+             |flagged AS (
+             |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+             |                   OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+             |            THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |sess AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n, round(sum(value), 6) AS sv
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Batch twin of a 10-minute watermark at end-of-stream: rows at least
+    // that recent survive. (True late-drop behavior is asserted over
+    // MemoryStream in StreamingSpec.)
+    "stream_watermark_late" -> Decl(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val cut = e.agg((max(col("ts")) - expr("INTERVAL 10 MINUTES")).as("cut"))
+        e.crossJoin(broadcast(cut))
+          .filter(col("ts") >= col("cut"))
+          .select("event_id", "ts", "event_type")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+             |WHERE CAST(ts AS TIMESTAMP) >=
+             |  (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL '10 minutes'
+             |ORDER BY event_id""".stripMargin)),
+
+    // Batch twin of dropDuplicatesWithinWatermark: dedup by event_id over a
+    // doubled stream (duplicate rows are bit-identical, so "keep an
+    // arbitrary one" is still deterministic content).
+    "stream_dedup_watermark" -> Decl(
+      (s, d) => {
+        val e = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+        e.unionAll(e).dropDuplicates("event_id").orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // Batch twin of the custom per-key state op (running per-user counter):
+    // the end-of-stream counter value at each event is its row_number.
+    // (The incremental flatMapGroupsWithState version runs in StreamingSpec.)
+    "stream_stateful_custom" -> Decl(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), row_number().over(w).as("seq"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |CAST(row_number() OVER (PARTITION BY user_id
+             |  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS INT) AS seq
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // A real micro-batch pipeline: file streaming source → foreachBatch
+    // parquet sink (Trigger.AvailableNow), then aggregate what the sink
+    // wrote. The oracle is the same aggregate over the original table —
+    // equality proves the sink lost/duplicated nothing.
+    "stream_foreachbatch_sink" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+        tmp.toFile.deleteOnExit()
+        val srcDir = tmp.resolve("src"); val outDir = tmp.resolve("out")
+        java.nio.file.Files.createDirectories(srcDir)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve("events.parquet"))
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stream = s.readStream
+          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+          .parquet(srcDir.toString)
+        val writeBatch: (DataFrame, Long) => Unit =
+          (batch, _) => batch.write.mode("append").parquet(outDir.toString)
+        val q = stream.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .foreachBatch(writeBatch)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir.toString)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 6) AS sv
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+}

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.9 — event-time transformations shared by the batch twins
+  * (declared queries with DuckDB oracles) and the Structured Streaming
+  * paths (StreamingSpec drives the same functions over `MemoryStream`
+  * input; the unified Dataset API means one definition serves both).
+  *
+  * Scale: every grouping here keys on (window, type) or (user, session) —
+  * streaming state is partitioned by key across executors and evicted by
+  * watermark, so state size is bounded by active keys × window horizon,
+  * not by stream length.
+  */
+object StreamOps {
+
+  /** 1-hour tumbling windows per event_type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sv"))
+
+  /** 1-hour windows sliding every 15 minutes (each event lands in 4). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sv"))
+
+  /** Per-user session windows with a 10-minute gap. Spark's boundary
+    * semantics (verified in StreamingSpec): the session absorbs events while
+    * the gap to the previous event is <= 10 min; only a strictly greater gap
+    * starts a new session.
+    */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"), col("sv"))
+}

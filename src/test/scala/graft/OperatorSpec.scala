@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level invariants on sf0.001 (SURVEY §5): every declared query
+  * executes; the sketch/approximate operators stay inside their bounds; the
+  * contract between `queries` and `oracleSql` holds; physical plans keep
+  * their scale-critical properties (pushdown, broadcast).
+  */
+class OperatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry (flagship star join) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("every declared query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      try { fn(spark, sf).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("approx_count_distinct stays within 5% of exact") {
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, x) =>
+      assert(math.abs(approx(k) - x).toDouble / x < 0.05, s"$k: approx=${approx(k)} exact=$x")
+    }
+  }
+
+  test("minhash near-dedup recovers planted near-dups with high recall and exact Jaccard") {
+    val rows = SparkEntry.queries("dedup_near_minhash")(spark, sf).collect()
+    val planted = rows.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted >= 490, s"recall too low: $planted/500 planted pairs found")
+    assert(rows.forall(_.getDouble(2) >= 0.5)) // precision: verification filter held
+  }
+
+  test("ADT construct is exhaustive over orders (no null tags)") {
+    val df = SparkEntry.queries("adt_construct")(spark, sf)
+    assert(df.filter(col("tag").isNull).count() == 0)
+  }
+
+  test("scan_prune_project prunes the parquet read schema to 2 columns") {
+    val plan = SparkEntry.queries("scan_prune_project")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_shipdate"), "pruned scan must not read unused columns")
+  }
+
+  test("scan_filter_pushdown pushes the predicate to parquet") {
+    val plan = SparkEntry.queries("scan_filter_pushdown")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("join_multiway_star broadcasts the dimension tables") {
+    val plan = SparkEntry.queries("join_multiway_star")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("sim_cosine_topk plans as TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Keyed(event_id: Long, ts: Timestamp)
+
+/** SURVEY §2.9 — genuinely stateful streaming behavior, validated over
+  * MemoryStream (the oracle-N surface: watermark late-drop, stateful dedup,
+  * custom per-key state), plus stream==batch equivalence for the windowed
+  * aggregates shared with the declared batch twins.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val T0 = 1700000000000L
+  private def ts(min: Int): Timestamp = new Timestamp(T0 + min * 60000L)
+  private def hourStart(min: Int): Timestamp = {
+    val t = T0 + min * 60000L; new Timestamp(t - t % 3600000L)
+  }
+
+  test("tumbling agg over a stream equals its batch twin") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val data = Seq(
+      Ev(ts(0), 1, "click", 1.5), Ev(ts(10), 1, "click", 2.25),
+      Ev(ts(65), 2, "view", 3.0), Ev(ts(70), 1, "click", 4.0))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.tumbling(mem.toDF)
+      .writeStream.outputMode("complete").format("memory").queryName("tumb").start()
+    mem.addData(data: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = sp.table("tumb").orderBy("wstart", "event_type").collect().toSeq
+    val batch = StreamOps.tumbling(data.toDF).orderBy("wstart", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+
+  test("10-minute watermark drops late rows in append mode") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("wmk").start()
+    mem.addData(Ev(ts(0), 1, "click", 1.0), Ev(ts(30), 1, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(ts(200), 1, "click", 1.0)) // watermark → 190 min: hour-0 window closes
+    q.processAllAvailable()
+    mem.addData(Ev(ts(5), 2, "late", 9.0))    // 185 min behind watermark: must be dropped
+    q.processAllAvailable()
+    mem.addData(Ev(ts(300), 1, "click", 1.0)) // watermark → 290: closes the min-200 window
+    q.processAllAvailable(); q.stop()
+    val rows = sp.table("wmk").collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    assert(rows(hourStart(0)) == 2L)          // late row did not resurrect the closed window
+    assert(rows.values.sum == 3L)             // and was not counted anywhere else
+  }
+
+  test("dropDuplicatesWithinWatermark emits each key once") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val mem = MemoryStream[Keyed]
+    val dedup = mem.toDF
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.outputMode("append").format("memory").queryName("ddw").start()
+    mem.addData(Keyed(1, ts(0)), Keyed(1, ts(1)), Keyed(2, ts(2)))
+    q.processAllAvailable()
+    mem.addData(Keyed(1, ts(3)), Keyed(3, ts(4))) // dup of 1 across batches, within watermark
+    q.processAllAvailable(); q.stop()
+    val ids = sp.table("ddw").select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("flatMapGroupsWithState running counter matches batch row_number") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val b1 = Seq(Ev(ts(0), 1, "a", 0), Ev(ts(1), 2, "a", 0), Ev(ts(2), 1, "a", 0))
+    val b2 = Seq(Ev(ts(3), 1, "a", 0), Ev(ts(4), 2, "a", 0))
+    val mem = MemoryStream[Ev]
+    val counted = mem.toDS.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], st: GroupState[Long]) =>
+          var c = st.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.ts.getTime).map { e => c += 1; (uid, e.ts, c) }
+          st.update(c)
+          out.iterator
+      }.toDF("user_id", "ts", "seq")
+    val q = counted.writeStream.outputMode("append").format("memory").queryName("ctr").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamed = sp.table("ctr").orderBy("user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val batch = (b1 ++ b2).toDF
+      .select(col("user_id"), col("ts"),
+              row_number().over(Window.partitionBy("user_id").orderBy("ts")).cast("long").as("seq"))
+      .orderBy("user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+  }
+
+  test("session windows merge while gap <= 10 min and split when gap > 10 min") {
+    val sp = spark; import sp.implicits._
+    val data = Seq(
+      Ev(ts(0), 1, "a", 1.0), Ev(ts(5), 1, "a", 1.0),  // gap 5 → same session
+      Ev(ts(15), 1, "a", 1.0),                          // gap exactly 10 → still merges
+      Ev(ts(26), 1, "a", 1.0),                          // gap 11 → new session
+      Ev(ts(0), 2, "a", 1.0))
+    val out = StreamOps.sessions(data.toDF).orderBy("user_id", "session_start").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((1L, 3L), (1L, 1L), (2L, 1L)))
+  }
+}
