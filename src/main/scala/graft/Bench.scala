@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session (executor threads, codegen compiler, shuffle
+    // machinery) so the first timed query isn't charged fixed startup cost.
+    spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

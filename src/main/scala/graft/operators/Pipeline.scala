@@ -57,34 +57,53 @@ object Pipeline {
              |    SELECT doc_id + 1000000, upper(text) || '  ' FROM documents))
              |GROUP BY h HAVING count(*) > 1 ORDER BY h""".stripMargin)),
 
-    // MinHash-LSH near-dup: shingle → 32-perm signature → 8 banded keys →
-    // bucket self-join → exact-Jaccard verification of candidates only.
-    // Approximate-by-design (recall < 1), so no SQL oracle; PipelineSpec
-    // property-tests candidates against exhaustive Jaccard at sf0.001.
+    // MinHash-LSH near-dup: explode shingles → one-shuffle 32-min signature
+    // → 8 banded bucket keys → bucket self-join → exact-Jaccard verification
+    // of candidates only, computed relationally (intersection = count of
+    // matching (pair, shingle) rows; union from the set sizes).
+    // Approximate-by-design (recall < 1), so no SQL oracle; OperatorSpec
+    // asserts ≥98% recall of planted near-dups and the Jaccard filter.
     "dedup_near_minhash" -> Decl(
       (s, d) => {
-        val sh = nearDupCorpus(s, d)
-          .select(col("doc_id"), array_distinct(TextOps.shingles(col("toks"), 3)).as("sh"))
-          .filter(size(col("sh")) > 0)
-        val banded = sh
-          .select(col("doc_id"),
-                  explode(Minhash.bandSignatures(Minhash.signature(col("sh")))).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        // Shape notes (measured at sf0.1):
+        //  - repartition first: the corpus parquet is one small file (one
+        //    input split) — without it every downstream transform runs on a
+        //    single core.
+        //  - explode shingles immediately and dedup relationally: building
+        //    and persisting ARRAY<STRING> columns (array_distinct) measured
+        //    ~10× slower than explode + codegen'd distinct.
+        //  - persist the two tables consumed by multiple branches; at 100 TB
+        //    these are the intermediates a pipeline materializes to storage.
+        val ex = nearDupCorpus(s, d)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 3)).as("shingle"))
+          .distinct()
+          .persist()
+        val sigs = Minhash.signatures(ex).persist()
+        val banded = Minhash.bandedKeys(sigs)
         val cand = banded.as("a")
           .join(banded.as("b"),
                 col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
                 col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
-        val withSets = cand
-          .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-          .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        withSets
+        // Intersection counting joins on a 64-bit shingle hash (compact
+        // shuffle keys) and broadcasts the small candidate-pair table so the
+        // big exploded side never shuffles for the first join.
+        val exh = ex.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        val inter = broadcast(cand)
+          .join(exh.select(col("doc_id").as("id_a"), col("h")), "id_a")
+          .join(exh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        val sizes = sigs.select(col("doc_id"), col("set_size"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("set_size").as("sa")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("set_size").as("sb")), "id_b")
           .withColumn("jaccard", round(
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+            col("inter").cast("double") /
+            (col("sa") + col("sb") - col("inter")).cast("double"), 6))
           .filter(col("jaccard") >= 0.5)
-          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .select("id_a", "id_b", "jaccard")
           .orderBy("id_a", "id_b")
       },
       None),

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst Expression bridge. Spark 4 made the converters
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so
+  * graft's custom expressions (e.g. `FloatDotProduct`) reach them through
+  * this one-file shim living in the sql package namespace — the standard
+  * technique for libraries that extend Catalyst.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
