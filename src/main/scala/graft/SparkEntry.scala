@@ -16,6 +16,7 @@ object SparkEntry {
     functions.Scalars.decls ++
     operators.AdtQueries.decls ++
     operators.Pipeline.decls ++
+    operators.PipelineExt.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

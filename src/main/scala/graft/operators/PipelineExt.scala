@@ -1,0 +1,391 @@
+package graft.operators
+
+import graft.{Decl, Tables}
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the SURVEY §2.11 core — the
+  * extended dedup/similarity/text-analysis surface a 100 TB corpus pipeline
+  * needs: SimHash, exact n-gram Jaccard, embedding-cosine near-dup, SRP-LSH
+  * and IVF approximate neighbor search, language-ID, quality scoring, token
+  * counting, and order-sensitive document fingerprinting.
+  *
+  * Additions to the SURVEY §2 inventory (SURVEY §0 allows additions, never
+  * renames). Everything is deterministic (R8): "random" hyperplanes come
+  * from a compile-time LCG, hash families from seeded xxhash64.
+  */
+object PipelineExt {
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"),
+              TextOps.tokens(col("text")).as("toks"))
+
+  // Deterministic pseudo-random unit-ish hyperplanes for SRP-LSH: a plain
+  // LCG over a fixed seed — compile-time constants, no runtime RNG (R8).
+  // 32 planes arranged as 8 tables × 4 bits: one 16-bit table would need
+  // all 16 signs to agree (collision prob (1-θ/π)^16 ≈ 0.0006 at cos 0.4 —
+  // measured empty output); banding trades precision work for recall
+  // exactly like MinHash bands.
+  private val SrpTables = 8
+  private val SrpBitsPerTable = 4
+  private val SrpBits = SrpTables * SrpBitsPerTable
+  private def hyperplanes: Seq[Seq[Float]] = {
+    var state = 0x5DEECE66DL
+    def next(): Float = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 40).toInt / 8388608.0f) - 1.0f // ∈ [-1, 1)
+    }
+    Seq.fill(SrpBits)(Seq.fill(64)(next()))
+  }
+
+  private val StopEn = Seq("the", "and", "of", "to", "in", "a")
+  private val StopDe = Seq("der", "die", "und", "das", "ist", "ein")
+  private val StopEs = Seq("el", "los", "que", "una", "por", "con")
+  private val StopFr = Seq("le", "les", "des", "est", "une", "dans")
+  private val StopZh = Seq("的", "是", "了", "在", "我", "有")
+
+  val decls: Map[String, Decl] = Map(
+    // ------------------------------------------------------------ dedup
+    // SimHash near-dup: 64-bit signature from per-token hash bit votes,
+    // computed as 64 conditional-sum aggregates in one groupBy (partial agg
+    // does the voting map-side). Pairing by 4×16-bit bands: hamming ≤ 3
+    // guarantees at least one identical band (pigeonhole), so banding loses
+    // nothing at that radius. No DuckDB twin for xxhash64 → oracle-N;
+    // OperatorSpec asserts planted-pair recall.
+    "dedup_simhash" -> Decl(
+      (s, d) => {
+        val docs = docsWithTokens(s, d).select(col("doc_id"), col("toks"))
+        val pert = docs.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 2, lit(1))).as("toks"))
+        val ex = docs.unionAll(pert)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .withColumn("h", xxhash64(col("tok")))
+        val votes = (0 until 64).map { i =>
+          sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
+        }
+        val sig = ex.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"),
+                  (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+                    .reduce(_.bitwiseOR(_)).as("sim"))
+          .persist()
+        val banded = sig.select(col("doc_id"), col("sim"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+                   shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bk"))
+          .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.v").as("v"))
+        banded.as("a")
+          .join(banded.as("b"),
+                col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+                col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+                  bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // Exact n-gram (bigram) Jaccard within (lang, source) groups — the
+    // corpus has NATURAL near-dups here (max bigram-Jaccard ≈ 0.97), so no
+    // planting. Fully relational intersection counting; DuckDB mirrors with
+    // list lambdas. The group key bounds the pair space (at 100 TB the
+    // grouping key IS the scalability control: pairs never cross groups).
+    "dedup_ngram_jaccard" -> Decl(
+      (s, d) => {
+        val sh = docsWithTokens(s, d)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"),
+                  explode(TextOps.shingles(col("toks"), 2)).as("g"))
+          .distinct()
+          .persist()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = sh.as("a")
+          .join(sh.as("b"),
+                col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+                col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sa")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sb")), "id_b")
+          .withColumn("jaccard",
+            round(col("n").cast("double") / (col("sa") + col("sb") - col("n")).cast("double"), 6))
+          .filter(col("jaccard") >= 0.2)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, lang, source, g FROM (
+             |  SELECT doc_id, lang, source,
+             |         unnest(list_transform(generate_series(1, len(t) - 1),
+             |                               i -> t[i] || ' ' || t[i + 1])) AS g
+             |  FROM tok WHERE len(t) >= 2)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+             |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+             |                     AND a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+             |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             |           JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Embedding-cosine near-dup: plant near-identical vectors (two leading
+    // coordinates swapped, id+100000, same label) and find all within-label
+    // pairs with cosine ≥ 0.95. Equi key (label) keeps the pair space
+    // bounded; the planted copies are the ground truth OperatorSpec checks.
+    "dedup_embedding_cosine" -> Decl(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val pert = emb.select(
+          (col("vec_id") + 100000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 2), element_at(col("embedding"), 1)),
+                 slice(col("embedding"), lit(3), lit(62))).as("embedding"),
+          col("label"))
+        val all = emb.select("vec_id", "embedding", "label").unionAll(pert)
+        val a = all.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+        val b = all.select(col("label").as("lb"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+        a.join(b, col("label") === col("lb") && col("id_a") < col("id_b"))
+          .withColumn("cos", round(VectorOps.cosine(col("ea"), col("eb")), 6))
+          .filter(col("cos") >= 0.95)
+          .select("label", "id_a", "id_b", "cos")
+          .orderBy("label", "id_a", "id_b")
+      },
+      Some("""WITH pert AS (
+             |  SELECT vec_id + 100000 AS vec_id,
+             |         list_concat([embedding[2], embedding[1]], embedding[3:64]) AS embedding,
+             |         label
+             |  FROM embeddings),
+             |alle AS (SELECT vec_id, embedding, label FROM embeddings
+             |         UNION ALL SELECT vec_id, embedding, label FROM pert)
+             |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+             |       round(list_cosine_similarity(
+             |         list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |         list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+             |FROM alle a JOIN alle b ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(
+             |         list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |         list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.95
+             |ORDER BY label, id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------ ANN (scale path)
+    // Signed-random-projection LSH: 16 sign bits vs fixed hyperplanes pack
+    // into a bucket id; only same-bucket pairs are scored. This is the
+    // billion-vector shape: bucketing is one scan + one shuffle on the
+    // bucket key, and the verify step touches candidate pairs only.
+    // Approximate (recall < 1) → oracle-N; OperatorSpec measures recall
+    // against the exact pair set.
+    "sim_ann_lsh" -> Decl(
+      (s, d) => {
+        val planes = hyperplanes
+        val emb = Tables(s, d, "embeddings")
+        val bits = (0 until SrpBits).map { j =>
+          when(VectorOps.dot(col("embedding"), typedlit(planes(j))) >= 0, lit(1 << (j % SrpBitsPerTable)))
+            .otherwise(lit(0))
+        }
+        val tableKeys = array((0 until SrpTables).map { t =>
+          struct(lit(t).as("table"),
+                 (0 until SrpBitsPerTable).map(k => bits(t * SrpBitsPerTable + k)).reduce(_ + _).as("bucket"))
+        }: _*)
+        // Dedup candidate id-pairs across tables BEFORE scoring: a pair can
+        // collide in up to 8 tables, and shuffling two longs is far cheaper
+        // than computing (and carrying) cosines 8×.
+        val withB = emb
+          .select(col("vec_id"), explode(tableKeys).as("tk"))
+          .select(col("vec_id"), col("tk.table").as("tbl"), col("tk.bucket").as("bucket"))
+        val pairs = withB.as("a")
+          .join(withB.as("b"),
+                col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+                col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .distinct()
+        pairs
+          .join(broadcast(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))), "id_a")
+          .join(broadcast(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))), "id_b")
+          .select(col("id_a"), col("id_b"),
+                  round(VectorOps.cosine(col("ea"), col("eb")), 6).as("cos"))
+          .filter(col("cos") >= 0.3)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // IVF-style routed search: coarse centroids (mean vector per label, i.e.
+    // the cluster structure the data ships with), route the query to its 3
+    // nearest centroids, scan only those partitions for the top-10. At scale
+    // the routed scan reads ~nprobe/nlist of the data instead of all of it.
+    "sim_ann_ivf" -> Decl(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        // centroid per label: elementwise mean via posexplode + regroup
+        val cent = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+          .groupBy("label")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("label").as("c_label"),
+                  expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("centroid"))
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val probes = cent.crossJoin(broadcast(q))
+          .select(col("c_label"), VectorOps.cosine(col("centroid"), col("qv")).as("cscore"))
+          .orderBy(col("cscore").desc, col("c_label").asc)
+          .limit(3)
+        emb.join(broadcast(probes), emb("label") === probes("c_label"))
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      None),
+
+    // ------------------------------------------------------------- text
+    // Language-ID by stopword-list voting (a real n-gram/lexicon heuristic;
+    // on this synthetic corpus every language shares one vocabulary, so
+    // accuracy is data-limited — the operator and its oracle are exact).
+    // Ties break by the fixed CASE order.
+    "text_langid" -> Decl(
+      (s, d) => {
+        def hits(words: Seq[String]) =
+          size(array_intersect(col("toks"), array(words.map(lit): _*)))
+        val scored = docsWithTokens(s, d).select(
+          col("doc_id"), col("lang"),
+          hits(StopEn).as("s_en"), hits(StopDe).as("s_de"), hits(StopEs).as("s_es"),
+          hits(StopFr).as("s_fr"), hits(StopZh).as("s_zh"))
+        scored.select(
+          col("doc_id"), col("lang"),
+          when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr"), col("s_zh")), "en")
+            .when(col("s_de") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "de")
+            .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+            .when(col("s_fr") >= col("s_zh"), "fr")
+            .otherwise("zh").as("predicted"))
+          .withColumn("is_correct", col("predicted") === col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+              |s AS (SELECT doc_id, lang,
+              |  len(list_intersect(toks, ${dlist(StopEn)})) AS s_en,
+              |  len(list_intersect(toks, ${dlist(StopDe)})) AS s_de,
+              |  len(list_intersect(toks, ${dlist(StopEs)})) AS s_es,
+              |  len(list_intersect(toks, ${dlist(StopFr)})) AS s_fr,
+              |  len(list_intersect(toks, ${dlist(StopZh)})) AS s_zh
+              |  FROM t)
+              |SELECT doc_id, lang,
+              |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+              |       WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+              |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+              |       WHEN s_fr >= s_zh THEN 'fr'
+              |       ELSE 'zh' END AS predicted,
+              |  (CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+              |        WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+              |        WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+              |        WHEN s_fr >= s_zh THEN 'fr'
+              |        ELSE 'zh' END) = lang AS is_correct
+              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length, type-token ratio, mean token length,
+    // stopword ratio, composite score — the standard cheap filters a
+    // pretraining pipeline applies in its first pass.
+    "text_quality_score" -> Decl(
+      (s, d) => docsWithTokens(s, d).select(
+        col("doc_id"),
+        size(col("toks")).cast("int").as("n_tokens"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6).as("ttr"),
+        round(col("n_chars").cast("double") / size(col("toks")), 6).as("mean_tok_len"),
+        round(expr("size(filter(toks, x -> x = 'the' OR x = 'a'))").cast("double") /
+              size(col("toks")), 6).as("stop_ratio"))
+        .withColumn("quality",
+          round(least(lit(1.0), col("n_tokens") / 100.0) * (lit(1.0) - col("stop_ratio")) *
+                col("ttr"), 6))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+             |f AS (SELECT doc_id,
+             |  CAST(len(toks) AS INT) AS n_tokens,
+             |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+             |  round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS mean_tok_len,
+             |  round(CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+             |        / len(toks), 6) AS stop_ratio
+             |  FROM t)
+             |SELECT doc_id, n_tokens, ttr, mean_tok_len, stop_ratio,
+             |  round(least(1.0, n_tokens / 100.0) * (1.0 - stop_ratio) * ttr, 6) AS quality
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace tokens, a BPE-ish subword proxy (runs of
+    // 1–4 chars), and a chars-per-token estimate.
+    "text_token_count" -> Decl(
+      (s, d) => docsWithTokens(s, d).select(
+        col("doc_id"),
+        size(col("toks")).cast("int").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]{1,4}")).cast("int").as("subword_tokens"),
+        col("n_chars").cast("bigint").as("chars"),
+        round(col("n_chars").cast("double") / size(col("toks")), 6).as("chars_per_token"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+             |CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS INT) AS subword_tokens,
+             |CAST(n_chars AS BIGINT) AS chars,
+             |round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Order-sensitive document fingerprint: polynomial rolling hash over the
+    // token stream, acc = (acc*31 + tokval) mod 1e9+7 with
+    // tokval = len(tok)*131 + first-char code — permutation-sensitive where
+    // dedup_exact's md5 is content-only. Same fold in both engines.
+    "text_fingerprint" -> Decl(
+      (s, d) => docsWithTokens(s, d).select(
+        col("doc_id"),
+        expr("""aggregate(
+               |  transform(toks, t -> (length(t) * 131 + ascii(t)) % 1000000007),
+               |  CAST(0 AS BIGINT),
+               |  (a, x) -> (a * 31 + x) % 1000000007)""".stripMargin).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |list_reduce(
+             |  list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(text, ' '),
+             |                   t -> CAST((length(t) * 131 + ascii(t)) % 1000000007 AS BIGINT))),
+             |  (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------- multimodal binary
+    // Opaque binary payloads + typed metadata: text bytes stand in for
+    // image/audio blobs. The "decode" is a clearly-marked deterministic stub
+    // (this container has no media libs), but the Spark plumbing is real:
+    // BINARY column, typed Dataset, partition-batched mapPartitions — the
+    // same shape a real decoder (or a Python mapInPandas worker) plugs into.
+    "multimodal_binary_meta" -> Decl(
+      (s, d) => {
+        val sp = s; import sp.implicits._
+        val bin = Tables(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+                  struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+        val decoded = bin
+          .select(col("doc_id"), col("payload"), col("meta.lang").as("lang"))
+          .as[(Long, Array[Byte], String)]
+          .mapPartitions { rows =>
+            // STUB decode: a real implementation would hand `payload` to an
+            // image/audio decoder per batch; the deterministic fake below
+            // extracts byte-level "features" so the pipeline is testable.
+            rows.map { case (id, payload, lang) =>
+              val headByte = if (payload.nonEmpty) payload(0).toInt else -1
+              (id, lang, payload.length.toLong, headByte)
+            }
+          }
+          .toDF("doc_id", "lang", "n_bytes", "head_byte")
+        decoded.orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte
+             |FROM documents ORDER BY doc_id""".stripMargin)))
+
+  /** DuckDB list literal from strings. */
+  private def dlist(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+}

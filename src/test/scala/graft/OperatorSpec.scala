@@ -54,6 +54,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) >= 0.5)) // precision: verification filter held
   }
 
+  test("simhash near-dedup finds planted near-dups within hamming radius") {
+    val rows = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
+    val planted = rows.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    // Radius-bounded: dropping 2 of ~7 tokens in the shortest docs flips
+    // more than 3 signature bits, so those pairs are legitimately outside
+    // the hamming<=3 contract — ~75-80% of planted pairs sit inside it.
+    assert(planted >= 350, s"recall too low: $planted/500 planted pairs at hamming<=3")
+    assert(rows.forall(_.getInt(2) <= 3))
+  }
+
+  test("SRP-LSH neighbor recall vs the exact pair set") {
+    val exact = SparkEntry.queries("sim_pair_threshold")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val approx = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every LSH pair is genuinely >= tau (precision is exact by construction);
+    // recall of the 16-bit single-table SRP at tau=0.3 is modest by design —
+    // assert it finds a nontrivial fraction and nothing spurious.
+    assert(approx.nonEmpty)
+    val recalled = exact.count(approx.contains).toDouble
+    assert(recalled / exact.size > 0.1, s"recall ${recalled / exact.size} too low")
+  }
+
+  test("IVF routed top-k overlaps brute-force top-k") {
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    assert((brute intersect ivf).size >= 5,
+      s"IVF(nprobe=3/10) recalled only ${(brute intersect ivf).size}/10 of brute-force top-10")
+  }
+
+  test("text_fingerprint is order-sensitive where md5 dedup is not") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("tmp_fp")
+    val fps = sp.sql(
+      """SELECT aggregate(transform(split(text, ' '), t -> (length(t) * 131 + ascii(t)) % 1000000007),
+        |CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000000007) AS fp FROM tmp_fp""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(fps(0) != fps(1), "permuted token order must change the fingerprint")
+  }
+
   test("ADT construct is exhaustive over orders (no null tags)") {
     val df = SparkEntry.queries("adt_construct")(spark, sf)
     assert(df.filter(col("tag").isNull).count() == 0)
