@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.FloatDotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension entry point — wires graft's native Catalyst
+  * expressions into SQL. Enable with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`; after that
+  * `SELECT vec_dot(a.embedding, b.embedding)` works from plain SQL with the
+  * same codegen'd implementation the DataFrame API uses via
+  * `VectorOps.dot`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"vec_dot takes 2 arguments, got ${children.length}")
+        FloatDotProduct(children.head, children(1))
+      }))
+  }
+}

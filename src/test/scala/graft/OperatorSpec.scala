@@ -87,6 +87,26 @@ class OperatorSpec extends AnyFunSuite {
       s"IVF(nprobe=3/10) recalled only ${(brute intersect ivf).size}/10 of brute-force top-10")
   }
 
+  test("window running sum equals a naive scanLeft recompute") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    val data = for (k <- 0L until 5L; i <- 0L until 50L)
+      yield (k, i, rnd.nextInt(100000) / 100.0)
+    val w = Window.partitionBy("k").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = data.toDF("k", "seq", "v")
+      .withColumn("rs", sum(col("v")).over(w))
+      .orderBy("k", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val want = data.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      rows.sortBy(_._2).scanLeft((k, -1L, 0.0)) {
+        case ((_, _, acc), (kk, s, v)) => (kk, s, acc + v)
+      }.drop(1)
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want)
+  }
+
   test("text_fingerprint is order-sensitive where md5 dedup is not") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
