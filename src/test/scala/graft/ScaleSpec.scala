@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape audits: the properties that decide whether a plan survives a
+  * 1000-executor / 100 TB scale-up, asserted on the actual physical plans.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // join_cross is the one declared cartesian (5×25 rows, deliberate).
+  // Everything else — including every theta/interval join — must plan as
+  // hash/merge/broadcast join: an accidental CartesianProduct is the
+  // classic silent 100 TB killer.
+  test("no undeclared CartesianProduct in any physical plan") {
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot(_._1 == "join_cross")
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("aggregate-only queries prune fact-table columns at the scan") {
+    val plan = SparkEntry.queries("agg_groupby_pricing")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Q1 touches 7 of 11 lineitem columns; the untouched ones must not be read.
+    assert(!plan.contains("l_partkey") && !plan.contains("l_suppkey"),
+      "pricing aggregate must not scan join keys it never uses")
+  }
+
+  test("bucketed tables equi-join without a shuffle exchange") {
+    val sp = spark
+    val wh = java.nio.file.Files.createTempDirectory("graft_buckets")
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables(sp, sf, "orders")
+        .write.mode("overwrite")
+        .option("path", wh.resolve("orders_b").toString)
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("orders_b")
+      Tables(sp, sf, "customer")
+        .write.mode("overwrite")
+        .option("path", wh.resolve("cust_b").toString)
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("cust_b")
+      val joined = sp.table("orders_b")
+        .join(sp.table("cust_b"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must be shuffle-free, got:\n$plan")
+      assert(joined.count() == Tables(sp, sf, "orders").count())
+    } finally {
+      sp.sql("DROP TABLE IF EXISTS orders_b")
+      sp.sql("DROP TABLE IF EXISTS cust_b")
+      sp.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("salting spreads a skewed join key across subkeys") {
+    val sp = spark; import sp.implicits._
+    // 10k rows all sharing one key — the pathological skew case. Salt the
+    // fact side into 8 subkeys and replicate the dim side per salt: the
+    // join distributes over 8 partitions instead of 1 hot one.
+    val skewed = sp.range(10000).select(lit(42L).as("k"), col("id").as("v"))
+    val dim = Seq((42L, "only")).toDF("k", "name")
+    val salted = skewed.withColumn("salt", (col("v") % 8).cast("int"))
+    val dimSalted = dim.crossJoin(sp.range(8).select(col("id").cast("int").as("salt")))
+    val joined = salted.join(dimSalted, Seq("k", "salt"))
+    assert(joined.count() == 10000)
+    val perSalt = joined.groupBy("salt").count().collect().map(_.getLong(1))
+    assert(perSalt.length == 8 && perSalt.forall(c => c > 1000 && c < 1500))
+  }
+}
