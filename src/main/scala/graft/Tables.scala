@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet fixtures (`FIXTURES.md`).
@@ -30,6 +30,33 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path(sfDir, "events"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Typed loaders (graft.schema case classes) — the statically-checked
+    * face of the same tables; see `TypedApiSpec`.
+    */
+  object typed {
+    import graft.schema._
+    def region(s: SparkSession, d: String): Dataset[Region] =
+      Tables(s, d, "region").as(Encoders.product[Region])
+    def nation(s: SparkSession, d: String): Dataset[Nation] =
+      Tables(s, d, "nation").as(Encoders.product[Nation])
+    def customer(s: SparkSession, d: String): Dataset[Customer] =
+      Tables(s, d, "customer").as(Encoders.product[Customer])
+    def supplier(s: SparkSession, d: String): Dataset[Supplier] =
+      Tables(s, d, "supplier").as(Encoders.product[Supplier])
+    def part(s: SparkSession, d: String): Dataset[Part] =
+      Tables(s, d, "part").as(Encoders.product[Part])
+    def orders(s: SparkSession, d: String): Dataset[Order] =
+      Tables(s, d, "orders").as(Encoders.product[Order])
+    def lineitem(s: SparkSession, d: String): Dataset[Lineitem] =
+      Tables(s, d, "lineitem").as(Encoders.product[Lineitem])
+    def events(s: SparkSession, d: String): Dataset[Event] =
+      Tables.events(s, d).as(Encoders.product[Event])
+    def documents(s: SparkSession, d: String): Dataset[Document] =
+      Tables(s, d, "documents").as(Encoders.product[Document])
+    def embeddings(s: SparkSession, d: String): Dataset[Embedding] =
+      Tables(s, d, "embeddings").as(Encoders.product[Embedding])
   }
 
   /** Register every fixture as a temp view (for `spark.sql` declared queries). */

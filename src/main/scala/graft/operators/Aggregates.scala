@@ -120,6 +120,20 @@ object Aggregates {
       Some("""SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names, count(*) AS n
              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // The typed Dataset face of the engine (graft.schema case classes):
+    // compile-time-checked filter/groupByKey over Dataset[Customer] — the
+    // Spark analog of the reference's statically-typed table access.
+    "typed_dataset_agg" -> Decl(
+      (s, d) => Tables.typed.customer(s, d)
+        .filter(_.c_acctbal > 5000.0)
+        .groupByKey(_.c_mktsegment)(org.apache.spark.sql.Encoders.STRING)
+        .count()
+        .toDF("c_mktsegment", "n")
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+             |WHERE c_acctbal > 5000 GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
     // Custom typed Aggregator (graft.functions.WeightedAvg).
     "agg_custom_typed" -> Decl(
       (s, d) => Tables(s, d, "lineitem")

@@ -53,6 +53,33 @@ object Relational {
       },
       Some("SELECT * FROM orders ORDER BY ALL NULLS FIRST")),
 
+    // CSV source: write a CSV copy, read it back with an explicit schema —
+    // identity roundtrip proven by the oracle over the original table.
+    "source_csv_roundtrip" -> Decl(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+        tmp.toFile.deleteOnExit()
+        val out = tmp.resolve("nation_csv").toString
+        Tables(s, d, "nation").write.mode("overwrite").option("header", "true").csv(out)
+        Tables.canon(
+          s.read.option("header", "true")
+            .schema("n_nationkey INT, n_name STRING, n_regionkey INT").csv(out))
+      },
+      Some("SELECT * FROM nation ORDER BY ALL NULLS FIRST")),
+
+    // JSON file source: same roundtrip through line-delimited JSON.
+    "source_json_file" -> Decl(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_json")
+        tmp.toFile.deleteOnExit()
+        val out = tmp.resolve("customer_json").toString
+        Tables(s, d, "customer").write.mode("overwrite").json(out)
+        Tables.canon(
+          s.read.schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+            .json(out))
+      },
+      Some("SELECT * FROM customer ORDER BY ALL NULLS FIRST")),
+
     // JSON-line source: parse the events.props JSON payload with an explicit
     // schema (from_json → struct → primitive). Codegen-friendly, no UDF.
     "source_jsonline" -> Decl(
