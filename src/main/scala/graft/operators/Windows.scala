@@ -36,6 +36,25 @@ object Windows {
              |  FROM orders)
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
+    // Same semantics through graft's native custom operator (logical node +
+    // strategy + physical plan, graft.plans.TopKPerKey): bounded per-key
+    // heaps instead of the window's full per-group sort. The oracle is the
+    // row_number formulation — proving the custom operator's results are
+    // indistinguishable from the stock plan's.
+    "topk_per_key_native" -> Decl(
+      (s, d) => Tables.canon(
+        graft.plans.TopK.perKey(
+            Tables(s, d, "orders"), Seq("o_custkey"),
+            Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  round(col("o_totalprice"), 2).as("total"))),
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey
+             |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY ALL NULLS FIRST""".stripMargin)),
+
     "window_rank_dense" -> Decl(
       (s, d) => {
         val w = Window.partitionBy("o_orderpriority")

@@ -68,6 +68,20 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("native TopKPerKey operator plans with one shuffle and bounded heaps") {
+    val q = SparkEntry.queries("topk_per_key_native")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"custom operator missing from plan:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length <= 2,
+      "TopKPerKey must add at most one hash exchange")
+    // results indistinguishable from the stock window plan
+    val native = q.collect().toSeq
+    val window = SparkEntry.queries("window_row_number_topk")(spark, sf)
+      .select("o_custkey", "o_orderkey", "total").collect().toSeq
+    assert(native.sortBy(r => (r.getLong(0), r.getLong(1))) ==
+           window.sortBy(r => (r.getLong(0), r.getLong(1))))
+  }
+
   test("salting spreads a skewed join key across subkeys") {
     val sp = spark; import sp.implicits._
     // 10k rows all sharing one key — the pathological skew case. Salt the
