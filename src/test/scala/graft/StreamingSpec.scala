@@ -115,6 +115,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("transformWithState running counter (RocksDB state store)") {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimerValues, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val prev = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      class Counter extends StatefulProcessor[Long, Ev, (Long, Long)] {
+        @transient private var count: ValueState[Long] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+        override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                     timers: TimerValues): Iterator[(Long, Long)] = {
+          var c = if (count.exists()) count.get() else 0L
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { _ => c += 1; (key, c) }
+          count.update(c)
+          out.iterator
+        }
+      }
+      val mem = MemoryStream[Ev]
+      val counted = mem.toDS.groupByKey(_.user_id)
+        .transformWithState(new Counter, TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "seq")
+      val q = counted.writeStream.outputMode("append").format("memory").queryName("tws").start()
+      mem.addData(Ev(ts(0), 1, "a", 0), Ev(ts(1), 1, "a", 0), Ev(ts(2), 2, "a", 0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(3), 1, "a", 0)) // state persists across micro-batches
+      q.processAllAvailable(); q.stop()
+      val got = sp.table("tws").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 1L), (1L, 2L), (2L, 1L), (1L, 3L)))
+    } finally {
+      prev match {
+        case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows merge while gap <= 10 min and split when gap > 10 min") {
     val sp = spark; import sp.implicits._
     val data = Seq(
