@@ -300,9 +300,15 @@ object PipelineExt {
         round(col("n_chars").cast("double") / size(col("toks")), 6).as("mean_tok_len"),
         round(expr("size(filter(toks, x -> x = 'the' OR x = 'a'))").cast("double") /
               size(col("toks")), 6).as("stop_ratio"))
+        // quality stays UNROUNDED: it is a product of already-rounded,
+        // bit-identical doubles, and its true value is a short terminating
+        // decimal that can land exactly on a rounding boundary (observed at
+        // sf0.1: 0.64·0.96875·0.421875 = 0.2615625 — Spark and DuckDB round
+        // the boundary differently). The raw double product is identical in
+        // both engines; re-rounding it is what diverges.
         .withColumn("quality",
-          round(least(lit(1.0), col("n_tokens") / 100.0) * (lit(1.0) - col("stop_ratio")) *
-                col("ttr"), 6))
+          least(lit(1.0), col("n_tokens") / 100.0) * (lit(1.0) - col("stop_ratio")) *
+            col("ttr"))
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
              |f AS (SELECT doc_id,
@@ -313,7 +319,7 @@ object PipelineExt {
              |        / len(toks), 6) AS stop_ratio
              |  FROM t)
              |SELECT doc_id, n_tokens, ttr, mean_tok_len, stop_ratio,
-             |  round(least(1.0, n_tokens / 100.0) * (1.0 - stop_ratio) * ttr, 6) AS quality
+             |  least(1.0, n_tokens / 100.0) * (1.0 - stop_ratio) * ttr AS quality
              |FROM f ORDER BY doc_id""".stripMargin)),
 
     // Token counting: whitespace tokens, a BPE-ish subword proxy (runs of
