@@ -14,9 +14,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (executor threads, codegen compiler, shuffle
-    // machinery) so the first timed query isn't charged fixed startup cost.
+    // machinery, parquet file indexes) so the first timed query isn't
+    // charged fixed startup cost.
     spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").count().count()
+    Tables.names.foreach(n => Tables(spark, sfDir, n).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -17,16 +17,28 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  // Memoize the DataFrame per (session, dir, table): building one creates a
+  // fresh InMemoryFileIndex (file listing + footer read), which ~100
+  // queries would otherwise repeat per table. Plans are immutable, so
+  // sharing the object across queries is safe.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(path(sfDir, name))
+    cache.computeIfAbsent((spark, sfDir, name), { _ =>
+      if (name == "events") loadEvents(spark, sfDir)
+      else spark.read.parquet(path(sfDir, name))
+    })
 
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark 4.1.2 rejects it unless
     * `nanosAsLong` is set, after which it surfaces as LONG nanoseconds.
     * Integer `div` (not float `/`) matches DuckDB's ns→µs truncation exactly
     * (SURVEY §7.3 R6).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    apply(spark, sfDir, "events")
+
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path(sfDir, "events"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
