@@ -359,6 +359,38 @@ object PipelineExt {
              |  (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Frame sampling over an opaque "video" payload: partition-batched
+    // typed mapPartitions slices the BINARY into fixed 256-byte frames and
+    // keeps every 2nd one — the real plumbing (explode-like row expansion
+    // from binary, Array[Byte] batch shape) a video pipeline needs, with
+    // the frame decode stubbed to deterministic byte math (media libs
+    // aren't in this container). Payload bytes are the UTF-8 text (ASCII ⇒
+    // byte i == char i), which is what makes the SQL oracle expressible.
+    "multimodal_frame_sample" -> Decl(
+      (s, d) => {
+        val sp = s; import sp.implicits._
+        Tables(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.flatMap { case (id, payload) =>
+              payload.grouped(256).zipWithIndex.collect {
+                case (frame, i) if i % 2 == 0 =>
+                  (id, i, frame.length, frame(0) & 0xFF)
+              }
+            }
+          }
+          .toDF("doc_id", "frame_id", "frame_bytes", "first_byte")
+          .orderBy("doc_id", "frame_id")
+      },
+      Some("""SELECT doc_id, i AS frame_id,
+             |CAST(least(256, n_chars - i * 256) AS INT) AS frame_bytes,
+             |CAST(ascii(substr(text, i * 256 + 1, 1)) AS INT) AS first_byte
+             |FROM documents,
+             |     unnest(generate_series(0, CAST(ceil(n_chars / 256.0) AS INT) - 1)) t(i)
+             |WHERE i % 2 = 0
+             |ORDER BY doc_id, frame_id""".stripMargin)),
+
     // ------------------------------------------------- multimodal binary
     // Opaque binary payloads + typed metadata: text bytes stand in for
     // image/audio blobs. The "decode" is a clearly-marked deterministic stub

@@ -67,6 +67,17 @@ object Relational {
       },
       Some("SELECT * FROM nation ORDER BY ALL NULLS FIRST")),
 
+    // ORC source: same roundtrip through the other columnar format.
+    "source_orc_roundtrip" -> Decl(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+        tmp.toFile.deleteOnExit()
+        val out = tmp.resolve("supplier_orc").toString
+        Tables(s, d, "supplier").write.mode("overwrite").orc(out)
+        Tables.canon(s.read.orc(out))
+      },
+      Some("SELECT * FROM supplier ORDER BY ALL NULLS FIRST")),
+
     // JSON file source: same roundtrip through line-delimited JSON.
     "source_json_file" -> Decl(
       (s, d) => {
