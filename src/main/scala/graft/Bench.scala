@@ -18,11 +18,22 @@ object Bench {
     // charged fixed startup cost.
     spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").count().count()
-    Tables.names.foreach(n => Tables(spark, sfDir, n).count())
+    // Warmup must never kill the run — a missing table surfaces as per-query
+    // -1 timings below, not as a crash before any result is emitted.
+    try Tables.names.foreach(n => Tables(spark, sfDir, n).count())
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A failed query must be visible as -1, not as a fast time — masking
+      // regressions as performance wins is worse than crashing.
+      val elapsed =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      spark.catalog.clearCache() // drop per-query persisted intermediates
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

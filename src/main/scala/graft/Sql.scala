@@ -28,7 +28,10 @@ object Sql {
       if (args.nonEmpty) args.mkString(" ")
       else scala.io.Source.stdin.mkString
     require(query.trim.nonEmpty, "usage: graft.Sql <query> (or pipe SQL on stdin)")
-    spark.sql(query).show(100, truncate = false)
+    val df = spark.sql(query)
+    val total = df.count()
+    df.show(1000, truncate = false)
+    if (total > 1000) println(s"($total rows total; showing first 1000)")
     spark.stop()
   }
 }

@@ -24,11 +24,29 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // lazily evict entries of stopped sessions so the cache can't pin them
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, sfDir, name), { _ =>
       if (name == "events") loadEvents(spark, sfDir)
       else spark.read.parquet(path(sfDir, name))
     })
+  }
+
+  /** Temp dir removed recursively at JVM exit — `File.deleteOnExit` cannot
+    * delete non-empty directories, so roundtrip/sink queries would leak a
+    * table copy into /tmp per run.
+    */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      try Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }))
+    dir
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark 4.1.2 rejects it unless
     * `nanosAsLong` is set, after which it surfaces as LONG nanoseconds.

@@ -38,7 +38,14 @@ object Adt {
     val tagCol = cases.foldRight(lit(null).cast("string")) {
       case ((cond, v), acc) => when(cond, lit(v.tag)).otherwise(acc)
     }
-    val payloads = cases.map { case (cond, v) => when(cond, v.payloadStruct).as(v.field) }
+    // A variant's payload is populated only when that variant WINS (its
+    // condition holds and no earlier case matched) — with overlapping
+    // conditions, gating on the raw condition alone would fill a losing
+    // variant's payload and break payload()'s null-unless-is() contract.
+    val payloads = cases.zipWithIndex.map { case ((cond, v), i) =>
+      val wins = cases.take(i).map(_._1).foldLeft(cond)((c, earlier) => c && !earlier)
+      when(wins, v.payloadStruct).as(v.field)
+    }
     struct(tagCol.as("tag") +: payloads: _*)
   }
 

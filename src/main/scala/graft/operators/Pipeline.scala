@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+  private[operators] def docsWithTokens(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents").select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
 
   /** corpus ∪ perturbed copies (ids offset by 1M, last two words dropped) —
-    * the near-dup test-bed.
+    * the near-dup test-bed shared by the minhash and simhash dedup
+    * operators (one definition so their planted pairs stay identical).
     */
-  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+  private[operators] def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = docsWithTokens(s, d)
     val pert = docs.select(
       (col("doc_id") + 1000000L).as("doc_id"),

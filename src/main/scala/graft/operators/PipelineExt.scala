@@ -56,11 +56,9 @@ object PipelineExt {
     // OperatorSpec asserts planted-pair recall.
     "dedup_simhash" -> Decl(
       (s, d) => {
-        val docs = docsWithTokens(s, d).select(col("doc_id"), col("toks"))
-        val pert = docs.select(
-          (col("doc_id") + 1000000L).as("doc_id"),
-          slice(col("toks"), lit(1), greatest(size(col("toks")) - 2, lit(1))).as("toks"))
-        val ex = docs.unionAll(pert)
+        // same planted-near-dup corpus as dedup_near_minhash (one shared
+        // definition keeps both dedup families testing identical pairs)
+        val ex = Pipeline.nearDupCorpus(s, d)
           .repartition(col("doc_id"))
           .select(col("doc_id"), explode(col("toks")).as("tok"))
           .withColumn("h", xxhash64(col("tok")))

@@ -45,8 +45,7 @@ object Relational {
     // the identity, so the oracle is the plain table.
     "sink_parquet" -> Decl(
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_sink")
-        tmp.toFile.deleteOnExit()
+        val tmp = Tables.scratchDir("graft_sink")
         val out = tmp.resolve("orders_roundtrip").toString
         Tables(s, d, "orders").write.mode("overwrite").parquet(out)
         Tables.canon(s.read.parquet(out))
@@ -57,8 +56,7 @@ object Relational {
     // identity roundtrip proven by the oracle over the original table.
     "source_csv_roundtrip" -> Decl(
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
-        tmp.toFile.deleteOnExit()
+        val tmp = Tables.scratchDir("graft_csv")
         val out = tmp.resolve("nation_csv").toString
         Tables(s, d, "nation").write.mode("overwrite").option("header", "true").csv(out)
         Tables.canon(
@@ -70,8 +68,7 @@ object Relational {
     // ORC source: same roundtrip through the other columnar format.
     "source_orc_roundtrip" -> Decl(
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
-        tmp.toFile.deleteOnExit()
+        val tmp = Tables.scratchDir("graft_orc")
         val out = tmp.resolve("supplier_orc").toString
         Tables(s, d, "supplier").write.mode("overwrite").orc(out)
         Tables.canon(s.read.orc(out))
@@ -81,8 +78,7 @@ object Relational {
     // JSON file source: same roundtrip through line-delimited JSON.
     "source_json_file" -> Decl(
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_json")
-        tmp.toFile.deleteOnExit()
+        val tmp = Tables.scratchDir("graft_json")
         val out = tmp.resolve("customer_json").toString
         Tables(s, d, "customer").write.mode("overwrite").json(out)
         Tables.canon(

@@ -107,8 +107,7 @@ object Streams {
     "stream_foreachbatch_sink" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
-        tmp.toFile.deleteOnExit()
+        val tmp = Tables.scratchDir("graft_stream")
         val srcDir = tmp.resolve("src"); val outDir = tmp.resolve("out")
         java.nio.file.Files.createDirectories(srcDir)
         java.nio.file.Files.copy(

@@ -104,10 +104,14 @@ object TopK {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
     }
     val analyzed = df.queryExecution.analyzed
-    val attr = analyzed.output.map(a => a.name -> a).toMap
-    def resolve(n: String): Attribute =
-      attr.getOrElse(n, throw new IllegalArgumentException(
-        s"column $n not in ${attr.keys.mkString(", ")}"))
+    val byName = analyzed.output.groupBy(_.name)
+    def resolve(n: String): Attribute = byName.get(n) match {
+      case Some(Seq(a)) => a
+      case Some(many) => throw new IllegalArgumentException(
+        s"column $n is ambiguous (${many.size} attributes) — dedupe/alias before TopK.perKey")
+      case None => throw new IllegalArgumentException(
+        s"column $n not in ${analyzed.output.map(_.name).mkString(", ")}")
+    }
     val sortOrders = order.map { case (name, desc) =>
       SortOrder(resolve(name),
         if (desc) org.apache.spark.sql.catalyst.expressions.Descending

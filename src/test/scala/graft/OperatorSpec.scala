@@ -118,6 +118,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(fps(0) != fps(1), "permuted token order must change the fingerprint")
   }
 
+  test("ADT payloads stay null for losing variants under overlapping conditions") {
+    val sp = spark; import sp.implicits._
+    import graft.adt.Adt
+    val df = Seq(20, 5, -1).toDF("x")
+    val adtCol = Adt.construct(
+      (col("x") > 0) -> Adt.variant("Pos")("v" -> col("x")),
+      (col("x") > 10) -> Adt.variant("Big")("v" -> col("x") * 2))
+    val rows = df.select(col("x"), Adt.tagOf(adtCol).as("tag"),
+        Adt.payload(adtCol, "Big").getField("v").as("bigv"))
+      .orderBy(col("x").desc).collect()
+    // x=20 matches both conditions: tag is first-match "Pos", and the
+    // losing "Big" payload must be null (payload()'s documented contract).
+    assert(rows(0).getString(1) == "Pos" && rows(0).isNullAt(2))
+    assert(rows(2).getString(1) == null) // x = -1 matches nothing
+  }
+
   test("ADT construct is exhaustive over orders (no null tags)") {
     val df = SparkEntry.queries("adt_construct")(spark, sf)
     assert(df.filter(col("tag").isNull).count() == 0)
