@@ -120,6 +120,55 @@ object Aggregates {
       Some("""SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names, count(*) AS n
              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // Exact interpolated percentiles (median/p90) — Spark `percentile` and
+    // DuckDB `quantile_cont` share the linear-interpolation definition.
+    "agg_percentile" -> Decl(
+      (s, d) => Tables(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
+             round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |round(quantile_cont(o_totalprice, 0.5), 4) AS med,
+             |round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Pivot on a known value set; empty cells coalesce to 0 (Spark pivot
+    // yields null there, DuckDB's FILTER count yields 0).
+    "agg_pivot" -> Decl(
+      (s, d) => Tables(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+                coalesce(col("O"), lit(0L)).as("n_o"),
+                coalesce(col("F"), lit(0L)).as("n_f"),
+                coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Unpivot (wide → long); DuckDB twin as a UNION ALL stack.
+    "agg_unpivot" -> Decl(
+      (s, d) => Tables(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(round(min(col("o_totalprice")), 2).as("min_price"),
+             round(max(col("o_totalprice")), 2).as("max_price"))
+        .unpivot(Array(col("o_orderpriority")),
+                 Array(col("min_price"), col("max_price")), "stat", "value")
+        .orderBy("o_orderpriority", "stat"),
+      Some("""WITH w AS (SELECT o_orderpriority,
+             |  round(min(o_totalprice), 2) AS min_price,
+             |  round(max(o_totalprice), 2) AS max_price
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT o_orderpriority, 'min_price' AS stat, min_price AS value FROM w
+             |UNION ALL
+             |SELECT o_orderpriority, 'max_price' AS stat, max_price AS value FROM w
+             |ORDER BY o_orderpriority, stat""".stripMargin)),
+
     // The typed Dataset face of the engine (graft.schema case classes):
     // compile-time-checked filter/groupByKey over Dataset[Customer] — the
     // Spark analog of the reference's statically-typed table access.
