@@ -120,6 +120,20 @@ object Aggregates {
       Some("""SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names, count(*) AS n
              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // Bivariate statistics: correlation and sample covariance per group.
+    // Both engines use single-pass co-moment algorithms; 6 dp on |corr|<=1
+    // and 2 dp on the covariance leave orders of magnitude of slack.
+    "agg_corr_covar" -> Decl(
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+             round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             |round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Exact interpolated percentiles (median/p90) — Spark `percentile` and
     // DuckDB `quantile_cont` share the linear-interpolation definition.
     "agg_percentile" -> Decl(
