@@ -93,29 +93,7 @@ object PipelineExt {
     // list lambdas. The group key bounds the pair space (at 100 TB the
     // grouping key IS the scalability control: pairs never cross groups).
     "dedup_ngram_jaccard" -> Decl(
-      (s, d) => {
-        val sh = docsWithTokens(s, d)
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), col("lang"), col("source"),
-                  explode(TextOps.shingles(col("toks"), 2)).as("g"))
-          .distinct()
-          .persist()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = sh.as("a")
-          .join(sh.as("b"),
-                col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-                col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("n"))
-        inter
-          .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sa")), "id_a")
-          .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sb")), "id_b")
-          .withColumn("jaccard",
-            round(col("n").cast("double") / (col("sa") + col("sb") - col("n")).cast("double"), 6))
-          .filter(col("jaccard") >= 0.2)
-          .select("id_a", "id_b", "jaccard")
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => ngramJaccardPairs(s, d).orderBy("id_a", "id_b"),
       Some("""WITH tok AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
              |sh AS (SELECT DISTINCT doc_id, lang, source, g FROM (
              |  SELECT doc_id, lang, source,
@@ -357,6 +335,67 @@ object PipelineExt {
              |  (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Dedup clustering: connected components over the near-dup pair graph —
+    // the step that turns pairwise similarity into "keep one canonical doc
+    // per cluster". Iterative min-label propagation (Pregel-lite): each
+    // round every node takes the minimum component id among itself and its
+    // neighbors; driver loops to the fixpoint. Deterministic (min is
+    // order-free), and each round is one join + one aggregate — at 100 TB
+    // this is the standard large-graph CC shape (rounds ≈ component
+    // diameter, which for dedup clusters is tiny). Oracle: DuckDB recursive
+    // CTE computing min-reachable-id per doc over the same edge set.
+    "dedup_connected_components" -> Decl(
+      (s, d) => {
+        val pairs = ngramJaccardPairs(s, d).select("id_a", "id_b")
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .persist()
+        var labels = Tables(s, d, "documents")
+          .select(col("doc_id"), col("doc_id").as("comp"))
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 20) {
+          val nbrMin = labels.join(edges, col("doc_id") === col("src"))
+            .groupBy(col("dst")).agg(min(col("comp")).as("nbr_min"))
+            .select(col("dst").as("nbr_id"), col("nbr_min"))
+          val next = labels.join(nbrMin, col("doc_id") === col("nbr_id"), "left")
+            .select(col("doc_id"),
+                    least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+            .persist()
+          changed = next.as("n")
+            .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+            .filter(col("n.comp") =!= col("o.comp")).count()
+          labels = next
+          iter += 1
+        }
+        labels.orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |tok AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, lang, source, g FROM (
+             |  SELECT doc_id, lang, source,
+             |         unnest(list_transform(generate_series(1, len(t) - 1),
+             |                               i -> t[i] || ' ' || t[i + 1])) AS g
+             |  FROM tok WHERE len(t) >= 2)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+             |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+             |                     AND a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) >= 0.2),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT doc_id, doc_id AS r FROM documents
+             |  UNION
+             |  SELECT e.dst AS doc_id, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id)
+             |SELECT doc_id, min(r) AS comp FROM reach GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // Frame sampling over an opaque "video" payload: partition-batched
     // typed mapPartitions slices the BINARY into fixed 256-byte frames and
     // keeps every 2nd one — the real plumbing (explode-like row expansion
@@ -424,4 +463,31 @@ object PipelineExt {
   /** DuckDB list literal from strings. */
   private def dlist(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Bigram-Jaccard near-dup pairs (id_a < id_b, jaccard ≥ 0.2) within
+    * (lang, source) groups — shared by `dedup_ngram_jaccard` and the
+    * connected-components clustering built on top of it.
+    */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = docsWithTokens(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+              explode(TextOps.shingles(col("toks"), 2)).as("g"))
+      .distinct()
+      .persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sa")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sb")), "id_b")
+      .withColumn("jaccard",
+        round(col("n").cast("double") / (col("sa") + col("sb") - col("n")).cast("double"), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select("id_a", "id_b", "jaccard")
+  }
 }
