@@ -120,9 +120,11 @@ object Aggregates {
       Some("""SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names, count(*) AS n
              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
-    // Bivariate statistics: correlation and sample covariance per group.
-    // Both engines use single-pass co-moment algorithms; 6 dp on |corr|<=1
-    // and 2 dp on the covariance leave orders of magnitude of slack.
+    // Bivariate statistics: correlation and sample covariance per group,
+    // both rounded at 6 dp. Both engines use single-pass co-moment
+    // algorithms; |corr|<=1 and the small-magnitude covariance
+    // (quantity×discount ≈ units×1e-2) keep 6 dp far above the
+    // summation-order noise floor (verified at all three scale factors).
     "agg_corr_covar" -> Decl(
       (s, d) => Tables(s, d, "lineitem")
         .groupBy("l_returnflag")

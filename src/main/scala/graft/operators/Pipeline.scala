@@ -18,15 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** documents + a whitespace-token array (Catalyst prunes whatever a
+    * caller doesn't select) — the one tokenization definition shared by
+    * every text operator here and in PipelineExt.
+    */
   private[operators] def docsWithTokens(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents").select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    Tables(s, d, "documents").select(
+      col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"),
+      TextOps.tokens(col("text")).as("toks"))
 
   /** corpus ∪ perturbed copies (ids offset by 1M, last two words dropped) —
     * the near-dup test-bed shared by the minhash and simhash dedup
     * operators (one definition so their planted pairs stay identical).
     */
   private[operators] def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
-    val docs = docsWithTokens(s, d)
+    val docs = docsWithTokens(s, d).select("doc_id", "toks")
     val pert = docs.select(
       (col("doc_id") + 1000000L).as("doc_id"),
       slice(col("toks"), lit(1), greatest(size(col("toks")) - 2, lit(1))).as("toks"))
@@ -185,10 +191,14 @@ object Pipeline {
     "text_tfidf_topterms" -> Decl(
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-        val dfq = tok.groupBy("term").agg(countDistinct("doc_id").as("dfreq"))
+        // tf is the single tokenize+explode pass; doc lengths and document
+        // frequencies both derive from it (no re-tokenization).
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+          .persist()
+        val dl = tf.groupBy("doc_id").agg(sum("cnt").as("dlen"))
+        val dfq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val scored = tf.join(dl, "doc_id").join(dfq, "term").crossJoin(broadcast(n))
           .withColumn("tfidf", round(

@@ -17,10 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object PipelineExt {
 
+  // one shared tokenization definition (Pipeline.docsWithTokens)
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"),
-              TextOps.tokens(col("text")).as("toks"))
+    Pipeline.docsWithTokens(s, d)
 
   // Deterministic pseudo-random unit-ish hyperplanes for SRP-LSH: a plain
   // LCG over a fixed seed — compile-time constants, no runtime RNG (R8).
@@ -368,6 +367,11 @@ object PipelineExt {
           labels = next
           iter += 1
         }
+        // Returning partially-propagated labels would silently diverge from
+        // the recursive-CTE oracle — fail loudly instead (a >20-diameter
+        // dedup component means the threshold, not the cap, is wrong).
+        if (changed > 0) throw new IllegalStateException(
+          s"connected components did not converge within $iter rounds ($changed labels still changing)")
         labels.orderBy("doc_id")
       },
       Some("""WITH RECURSIVE
@@ -448,7 +452,10 @@ object PipelineExt {
             // image/audio decoder per batch; the deterministic fake below
             // extracts byte-level "features" so the pipeline is testable.
             rows.map { case (id, payload, lang) =>
-              val headByte = if (payload.nonEmpty) payload(0).toInt else -1
+              // unsigned mask (like frame_sample): a signed byte would go
+              // negative for non-ASCII leads while the oracle's ascii() is
+              // a positive code point; empty payload → 0 = DuckDB ascii('')
+              val headByte = if (payload.nonEmpty) payload(0) & 0xFF else 0
               (id, lang, payload.length.toLong, headByte)
             }
           }
