@@ -52,6 +52,23 @@ object Relational {
       },
       Some("SELECT * FROM orders ORDER BY ALL NULLS FIRST")),
 
+    // Partitioned sink: write orders hive-partitioned by status, read the
+    // directory tree back — the on-disk layout §1 of SCALE.md prescribes for
+    // fact tables. Partition pruning over this layout is asserted in
+    // ScaleSpec; the oracle proves the roundtrip loses nothing.
+    "sink_partitioned" -> Decl(
+      (s, d) => {
+        val tmp = Tables.scratchDir("graft_part")
+        val out = tmp.resolve("orders_by_status").toString
+        Tables(s, d, "orders").write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(out)
+        Tables.canon(
+          s.read.parquet(out).select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority"))
+      },
+      Some("SELECT * FROM orders ORDER BY ALL NULLS FIRST")),
+
     // CSV source: write a CSV copy, read it back with an explicit schema —
     // identity roundtrip proven by the oracle over the original table.
     "source_csv_roundtrip" -> Decl(

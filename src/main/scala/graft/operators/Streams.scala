@@ -100,6 +100,23 @@ object Streams {
              |  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS INT) AS seq
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Stream-static enrichment: the standard streaming join shape — each
+    // micro-batch hash-joins against the broadcast dimension with no
+    // streaming state at all. Batch twin declared here; the streaming twin
+    // (MemoryStream ⋈ static customer) runs in StreamingSpec.
+    "stream_static_join" -> Decl(
+      (s, d) => {
+        val e = Tables.events(s, d); val c = Tables(s, d, "customer")
+        e.join(broadcast(c), e("user_id") === c("c_custkey"))
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"))
+          .orderBy("c_mktsegment", "event_type")
+      },
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n, round(sum(value), 6) AS sv
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment, event_type
+             |ORDER BY c_mktsegment, event_type""".stripMargin)),
+
     // A real micro-batch pipeline: file streaming source → foreachBatch
     // parquet sink (Trigger.AvailableNow), then aggregate what the sink
     // wrote. The oracle is the same aggregate over the original table —

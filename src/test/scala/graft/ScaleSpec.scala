@@ -82,6 +82,20 @@ class ScaleSpec extends AnyFunSuite {
            window.sortBy(r => (r.getLong(0), r.getLong(1))))
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val sp = spark
+    val tmp = Tables.scratchDir("graft_prunetest")
+    val out = tmp.resolve("orders_by_status").toString
+    Tables(sp, sf, "orders").write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(out)
+    val pruned = sp.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"expected partition filter in:\n$plan")
+    assert(pruned.count() ==
+      Tables(sp, sf, "orders").filter(col("o_orderstatus") === "F").count())
+  }
+
   test("salting spreads a skewed join key across subkeys") {
     val sp = spark; import sp.implicits._
     // 10k rows all sharing one key — the pathological skew case. Salt the

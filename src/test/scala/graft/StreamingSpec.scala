@@ -155,6 +155,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static join enriches each micro-batch against a dimension table") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("cust_id", "tier")
+    val mem = MemoryStream[Ev]
+    val joined = mem.toDF.join(dim, col("user_id") === col("cust_id"))
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+    val q = joined.writeStream.outputMode("complete").format("memory").queryName("ssj").start()
+    mem.addData(Ev(ts(0), 1, "a", 0), Ev(ts(1), 2, "a", 0), Ev(ts(2), 1, "a", 0),
+                Ev(ts(3), 9, "a", 0)) // user 9 has no dim row → dropped by inner join
+    q.processAllAvailable(); q.stop()
+    val got = sp.table("ssj").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("GOLD" -> 2L, "SILVER" -> 1L))
+  }
+
+  test("stream-stream interval join matches the batch formulation") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val sigs = MemoryStream[Ev]; val purs = MemoryStream[Ev]
+    val sigDf = sigs.toDF.select(col("user_id").as("su"), col("ts").as("sts"))
+      .withWatermark("sts", "1 hour")
+    val purDf = purs.toDF.select(col("user_id").as("pu"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val joined = sigDf.join(purDf,
+      col("su") === col("pu") && col("pts") >= col("sts") &&
+      col("pts") <= col("sts") + expr("INTERVAL 2 HOURS"))
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ss2").start()
+    sigs.addData(Ev(ts(0), 1, "signup", 0), Ev(ts(0), 2, "signup", 0))
+    purs.addData(Ev(ts(30), 1, "purchase", 0),   // within 2h of user 1's signup
+                 Ev(ts(200), 2, "purchase", 0),  // 3h20m later → outside window
+                 Ev(ts(40), 3, "purchase", 0))   // no signup
+    q.processAllAvailable(); q.stop()
+    val got = sp.table("ss2").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L)) // only user 1's (signup, purchase) pair joins
+  }
+
   test("session windows merge while gap <= 10 min and split when gap > 10 min") {
     val sp = spark; import sp.implicits._
     val data = Seq(
