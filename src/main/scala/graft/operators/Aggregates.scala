@@ -199,6 +199,42 @@ object Aggregates {
              |WHERE c_acctbal > 5000 GROUP BY c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin)),
 
+    // Typed pairwise join (Dataset.joinWith → Dataset[(Order, Customer)]),
+    // flattened back to primitive columns for the declared output.
+    "typed_joinwith" -> Decl(
+      (s, d) => {
+        val sp = s; import sp.implicits._
+        val o = Tables.typed.orders(s, d)
+        val c = Tables.typed.customer(s, d)
+        o.joinWith(c, o("o_custkey") === c("c_custkey"))
+          .filter(p => p._1.o_totalprice > 400000.0)
+          .map(p => (p._1.o_orderkey, p._2.c_name, p._1.o_totalprice))
+          .toDF("o_orderkey", "c_name", "total")
+          .withColumn("total", round(col("total"), 2))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_name, round(o_totalprice, 2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_totalprice > 400000 ORDER BY o_orderkey""".stripMargin)),
+
+    // The df.na surface: fill and drop over manufactured nulls.
+    "null_fill_drop" -> Decl(
+      (s, d) => {
+        val withNulls = Tables(s, d, "customer").select(
+          col("c_custkey"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+          expr("CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END").as("bal"))
+        val filled = withNulls.na.fill(Map("seg" -> "UNKNOWN"))
+        filled.na.drop(Seq("bal"))
+          .withColumn("bal", round(col("bal"), 2))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |coalesce(nullif(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS seg,
+             |round(c_acctbal, 2) AS bal
+             |FROM customer WHERE c_acctbal >= 0
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Custom typed Aggregator (graft.functions.WeightedAvg).
     "agg_custom_typed" -> Decl(
       (s, d) => Tables(s, d, "lineitem")
