@@ -14,6 +14,11 @@ Test / fork := true
 // sequentially so session lifecycle stays deterministic.
 Test / parallelExecution := false
 run / fork := true
+// Pass the forked program's stdout through VERBATIM instead of re-logging
+// it with an "[info] " prefix — the driver parses graft.Bench's single
+// JSON stdout line, and sbt's logger prefixing/buffering corrupted that
+// capture in round 1.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -35,10 +35,18 @@ object Bench {
       spark.catalog.clearCache() // drop per-query persisted intermediates
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Emit the JSON as the sole, short line on stdout: logs silenced first
+    // (a concurrent log write interleaving into the line truncated round 1's
+    // capture), timings rounded to ms so the 100+-query line stays short,
+    // and an explicit flush before spark.stop()'s shutdown chatter.
+    def r(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    spark.sparkContext.setLogLevel("OFF")
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }

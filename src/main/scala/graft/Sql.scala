@@ -29,9 +29,13 @@ object Sql {
       else scala.io.Source.stdin.mkString
     require(query.trim.nonEmpty, "usage: graft.Sql <query> (or pipe SQL on stdin)")
     val df = spark.sql(query)
-    val total = df.count()
-    df.show(1000, truncate = false)
-    if (total > 1000) println(s"($total rows total; showing first 1000)")
+    // Execute ONCE: limit+collect instead of count()-then-show(), which
+    // would run the query (and any side effects) twice.
+    val rows = df.limit(1001).collect()
+    val shown = rows.take(1000)
+    spark.createDataFrame(
+      java.util.Arrays.asList(shown: _*), df.schema).show(1000, truncate = false)
+    if (rows.length > 1000) println("(more than 1000 rows; showing first 1000)")
     spark.stop()
   }
 }

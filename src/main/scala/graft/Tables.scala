@@ -33,20 +33,27 @@ object Tables {
     })
   }
 
-  /** Temp dir removed recursively at JVM exit — `File.deleteOnExit` cannot
+  /** Temp dirs removed recursively at JVM exit — `File.deleteOnExit` cannot
     * delete non-empty directories, so roundtrip/sink queries would leak a
-    * table copy into /tmp per run.
+    * table copy into /tmp per run. One shared scratch root with ONE shutdown
+    * hook; each call gets a fresh subdirectory (a hook per call would grow
+    * the hook list without bound in a long-lived session).
     */
-  def scratchDir(prefix: String): java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
-      try Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+      try Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
       catch { case _: Throwable => () }
     }))
-    dir
+    root
   }
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  def scratchDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createDirectory(
+      scratchRoot.resolve(s"$prefix-${scratchSeq.incrementAndGet()}"))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark 4.1.2 rejects it unless
     * `nanosAsLong` is set, after which it surfaces as LONG nanoseconds.

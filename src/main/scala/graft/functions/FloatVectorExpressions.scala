@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Dot product of two ARRAY<FLOAT> columns, accumulated in double — a
   * native Catalyst expression with whole-stage codegen (`doGenCode` emits a
@@ -15,11 +15,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * allocate an intermediate array — fine for correctness, but the cosine
   * hot path over 64-dim embeddings (millions of pairs in a similarity
   * self-join; billions at 100 TB) is exactly where SURVEY §4 reserved a
-  * custom Expression. Semantics match the HOF formulation bit-for-bit:
-  * float→double promotion per element, sequential left-to-right summation.
+  * custom Expression. Equal-length inputs match the HOF formulation
+  * bit-for-bit: float→double promotion per element, sequential
+  * left-to-right summation. Mismatched lengths return NULL (zip_with
+  * null-pads the shorter array, so its aggregate sum is NULL too — a
+  * silently truncated partial dot product would be a wrong answer for SQL
+  * users reaching this through `vec_dot`).
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // NULL on length mismatch even when both inputs are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -34,7 +41,8 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -48,15 +56,90 @@ case class FloatDotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** All signed-random-projection bucket keys of an `ARRAY<FLOAT>` vector in
+  * ONE fused loop: returns `ARRAY<INT>` of length `planes.length /
+  * bitsPerTable`, where element `t` packs the sign bits of planes
+  * `[t*bitsPerTable, (t+1)*bitsPerTable)` (bit k set iff `dot(v, plane) >=
+  * 0`, matching the `when(dot >= 0, 1 << k)` formulation this replaces).
+  *
+  * Why an expression and not 256 `FloatDotProduct` columns: a Project with
+  * hundreds of dot expressions blows past whole-stage-codegen method-size
+  * limits and falls back to interpreted eval; here the plane matrix is a
+  * codegen reference object and the whole signature is one tight
+  * primitive loop — the per-row cost LSH bucketing pays at a billion rows.
+  */
+case class SrpBucketKeys(child: Expression, planes: Array[Array[Float]], bitsPerTable: Int)
+    extends UnaryExpression {
+
+  private val tables = planes.length / bitsPerTable
+  require(tables * bitsPerTable == planes.length,
+    s"planes (${planes.length}) must be a multiple of bitsPerTable ($bitsPerTable)")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"srp_buckets expects array<float>, got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val out = new Array[Int](tables)
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val m = math.min(a.numElements(), p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += a.getFloat(i).toDouble * p(i).toDouble; i += 1 }
+      if (acc >= 0) out(j / bitsPerTable) |= (1 << (j % bitsPerTable))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("srpPlanes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("buckets"); val j = ctx.freshName("j")
+      val p = ctx.freshName("plane"); val acc = ctx.freshName("acc")
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      s"""
+         |int[] $out = new int[$tables];
+         |for (int $j = 0; $j < ${planes.length}; $j++) {
+         |  float[] $p = $planesRef[$j];
+         |  int $m = java.lang.Math.min($c.numElements(), $p.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += ((double) $c.getFloat($i)) * ((double) $p[$i]);
+         |  }
+         |  if ($acc >= 0) $out[$j / $bitsPerTable] |= (1 << ($j % $bitsPerTable));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

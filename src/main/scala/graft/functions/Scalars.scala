@@ -126,6 +126,12 @@ object Scalars {
              |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
 
     // ANSI mode is on in Spark 4 — all casts stay in range by construction.
+    // The DECIMAL(18,2) cast is re-emitted as STRING: round-1 proved the
+    // values match DuckDB exactly but a raw DECIMAL output column hashes
+    // differently between the engines' physical encodings (the suite's only
+    // hash_match=false). Both engines render DECIMAL(18,2) → string with
+    // exactly two fractional digits, so the cast stays exercised while the
+    // output column is a hash-stable primitive.
     "scalar_cast" -> Decl(
       (s, d) => Tables.canon(
         Tables(s, d, "orders").select(
@@ -133,14 +139,14 @@ object Scalars {
           col("o_orderkey").cast("int").as("as_int"),
           col("o_orderkey").cast("double").as("as_double"),
           col("o_orderkey").cast("string").as("as_str"),
-          col("o_totalprice").cast("decimal(18,2)").as("as_dec"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string").as("as_dec"),
           lit("2024-03-05 12:00:00").cast("timestamp").as("const_ts"),
           lit("123").cast("int").as("parsed_int"))),
       Some("""SELECT o_orderkey,
              |CAST(o_orderkey AS INT) AS as_int,
              |CAST(o_orderkey AS DOUBLE) AS as_double,
              |CAST(o_orderkey AS VARCHAR) AS as_str,
-             |CAST(o_totalprice AS DECIMAL(18,2)) AS as_dec,
+             |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS as_dec,
              |CAST('2024-03-05 12:00:00' AS TIMESTAMP) AS const_ts,
              |CAST('123' AS INT) AS parsed_int
              |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),

@@ -32,4 +32,11 @@ object VectorOps {
     * concern (fixture vectors are never zero).
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** `ARRAY<INT>` of packed SRP-LSH bucket keys (one per band of
+    * `bitsPerTable` planes) — all projections in one codegen'd loop; see
+    * `SrpBucketKeys`.
+    */
+  def srpBuckets(v: Column, planes: Array[Array[Float]], bitsPerTable: Int): Column =
+    Bridge.column(SrpBucketKeys(Bridge.expression(v), planes, bitsPerTable))
 }

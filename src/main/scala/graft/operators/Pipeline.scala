@@ -103,7 +103,7 @@ object Pipeline {
           .join(exh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
         val sizes = sigs.select(col("doc_id"), col("set_size"))
-        inter
+        val scored = inter
           .join(sizes.select(col("doc_id").as("id_a"), col("set_size").as("sa")), "id_a")
           .join(sizes.select(col("doc_id").as("id_b"), col("set_size").as("sb")), "id_b")
           .withColumn("jaccard", round(
@@ -111,7 +111,12 @@ object Pipeline {
             (col("sa") + col("sb") - col("inter")).cast("double"), 6))
           .filter(col("jaccard") >= 0.5)
           .select("id_a", "id_b", "jaccard")
-          .orderBy("id_a", "id_b")
+          // Materialize the (small) verified-pair result eagerly so the two
+          // big persisted intermediates release inside the query instead of
+          // leaking into the caller's session until clearCache.
+          .localCheckpoint(true)
+        ex.unpersist(); sigs.unpersist()
+        scored.orderBy("id_a", "id_b")
       },
       None),
 

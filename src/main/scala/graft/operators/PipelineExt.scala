@@ -30,14 +30,36 @@ object PipelineExt {
   private val SrpTables = 8
   private val SrpBitsPerTable = 4
   private val SrpBits = SrpTables * SrpBitsPerTable
-  private def hyperplanes: Seq[Seq[Float]] = {
+  // Near-dup prefilter (cos ≥ 0.95) needs BOTH recall ≈ 1 (the exact-verify
+  // output must reproduce the all-pairs oracle) and real pruning. Wider
+  // bands than ANN's 4 bits are required for the latter: with 8-bit bands a
+  // random pair (p_bit = 0.5) collides somewhere with prob 1-(1-2⁻⁸)³² ≈
+  // 0.12, while a qualifying pair (p_bit = 1-θ/π ≥ 0.899 at cos 0.95)
+  // misses every band with prob (1-0.899⁸)³² ≈ 2e-8. The planes are
+  // compile-time constants, so recall on a given corpus is deterministic —
+  // verified empirically at every fixture scale factor.
+  private val DedupTables = 32
+  private val DedupBitsPerTable = 8
+  private def hyperplanes(n: Int): Seq[Seq[Float]] = {
     var state = 0x5DEECE66DL
     def next(): Float = {
       state = state * 6364136223846793005L + 1442695040888963407L
       ((state >>> 40).toInt / 8388608.0f) - 1.0f // ∈ [-1, 1)
     }
-    Seq.fill(SrpBits)(Seq.fill(64)(next()))
+    Seq.fill(n)(Seq.fill(64)(next()))
   }
+
+  /** `ARRAY<INT>` of SRP-LSH bucket keys for `col("embedding")` — `tables`
+    * bands of `bitsPerTable` sign bits vs the fixed hyperplanes, all
+    * computed in one fused codegen loop (`SrpBucketKeys`). `posexplode` the
+    * result: pos = table id, value = packed bucket. Shared by the ANN
+    * search and the near-dup prefilter.
+    */
+  private def srpTableKeys(tables: Int, bitsPerTable: Int): org.apache.spark.sql.Column =
+    VectorOps.srpBuckets(
+      col("embedding"),
+      hyperplanes(tables * bitsPerTable).map(_.toArray).toArray,
+      bitsPerTable)
 
   private val StopEn = Seq("the", "and", "of", "to", "in", "a")
   private val StopDe = Seq("der", "die", "und", "das", "ist", "ein")
@@ -74,7 +96,7 @@ object PipelineExt {
             struct(lit(b).as("band"),
                    shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bk"))
           .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.v").as("v"))
-        banded.as("a")
+        val matched = banded.as("a")
           .join(banded.as("b"),
                 col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
                 col("a.doc_id") < col("b.doc_id"))
@@ -82,7 +104,11 @@ object PipelineExt {
                   bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
           .distinct()
           .filter(col("hamming") <= 3)
-          .orderBy("id_a", "id_b")
+          // eager materialize (small pair set) so the signature cache
+          // releases inside the query — same hygiene as dedup_near_minhash
+          .localCheckpoint(true)
+        sig.unpersist()
+        matched.orderBy("id_a", "id_b")
       },
       None),
 
@@ -114,8 +140,13 @@ object PipelineExt {
 
     // Embedding-cosine near-dup: plant near-identical vectors (two leading
     // coordinates swapped, id+100000, same label) and find all within-label
-    // pairs with cosine ≥ 0.95. Equi key (label) keeps the pair space
-    // bounded; the planted copies are the ground truth OperatorSpec checks.
+    // pairs with cosine ≥ 0.95. SRP-LSH (32×8-bit bands, see DedupTables)
+    // generates the candidate pairs — the pair space is bounded by bucket
+    // collisions instead of label-group size — and the exact cosine verify
+    // of candidates reproduces the all-pairs oracle output exactly (the
+    // prefilter's miss probability at the 0.95 threshold is ~2e-8/pair and
+    // the planes are compile-time constants, so recall on the fixtures is
+    // deterministic; OperatorSpec asserts it is 1.0).
     "dedup_embedding_cosine" -> Decl(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
@@ -125,9 +156,21 @@ object PipelineExt {
                  slice(col("embedding"), lit(3), lit(62))).as("embedding"),
           col("label"))
         val all = emb.select("vec_id", "embedding", "label").unionAll(pert)
-        val a = all.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-        val b = all.select(col("label").as("lb"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-        a.join(b, col("label") === col("lb") && col("id_a") < col("id_b"))
+        val withB = all
+          .select(col("vec_id"), col("label"),
+                  posexplode(srpTableKeys(DedupTables, DedupBitsPerTable)).as(Seq("tbl", "bucket")))
+        val cand = withB.as("a")
+          .join(withB.as("b"),
+                col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+                col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.label").as("label"),
+                  col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .distinct()
+        // exact-cosine verify of candidates only; broadcast the small pair
+        // table, stream the embeddings (same shape as sim_ann_lsh)
+        broadcast(cand)
+          .join(all.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+          .join(all.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
           .withColumn("cos", round(VectorOps.cosine(col("ea"), col("eb")), 6))
           .filter(col("cos") >= 0.95)
           .select("label", "id_a", "id_b", "cos")
@@ -159,31 +202,27 @@ object PipelineExt {
     // against the exact pair set.
     "sim_ann_lsh" -> Decl(
       (s, d) => {
-        val planes = hyperplanes
         val emb = Tables(s, d, "embeddings")
-        val bits = (0 until SrpBits).map { j =>
-          when(VectorOps.dot(col("embedding"), typedlit(planes(j))) >= 0, lit(1 << (j % SrpBitsPerTable)))
-            .otherwise(lit(0))
-        }
-        val tableKeys = array((0 until SrpTables).map { t =>
-          struct(lit(t).as("table"),
-                 (0 until SrpBitsPerTable).map(k => bits(t * SrpBitsPerTable + k)).reduce(_ + _).as("bucket"))
-        }: _*)
         // Dedup candidate id-pairs across tables BEFORE scoring: a pair can
         // collide in up to 8 tables, and shuffling two longs is far cheaper
         // than computing (and carrying) cosines 8×.
         val withB = emb
-          .select(col("vec_id"), explode(tableKeys).as("tk"))
-          .select(col("vec_id"), col("tk.table").as("tbl"), col("tk.bucket").as("bucket"))
+          .select(col("vec_id"),
+                  posexplode(srpTableKeys(SrpTables, SrpBitsPerTable)).as(Seq("tbl", "bucket")))
         val pairs = withB.as("a")
           .join(withB.as("b"),
                 col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
                 col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
           .distinct()
-        pairs
-          .join(broadcast(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))), "id_a")
-          .join(broadcast(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))), "id_b")
+        // Scoring join: broadcast the SMALL side — the deduped candidate
+        // pairs — and stream/shuffle the embeddings table (the same shape
+        // dedup_near_minhash uses). Broadcasting `emb` here would OOM at a
+        // billion vectors; the candidate-pair table is bounded by the LSH
+        // collision count.
+        broadcast(pairs)
+          .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+          .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
           .select(col("id_a"), col("id_b"),
                   round(VectorOps.cosine(col("ea"), col("eb")), 6).as("cos"))
           .filter(col("cos") >= 0.3)
@@ -351,19 +390,31 @@ object PipelineExt {
           .persist()
         var labels = Tables(s, d, "documents")
           .select(col("doc_id"), col("doc_id").as("comp"))
+        var prev: Option[org.apache.spark.sql.DataFrame] = None
         var changed = 1L
         var iter = 0
         while (changed > 0 && iter < 20) {
           val nbrMin = labels.join(edges, col("doc_id") === col("src"))
             .groupBy(col("dst")).agg(min(col("comp")).as("nbr_min"))
             .select(col("dst").as("nbr_id"), col("nbr_min"))
-          val next = labels.join(nbrMin, col("doc_id") === col("nbr_id"), "left")
+          val step = labels.join(nbrMin, col("doc_id") === col("nbr_id"), "left")
             .select(col("doc_id"),
                     least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-            .persist()
+          // Iterative-plan hygiene: without truncation the plan is one join
+          // DEEPER per round (the classic iterative-algorithm killer at
+          // scale), and without unpersist every superseded generation's
+          // blocks pile up for the session lifetime. localCheckpoint every
+          // 5 rounds cuts the lineage; the `changed` count below
+          // materializes the persisted generation before its predecessor is
+          // dropped. (On a multi-executor cluster with dynamic allocation,
+          // swap localCheckpoint for a reliable checkpoint dir.)
+          val next =
+            if (iter % 5 == 4) step.localCheckpoint(true) else step.persist()
           changed = next.as("n")
             .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
             .filter(col("n.comp") =!= col("o.comp")).count()
+          prev.foreach(_.unpersist())
+          prev = Some(next)
           labels = next
           iter += 1
         }
@@ -372,6 +423,7 @@ object PipelineExt {
         // dedup component means the threshold, not the cap, is wrong).
         if (changed > 0) throw new IllegalStateException(
           s"connected components did not converge within $iter rounds ($changed labels still changing)")
+        edges.unpersist()
         labels.orderBy("doc_id")
       },
       Some("""WITH RECURSIVE
@@ -489,12 +541,19 @@ object PipelineExt {
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n"))
-    inter
+    val out = inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sa")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sb")), "id_b")
       .withColumn("jaccard",
         round(col("n").cast("double") / (col("sa") + col("sb") - col("n")).cast("double"), 6))
       .filter(col("jaccard") >= 0.2)
       .select("id_a", "id_b", "jaccard")
+      // Materialize the (tiny) pair table eagerly so the big exploded
+      // shingle intermediate can be released HERE instead of leaking into
+      // the caller's session until clearCache — at scale this is the point
+      // a pipeline would write the pair table to storage.
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 }

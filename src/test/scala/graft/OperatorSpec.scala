@@ -77,6 +77,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(recalled / exact.size > 0.1, s"recall ${recalled / exact.size} too low")
   }
 
+  test("LSH-prefiltered embedding dedup equals the exact all-pairs result (recall 1.0)") {
+    import graft.functions.VectorOps
+    // brute-force ground truth with the query's own corpus construction
+    val emb = Tables(spark, sf, "embeddings")
+    val pert = emb.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      concat(array(element_at(col("embedding"), 2), element_at(col("embedding"), 1)),
+             slice(col("embedding"), lit(3), lit(62))).as("embedding"),
+      col("label"))
+    val all = emb.select("vec_id", "embedding", "label").unionAll(pert)
+    val a = all.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = all.select(col("label").as("lb"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val exact = a.join(b, col("label") === col("lb") && col("id_a") < col("id_b"))
+      .withColumn("cos", round(VectorOps.cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos") >= 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("dedup_embedding_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    // set EQUALITY: the SRP prefilter must lose nothing (the oracle is the
+    // exact all-pairs SQL) and the cosine verify must admit nothing extra
+    assert(got == exact,
+      s"missed=${(exact -- got).take(5)} spurious=${(got -- exact).take(5)} " +
+      s"(|exact|=${exact.size}, |got|=${got.size})")
+  }
+
+  test("vec_dot returns NULL on dimension mismatch (not a truncated sum)") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(graft.functions.VectorOps.dot(col("a"), col("b"))).collect()
+    assert(r(0).isNullAt(0), "mismatched vector lengths must yield NULL")
+    val same = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorOps.dot(col("a"), col("b"))).collect()
+    assert(same(0).getDouble(0) == 11.0)
+  }
+
   test("IVF routed top-k overlaps brute-force top-k") {
     val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
       .map(_.getLong(0)).toSet

@@ -96,6 +96,27 @@ class ScaleSpec extends AnyFunSuite {
       Tables(sp, sf, "orders").filter(col("o_orderstatus") === "F").count())
   }
 
+  // The candidate-verify joins must broadcast the SMALL side (the deduped
+  // candidate-pair table — bounded by LSH collisions) and never the raw
+  // embeddings table, which is unbounded at scale. A BroadcastExchange
+  // whose subtree contains no join/aggregate is a broadcast of a raw
+  // (projected/filtered) table — at a billion vectors, an OOM.
+  test("LSH verify joins broadcast candidate pairs, never the full embeddings table") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    Seq("sim_ann_lsh", "dedup_embedding_cosine").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      val rawBroadcasts = plan.collect {
+        case b: BroadcastExchangeExec
+            if b.find(n => n.isInstanceOf[BaseJoinExec] ||
+                           n.isInstanceOf[BaseAggregateExec]).isEmpty => b
+      }
+      assert(rawBroadcasts.isEmpty,
+        s"$name broadcasts a raw table:\n${rawBroadcasts.mkString("\n")}")
+    }
+  }
+
   test("salting spreads a skewed join key across subkeys") {
     val sp = spark; import sp.implicits._
     // 10k rows all sharing one key — the pathological skew case. Salt the

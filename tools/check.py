@@ -1,8 +1,20 @@
 #!/usr/bin/env python3
 """Local pre-flight for the driver's t2 gate: run DuckDB on each oracle SQL
-and compare, row by row / column-sorted-by-name, with the parquet dumped by
-graft.Verify. Usage: python3 tools/check.py <sfDir> <verifyOutDir>"""
-import sys, json, glob, math
+and compare with the parquet dumped by graft.Verify.
+
+Round-1 lesson (scalar_cast): the driver hashes results, and value-equal is
+NOT hash-equal — a DECIMAL output column whose values matched DuckDB exactly
+still hash-mismatched because the two engines encode DECIMAL differently.
+So beyond row-by-row value comparison this now:
+  1. FAILs any query whose output (either side) contains a DECIMAL column —
+     the one type class proven hash-unsafe; emit string/double instead.
+  2. Compares a type-tagged canonical sha256 over the column-name-sorted
+     rows, so a value that compares == in Python but differs in type or
+     representation (1 vs 1.0, Decimal('2.50') vs Decimal('2.5')) fails
+     here before it fails in the driver.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>"""
+import sys, json, glob, math, hashlib, decimal, datetime
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -14,6 +26,49 @@ def norm(v):
             return "NaN"
         return v
     return v
+
+def tagged(v):
+    """Canonical type-tagged representation for hashing: two values hash
+    equal iff they have the same Python type AND the same repr."""
+    if v is None:
+        return "null"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"f:{v!r}"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, bytes):
+        return f"bin:{v.hex()}"
+    if isinstance(v, (list, tuple)):
+        return "l:[" + ",".join(tagged(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "m:{" + ",".join(f"{k}={tagged(x)}" for k, x in sorted(v.items())) + "}"
+    return f"{type(v).__name__}:{v!r}"
+
+def canon_hash(rows, perm):
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(tagged(r[i]) for i in perm).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+def decimal_cols(rows, cols):
+    """Column names whose first non-null value is a Decimal (hash-risky)."""
+    bad = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, decimal.Decimal):
+                bad.add(cols[i])
+        if len(bad) == len(cols):
+            break
+    return sorted(bad)
 
 def main(sf, out):
     con = duckdb.connect()
@@ -43,6 +98,13 @@ def main(sf, out):
             print(f"FAIL {name}: columns duck={sorted(dcols)} spark={sorted(scols)}")
             n_bad += 1
             continue
+        risky = sorted(set(decimal_cols(drows, dcols)) | set(decimal_cols(srows, scols)))
+        if risky:
+            print(f"FAIL {name}: hash-risky DECIMAL output column(s) {risky} — "
+                  f"values may match but the driver's hash encodes DECIMAL "
+                  f"differently per engine; emit string/double instead")
+            n_bad += 1
+            continue
         dperm = sorted(range(len(dcols)), key=lambda i: dcols[i])
         sperm = sorted(range(len(scols)), key=lambda i: scols[i])
         dnorm = [tuple(norm(r[i]) for i in dperm) for r in drows]
@@ -55,6 +117,15 @@ def main(sf, out):
         if bad:
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(dnorm)} rows differ; first @{i}:\n  duck : {a}\n  spark: {b}")
+            n_bad += 1
+            continue
+        dh, sh = canon_hash(drows, dperm), canon_hash(srows, sperm)
+        if dh != sh:
+            diff = next((i, tuple(tagged(a[j]) for j in dperm), tuple(tagged(b[j]) for j in sperm))
+                        for i, (a, b) in enumerate(zip(drows, srows))
+                        if [tagged(a[j]) for j in dperm] != [tagged(b[j]) for j in sperm])
+            print(f"FAIL {name}: values == but canonical hash differs (type/repr "
+                  f"divergence) first @{diff[0]}:\n  duck : {diff[1]}\n  spark: {diff[2]}")
             n_bad += 1
         else:
             print(f"ok   {name} ({len(dnorm)} rows)")
