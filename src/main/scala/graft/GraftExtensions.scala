@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // ADT grammar (CREATE TYPE / constructors / MATCH…END) in front of the
+    // stock parser — the reference's typechecked sum-type SQL surface.
+    e.injectParser((session, delegate) => new graft.adt.AdtParser(session, delegate))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "vec_dot"),

@@ -81,6 +81,34 @@ object AdtQueries {
              |count(*) AS n, round(sum(o_totalprice), 2) AS total
              |FROM orders GROUP BY 1 ORDER BY tag""".stripMargin)),
 
+    // The ADT SQL grammar end-to-end: CREATE TYPE registers OrderState in
+    // the session catalog, then ONE SQL text uses constructors AND an
+    // exhaustive MATCH (no ELSE — the rewriter typechecks coverage). Runs
+    // through AdtSql.sql so it works on any session; a session built with
+    // GraftExtensions accepts the same text through plain spark.sql via the
+    // injected parser (AdtSqlSpec proves that path).
+    "adt_sql_syntax" -> Decl(
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        graft.adt.AdtSql.sql(s,
+          "CREATE TYPE OrderState = Open(priority TEXT) | Shipped(ship_date TIMESTAMP) | Returned")
+        Tables.canon(graft.adt.AdtSql.sql(s,
+          """SELECT o_orderkey,
+            |  MATCH (CASE WHEN o_orderstatus = 'O' THEN OrderState.Open(o_orderpriority)
+            |              WHEN o_orderstatus = 'F' THEN OrderState.Shipped(o_orderdate)
+            |              ELSE OrderState.Returned() END)
+            |    WHEN Open(p)     THEN 'open:' || p
+            |    WHEN Shipped(dt) THEN 'shipped:' || CAST(year(dt) AS STRING)
+            |    WHEN Returned    THEN 'returned'
+            |  END AS descr
+            |FROM orders""".stripMargin))
+      },
+      Some("""SELECT o_orderkey,
+             |CASE WHEN o_orderstatus = 'O' THEN 'open:' || o_orderpriority
+             |     WHEN o_orderstatus = 'F' THEN 'shipped:' || CAST(year(o_orderdate) AS VARCHAR)
+             |     ELSE 'returned' END AS descr
+             |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+
     // Spark 4 VariantType: schema-on-read over the JSON payload; declared
     // output is primitive (R5).
     "adt_variant_type" -> Decl(

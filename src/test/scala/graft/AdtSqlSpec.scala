@@ -1,0 +1,114 @@
+package graft
+
+import graft.adt.{Adt, AdtSql}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ADT SQL grammar (CREATE TYPE / constructors / MATCH) end-to-end
+  * through PLAIN `spark.sql` on a session built with `GraftExtensions` —
+  * the reference's SQL-first user surface — plus the rewrite-time
+  * typechecker's rejection behavior (the reference rejects ill-typed
+  * queries before execution; so do we).
+  */
+class AdtSqlSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  private def declareOrderState(): Unit =
+    spark.sql("CREATE TYPE OrderState = Open(priority TEXT) | Shipped(ship_date TIMESTAMP) | Returned")
+
+  test("CREATE TYPE + constructors + MATCH through plain spark.sql") {
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders")
+    declareOrderState()
+    val got = spark.sql(
+      """SELECT o_orderkey,
+        |  MATCH (CASE WHEN o_orderstatus = 'O' THEN OrderState.Open(o_orderpriority)
+        |              WHEN o_orderstatus = 'F' THEN OrderState.Shipped(o_orderdate)
+        |              ELSE OrderState.Returned() END)
+        |    WHEN Open(p)     THEN 'open:' || p
+        |    WHEN Shipped(dt) THEN 'shipped:' || CAST(year(dt) AS STRING)
+        |    WHEN Returned    THEN 'returned'
+        |  END AS descr
+        |FROM orders""".stripMargin)
+    // must agree row-for-row with the combinator API's CASE lowering
+    val expected = Tables(spark, sf, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderstatus") === "O", concat(lit("open:"), col("o_orderpriority")))
+        .when(col("o_orderstatus") === "F",
+              concat(lit("shipped:"), year(col("o_orderdate")).cast("string")))
+        .otherwise(lit("returned")).as("descr"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(got.count() == Tables(spark, sf, "orders").count())
+  }
+
+  test("SQL constructors produce the Adt combinator encoding (interop)") {
+    declareOrderState()
+    val df = spark.sql("SELECT OrderState.Open('HIGH') AS state")
+    assert(df.select(Adt.tagOf(col("state"))).head.getString(0) == "Open")
+    assert(df.select(Adt.payload(col("state"), "Open").getField("priority"))
+      .head.getString(0) == "HIGH")
+    assert(df.select(Adt.is(col("state"), "Returned")).head.getBoolean(0) == false)
+    // and the combinator matchOn reads a SQL-constructed value
+    val m = df.select(Adt.matchOn(col("state"))(
+      "Open" -> (p => p.getField("priority")),
+      "Shipped" -> (_ => lit("s")),
+      "Returned" -> (_ => lit("r"))).as("x"))
+    assert(m.head.getString(0) == "HIGH")
+  }
+
+  test("ill-typed ADT SQL is rejected at parse time") {
+    declareOrderState()
+    def bad(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](spark.sql(sql))
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"wrong error for [$sql]: ${e.getMessage}")
+    }
+    // unknown variant tag
+    bad("SELECT MATCH (x) WHEN Bogus THEN 1 END FROM t", "no declared type")
+    // binder arity vs payload arity (ill-typed match)
+    bad("""SELECT MATCH (x) WHEN Open(a, b) THEN a
+          |WHEN Shipped(d) THEN d WHEN Returned THEN 1 END FROM t""".stripMargin,
+        "pattern binds 2")
+    // payload binder on a payload-less variant
+    bad("""SELECT MATCH (x) WHEN Open(p) THEN p
+          |WHEN Shipped(d) THEN d WHEN Returned(z) THEN z END FROM t""".stripMargin,
+        "pattern binds 1")
+    // non-exhaustive without ELSE
+    bad("SELECT MATCH (x) WHEN Open(p) THEN p END FROM t", "non-exhaustive")
+    // constructor arity
+    bad("SELECT OrderState.Open()", "takes 1 argument")
+    bad("SELECT OrderState.Shipped(a, b) FROM t", "takes 1 argument")
+    // unknown constructor variant
+    bad("SELECT OrderState.Closed(1)", "no variant")
+    // malformed type declarations
+    bad("CREATE TYPE Bad = A(x TEXT) | A", "duplicate variant")
+    bad("CREATE TYPE Bad = A(x NOSUCHTYPE) | B", "bad field type")
+  }
+
+  test("MATCH arms resolve against the right type; ambiguity is rejected") {
+    declareOrderState()
+    spark.sql("CREATE TYPE Payment = Card(num TEXT) | Cash")
+    // disjoint tag sets resolve independently
+    val r = spark.sql(
+      "SELECT MATCH (Payment.Cash()) WHEN Card(n) THEN n WHEN Cash THEN 'cash' END AS m")
+    assert(r.head.getString(0) == "cash")
+    // a type whose variants overlap another makes one-arm matches ambiguous
+    spark.sql("CREATE TYPE Refund = Card(num TEXT) | Wire")
+    val e = intercept[IllegalArgumentException](
+      spark.sql("SELECT MATCH (x) WHEN Card(n) THEN n ELSE 'other' END FROM t"))
+    assert(e.getMessage.contains("ambiguous"))
+  }
+}
