@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Windows.decls ++
     functions.Scalars.decls ++
     operators.AdtQueries.decls ++
+    operators.Salted.decls ++
     operators.Pipeline.decls ++
     operators.PipelineExt.decls ++
     operators.Streams.decls

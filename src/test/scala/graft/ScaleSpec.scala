@@ -117,6 +117,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  // The declared salted-join query must actually join on (key, salt) —
+  // i.e. the fan-out is in the PHYSICAL join key, not just conceptually —
+  // and the big fact-side join must not have collapsed into a broadcast
+  // (which would hide the skew-spreading shape the operator exists for).
+  test("join_salted_skew joins on (event_type, salt) in the physical plan") {
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val plan = SparkEntry.queries("join_salted_skew")(spark, sf)
+      .queryExecution.sparkPlan
+    val shuffleJoins = plan.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+    }
+    assert(shuffleJoins.nonEmpty, s"no shuffle join in plan:\n$plan")
+    val fanOut = shuffleJoins.find(_.exists(_.toString.contains("__salt")))
+    assert(fanOut.isDefined, s"no join keyed on __salt:\n$plan")
+    assert(fanOut.get.length == 2, s"expected (event_type, __salt) keys, got ${fanOut.get}")
+  }
+
   test("salting spreads a skewed join key across subkeys") {
     val sp = spark; import sp.implicits._
     // 10k rows all sharing one key — the pathological skew case. Salt the
