@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Filesystem-persistent catalog for the SQL session (`graft.Sql`) — the
+  * reference is a client/server DBMS whose tables and type declarations
+  * survive a restart; Spark's `InMemoryCatalog` forgets both at JVM exit.
+  * Persistence here is metastore-free and derives everything from the
+  * warehouse directory itself:
+  *
+  *  - tables: `CREATE TABLE t USING parquet AS …` writes
+  *    `<warehouse>/t/` (stock Spark behavior); on startup every table
+  *    directory found in the warehouse is re-registered as a view —
+  *    parquet is self-describing, so no schema store is needed. This is
+  *    exactly how a 100 TB lakehouse catalog works: the data layout IS
+  *    the source of truth, metadata is derived.
+  *  - ADT types: each `CREATE TYPE` statement is appended (latest per
+  *    type name wins) to `<warehouse>/_graft_types.sql` and replayed into
+  *    `AdtSql`'s session registry on startup.
+  */
+object GraftCatalog {
+
+  private def typesFile(warehouse: String): Path =
+    Paths.get(warehouse, "_graft_types.sql")
+
+  /** Re-register persisted tables and types into a fresh session.
+    * Returns the restored (table, type) names for the session banner.
+    */
+  def restore(spark: SparkSession, warehouse: String): (Seq[String], Seq[String]) = {
+    val wh = Paths.get(warehouse)
+    val tables =
+      if (!Files.isDirectory(wh)) Seq.empty
+      else Files.list(wh).iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filterNot(_.startsWith("_"))
+        .flatMap { name =>
+          try {
+            spark.read.parquet(s"$warehouse/$name").createOrReplaceTempView(name)
+            Some(name)
+          } catch { case _: Exception => None } // not a table dir — skip
+        }.toSeq.sorted
+    val types =
+      if (!Files.exists(typesFile(warehouse))) Seq.empty
+      else Files.readAllLines(typesFile(warehouse)).asScala.toSeq
+        .map(_.trim).filter(_.nonEmpty)
+        .flatMap { stmt =>
+          try Some(graft.adt.AdtSql.createType(spark, stmt).name)
+          catch { case _: Exception => None }
+        }
+    (tables, types)
+  }
+
+  /** Record a CREATE TYPE statement durably (replacing any earlier
+    * declaration of the same type name). */
+  def recordType(warehouse: String, stmt: String): Unit = {
+    val oneLine = stmt.replaceAll("\\s+", " ").trim
+    val name = oneLine.split("\\s+")(2).toLowerCase // CREATE TYPE <name> …
+    val f = typesFile(warehouse)
+    Files.createDirectories(f.getParent)
+    val kept =
+      if (Files.exists(f))
+        Files.readAllLines(f).asScala.toSeq
+          .filterNot(l => l.trim.isEmpty ||
+            l.replaceAll("\\s+", " ").split("\\s+").lift(2).exists(_.equalsIgnoreCase(name)))
+      else Seq.empty
+    Files.write(f, (kept :+ oneLine).mkString("\n").getBytes)
+  }
+}

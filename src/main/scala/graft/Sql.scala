@@ -1,41 +1,106 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** SQL client entry point — the surface a user of the reference RDBMS
+/** SQL session entry point — the surface a user of the reference DBMS
   * lands on: all fixture tables registered as views, graft's extensions
-  * (vec_dot, TopK strategy) injected, one query per invocation.
+  * injected (ADT grammar, vec_dot, TopK strategy), multi-statement
+  * scripts, and a catalog that survives restarts (`GraftCatalog`).
   *
   * Usage:
   *   sbt "runMain graft.Sql SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1"
-  *   echo "SELECT ..." | sbt "runMain graft.Sql"     # reads stdin if no args
-  * Scale-factor dir via SPARK_GRAFT_SF_DIR (default sf0.01).
+  *   sbt "runMain graft.Sql -f script.sql"     # ';'-separated statements
+  *   java … graft.Sql < script.sql             # stdin (sbt swallows it)
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.01), SPARK_GRAFT_CPUS,
+  *      SPARK_GRAFT_WAREHOUSE (default ./spark-warehouse — `CREATE TABLE t
+  *      USING parquet AS …` lands there and is visible in later runs).
   */
 object Sql {
+
+  /** Split a script on top-level semicolons; quoted spans ('…', "…", `…`)
+    * and comments are opaque, so literals may contain ';'. */
+  def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    var last = 0
+    val n = text.length
+    while (i < n) {
+      text(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          while (i < n && text(i) != q) i += 1
+          i += 1
+        case '-' if i + 1 < n && text(i + 1) == '-' =>
+          while (i < n && text(i) != '\n') i += 1
+        case '/' if i + 1 < n && text(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < n && !(text(i) == '*' && text(i + 1) == '/')) i += 1
+          i += 2
+        case ';' =>
+          out += text.substring(last, i); last = i + 1; i += 1
+        case _ => i += 1
+      }
+    }
+    out += text.substring(math.min(last, n))
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Execute one statement; CREATE TYPE is additionally recorded in the
+    * persistent catalog. Returns the result for rendering. */
+  def execute(spark: SparkSession, warehouse: String, stmt: String): DataFrame = {
+    if (graft.adt.AdtSql.isCreateType(stmt))
+      GraftCatalog.recordType(warehouse, stmt)
+    // the injected AdtParser handles ADT syntax inside plain spark.sql;
+    // AdtSql.sql is the equivalent route for sessions without extensions
+    if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser])
+      spark.sql(stmt)
+    else graft.adt.AdtSql.sql(spark, stmt)
+  }
+
+  private def render(spark: SparkSession, df: DataFrame): Unit = {
+    // Execute ONCE: limit+collect instead of count()-then-show(), which
+    // would run the query (and any side effects) twice.
+    val rows = df.limit(1001).collect()
+    if (rows.isEmpty && df.schema.isEmpty) println("ok")
+    else {
+      val shown = rows.take(1000)
+      spark.createDataFrame(
+        java.util.Arrays.asList(shown: _*), df.schema).show(1000, truncate = false)
+      if (rows.length > 1000) println("(more than 1000 rows; showing first 1000)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warehouse = sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "spark-warehouse")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.views(spark, sfDir)
-    val query =
-      if (args.nonEmpty) args.mkString(" ")
-      else scala.io.Source.stdin.mkString
-    require(query.trim.nonEmpty, "usage: graft.Sql <query> (or pipe SQL on stdin)")
-    val df = spark.sql(query)
-    // Execute ONCE: limit+collect instead of count()-then-show(), which
-    // would run the query (and any side effects) twice.
-    val rows = df.limit(1001).collect()
-    val shown = rows.take(1000)
-    spark.createDataFrame(
-      java.util.Arrays.asList(shown: _*), df.schema).show(1000, truncate = false)
-    if (rows.length > 1000) println("(more than 1000 rows; showing first 1000)")
+    val (tables, types) = GraftCatalog.restore(spark, warehouse)
+    if (tables.nonEmpty) println(s"restored tables: ${tables.mkString(", ")}")
+    if (types.nonEmpty) println(s"restored types: ${types.mkString(", ")}")
+    val script = args match {
+      case Array("-f", path) =>
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      case a if a.nonEmpty => a.mkString(" ")
+      case _ => scala.io.Source.stdin.mkString
+    }
+    val statements = splitStatements(script)
+    require(statements.nonEmpty, "usage: graft.Sql <statements> (or pipe SQL on stdin)")
+    statements.foreach { stmt =>
+      try render(spark, execute(spark, warehouse, stmt))
+      catch { case e: Exception =>
+        println(s"error: ${e.getMessage.linesIterator.take(3).mkString(" ")}")
+      }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The long-lived SQL session surface: multi-statement scripts, and a
+  * catalog (tables + ADT types) that survives a session restart via the
+  * warehouse filesystem (`GraftCatalog`) — the reference is a DBMS whose
+  * CREATE TABLE / CREATE TYPE persist; this proves ours do too, with a
+  * real stop-and-recreate of the SparkSession.
+  */
+class SqlSessionSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshSession(warehouse: String): SparkSession = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  test("splitStatements respects quotes and comments") {
+    assert(Sql.splitStatements("SELECT 1; SELECT 2") == Seq("SELECT 1", "SELECT 2"))
+    assert(Sql.splitStatements("SELECT 'a;b' AS x") == Seq("SELECT 'a;b' AS x"))
+    assert(Sql.splitStatements("SELECT 1 -- trailing; not a split\n; SELECT 2;") ==
+      Seq("SELECT 1 -- trailing; not a split", "SELECT 2"))
+    assert(Sql.splitStatements("/* c1; */ SELECT 1;;") == Seq("/* c1; */ SELECT 1"))
+  }
+
+  test("tables and types persist across a session restart") {
+    val warehouse = Tables.scratchDir("graft_wh").toString
+
+    // session 1: create a table and a type through the session surface
+    val s1 = freshSession(warehouse)
+    Tables(s1, sf, "region").createOrReplaceTempView("region")
+    Sql.execute(s1, warehouse,
+      "CREATE TYPE Status = Ok | Err(msg TEXT)")
+    Sql.execute(s1, warehouse,
+      "CREATE TABLE saved_regions USING parquet AS SELECT r_regionkey, r_name FROM region")
+      .collect()
+    val expected = Tables(s1, sf, "region").count()
+
+    // session 2: a genuinely new SparkSession; no fixture views registered —
+    // everything must come back from the warehouse alone
+    val s2 = freshSession(warehouse)
+    val (tables, types) = GraftCatalog.restore(s2, warehouse)
+    assert(tables.contains("saved_regions"), s"restored: $tables")
+    assert(types.contains("Status"), s"restored types: $types")
+    assert(s2.sql("SELECT count(*) AS n FROM saved_regions").head.getLong(0) == expected)
+    // the replayed type is immediately usable in MATCH through plain SQL
+    val m = s2.sql(
+      "SELECT MATCH (Status.Err('boom')) WHEN Ok THEN 'fine' WHEN Err(m) THEN m END AS r")
+    assert(m.head.getString(0) == "boom")
+  }
+}
