@@ -357,6 +357,46 @@ object PipelineExt {
     // token stream, acc = (acc*31 + tokval) mod 1e9+7 with
     // tokval = len(tok)*131 + first-char code — permutation-sensitive where
     // dedup_exact's md5 is content-only. Same fold in both engines.
+    // Deterministic train/valid/test assignment — the split every training
+    // pipeline needs. A Knuth multiplicative hash of the doc id (NOT rand():
+    // re-runs, retries, and different engines must agree on every row's
+    // split; the multiplier decorrelates the split from any id ordering)
+    // lands each doc in [0,100); 80/10/10 by range. Embarrassingly parallel:
+    // a pure per-row projection, no shuffle except the declared total order.
+    "split_train_holdout" -> Decl(
+      (s, d) => {
+        val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+        Tables.canon(
+          Tables(s, d, "documents").select(
+            col("doc_id"),
+            bucket.as("bucket"),
+            when(bucket < 80, "train").when(bucket < 90, "valid")
+              .otherwise("test").as("split")))
+      },
+      Some("""SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+             |CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+             |     WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+             |     ELSE 'test' END AS split
+             |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin)),
+
+    // Stratified downsampling with per-stratum rates — rebalancing an
+    // over-represented language ('en' is ~44% of the corpus; keep 10% of it,
+    // 50% of everything else). Systematic-by-hash rather than rand() for the
+    // same determinism reasons as the split; at 100 TB this is a pure
+    // filter over the scan (no shuffle, no state), so it runs at I/O speed.
+    "sample_stratified" -> Decl(
+      (s, d) => {
+        val ticket = pmod(col("doc_id") * lit(1099087573L), lit(1000L))
+        Tables.canon(
+          Tables(s, d, "documents")
+            .filter(ticket < when(col("lang") === "en", 100L).otherwise(500L))
+            .select(col("doc_id"), col("lang")))
+      },
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE (doc_id * 1099087573) % 1000 <
+             |      CASE WHEN lang = 'en' THEN 100 ELSE 500 END
+             |ORDER BY ALL NULLS FIRST""".stripMargin)),
+
     "text_fingerprint" -> Decl(
       (s, d) => docsWithTokens(s, d).select(
         col("doc_id"),

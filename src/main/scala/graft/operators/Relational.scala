@@ -69,6 +69,50 @@ object Relational {
       },
       Some("SELECT * FROM orders ORDER BY ALL NULLS FIRST")),
 
+    // Batch-append — the mutation surface the driver contract keeps
+    // ("batch-append and recompute"): write one slice, append the
+    // complementary slice, read the union back. On a real deployment this
+    // is the nightly-ingest shape (append-only parquet partitions); the
+    // oracle proves append lost and duplicated nothing.
+    "sink_append" -> Decl(
+      (s, d) => {
+        val out = Tables.scratchDir("graft_append").resolve("orders_appended").toString
+        val o = Tables(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        o.filter(col("o_orderstatus") === "F").write.mode("overwrite").parquet(out)
+        o.filter(col("o_orderstatus") =!= "F").write.mode("append").parquet(out)
+        Tables.canon(s.read.parquet(out))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |ORDER BY ALL NULLS FIRST""".stripMargin)),
+
+    // Correlated LATERAL join — per-customer top-1 order without a global
+    // window: the lateral subquery runs per outer row and its sort+limit
+    // stays inside the per-key scope. (Catalyst decorrelates this into a
+    // ranked join — same plan family as topk_per_key_native — so there is
+    // no per-row re-execution at scale.)
+    "join_lateral_topn" -> Decl(
+      (s, d) => {
+        Tables(s, d, "customer").createOrReplaceTempView("customer")
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        Tables.canon(s.sql(
+          """SELECT c.c_custkey, c.c_name, t.top_orderkey, t.top_price
+            |FROM customer c
+            |JOIN LATERAL (
+            |  SELECT o.o_orderkey AS top_orderkey, o.o_totalprice AS top_price
+            |  FROM orders o WHERE o.o_custkey = c.c_custkey
+            |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 1
+            |) t""".stripMargin))
+      },
+      Some("""SELECT c.c_custkey, c.c_name, t.top_orderkey, t.top_price
+             |FROM customer c
+             |JOIN LATERAL (
+             |  SELECT o.o_orderkey AS top_orderkey, o.o_totalprice AS top_price
+             |  FROM orders o WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 1
+             |) t ON true
+             |ORDER BY ALL NULLS FIRST""".stripMargin)),
+
     // CSV source: write a CSV copy, read it back with an explicit schema —
     // identity roundtrip proven by the oracle over the original table.
     "source_csv_roundtrip" -> Decl(

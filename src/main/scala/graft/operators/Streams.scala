@@ -117,6 +117,35 @@ object Streams {
              |GROUP BY c_mktsegment, event_type
              |ORDER BY c_mktsegment, event_type""".stripMargin)),
 
+    // Stream-stream interval join, batch twin: each 'click' pairs with the
+    // same user's 'error' events in the following 60 minutes — the canonical
+    // two-stream correlation. In streaming form both sides carry watermarks
+    // and the time-range predicate bounds the join state (the live
+    // MemoryStream version runs in StreamingSpec); the end-of-stream result
+    // is exactly this inner interval join, so it is fully oracle-checkable.
+    "stream_stream_join" -> Decl(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id").as("uid"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+        clicks.join(errors,
+            col("user_id") === col("uid") &&
+            col("error_ts") >= col("click_ts") &&
+            col("error_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"))
+          .select(col("user_id"), col("click_id"), col("error_id"),
+                  (col("error_ts").cast("long") - col("click_ts").cast("long")).as("gap_s"))
+          .orderBy("user_id", "click_id", "error_id")
+      },
+      Some("""SELECT c.user_id AS user_id, c.event_id AS click_id, e.event_id AS error_id,
+             |date_diff('second', CAST(c.ts AS TIMESTAMP), CAST(e.ts AS TIMESTAMP)) AS gap_s
+             |FROM events c JOIN events e ON c.user_id = e.user_id
+             |WHERE c.event_type = 'click' AND e.event_type = 'error'
+             |  AND CAST(e.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+             |  AND CAST(e.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '60 minutes'
+             |ORDER BY c.user_id, click_id, error_id""".stripMargin)),
+
     // A real micro-batch pipeline: file streaming source → foreachBatch
     // parquet sink (Trigger.AvailableNow), then aggregate what the sink
     // wrote. The oracle is the same aggregate over the original table —
