@@ -301,11 +301,34 @@ object Aggregates {
 
     "limit_offset" -> Decl(
       (s, d) => { Tables.views(s, d); s.sql(LimitOffsetSql) },
-      Some(LimitOffsetSql)))
+      Some(LimitOffsetSql)),
+
+    // Recursive CTE (new in Spark 4.x) — the classic date-spine expansion:
+    // walk month-by-month from min to max order date, then LEFT JOIN so
+    // empty months surface with n=0 (a plain GROUP BY would silently skip
+    // them). The recursion itself is driver-light (one row per step; the
+    // heavy lifting stays in the joined aggregate). Identical SQL runs on
+    // both engines; the outer CAST pins DuckDB's DATE-typed date_trunc to
+    // Spark's TIMESTAMP.
+    "recursive_cte_spine" -> Decl(
+      (s, d) => { Tables.views(s, d); s.sql(RecursiveSpineSql) },
+      Some(RecursiveSpineSql)))
 
   private def LimitOffsetSql: String =
     """SELECT o_orderkey, o_custkey FROM orders
       |ORDER BY o_orderkey LIMIT 100 OFFSET 50""".stripMargin
+
+  private def RecursiveSpineSql: String =
+    """WITH RECURSIVE months(m, mx) AS (
+      |  SELECT date_trunc('month', min(o_orderdate)),
+      |         date_trunc('month', max(o_orderdate)) FROM orders
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH, mx FROM months WHERE m < mx
+      |)
+      |SELECT CAST(m AS TIMESTAMP) AS m, count(o_orderkey) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+      |GROUP BY m ORDER BY m""".stripMargin
 
   // ---------------------------------------------------------------- §2.7
   private val sets: Map[String, Decl] = Map(
