@@ -22,7 +22,16 @@ object Bench {
     // -1 timings below, not as a crash before any result is emitted.
     try Tables.names.foreach(n => Tables(spark, sfDir, n).count())
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional args narrow the run to named queries (single-query timing
+    // during optimization); no args = the full declared suite.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else {
+        val unknown = args.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(args.contains).toMap
+      }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A failed query must be visible as -1, not as a fast time — masking
       // regressions as performance wins is worse than crashing.

@@ -32,16 +32,21 @@ object GraftCatalog {
     val wh = Paths.get(warehouse)
     val tables =
       if (!Files.isDirectory(wh)) Seq.empty
-      else Files.list(wh).iterator().asScala
-        .filter(Files.isDirectory(_))
-        .map(_.getFileName.toString)
-        .filterNot(_.startsWith("_"))
-        .flatMap { name =>
+      else {
+        val listing = Files.list(wh)
+        val dirs =
+          try listing.iterator().asScala
+            .filter(Files.isDirectory(_))
+            .map(_.getFileName.toString)
+            .filterNot(_.startsWith("_")).toSeq
+          finally listing.close()
+        dirs.flatMap { name =>
           try {
             spark.read.parquet(s"$warehouse/$name").createOrReplaceTempView(name)
             Some(name)
           } catch { case _: Exception => None } // not a table dir — skip
-        }.toSeq.sorted
+        }.sorted
+      }
     val types =
       if (!Files.exists(typesFile(warehouse))) Seq.empty
       else Files.readAllLines(typesFile(warehouse)).asScala.toSeq
@@ -54,17 +59,19 @@ object GraftCatalog {
   }
 
   /** Record a CREATE TYPE statement durably (replacing any earlier
-    * declaration of the same type name). */
+    * declaration of the same type name). Callers record only AFTER the
+    * statement passed the typechecker — an ill-typed declaration must not
+    * be replayed forever. */
   def recordType(warehouse: String, stmt: String): Unit = {
     val oneLine = stmt.replaceAll("\\s+", " ").trim
-    val name = oneLine.split("\\s+")(2).toLowerCase // CREATE TYPE <name> …
+    val name = graft.adt.AdtSql.createTypeName(oneLine).getOrElse(
+      throw new IllegalArgumentException(s"not a CREATE TYPE statement: $stmt"))
     val f = typesFile(warehouse)
     Files.createDirectories(f.getParent)
     val kept =
       if (Files.exists(f))
-        Files.readAllLines(f).asScala.toSeq
-          .filterNot(l => l.trim.isEmpty ||
-            l.replaceAll("\\s+", " ").split("\\s+").lift(2).exists(_.equalsIgnoreCase(name)))
+        Files.readAllLines(f).asScala.toSeq.filterNot(l => l.trim.isEmpty ||
+          graft.adt.AdtSql.createTypeName(l).exists(_.equalsIgnoreCase(name)))
       else Seq.empty
     Files.write(f, (kept :+ oneLine).mkString("\n").getBytes)
   }

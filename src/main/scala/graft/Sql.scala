@@ -28,7 +28,11 @@ object Sql {
       text(i) match {
         case q @ ('\'' | '"' | '`') =>
           i += 1
-          while (i < n && text(i) != q) i += 1
+          while (i < n && text(i) != q) {
+            // backslash escape inside string literals (Spark default mode);
+            // backticked identifiers only use doubling
+            if (text(i) == '\\' && q != '`' && i + 1 < n) i += 2 else i += 1
+          }
           i += 1
         case '-' if i + 1 < n && text(i + 1) == '-' =>
           while (i < n && text(i) != '\n') i += 1
@@ -45,16 +49,19 @@ object Sql {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Execute one statement; CREATE TYPE is additionally recorded in the
-    * persistent catalog. Returns the result for rendering. */
+  /** Execute one statement; a CREATE TYPE that passes the typechecker is
+    * then recorded in the persistent catalog (recording first would
+    * persist ill-typed declarations). Returns the result for rendering. */
   def execute(spark: SparkSession, warehouse: String, stmt: String): DataFrame = {
-    if (graft.adt.AdtSql.isCreateType(stmt))
-      GraftCatalog.recordType(warehouse, stmt)
     // the injected AdtParser handles ADT syntax inside plain spark.sql;
     // AdtSql.sql is the equivalent route for sessions without extensions
-    if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser])
-      spark.sql(stmt)
-    else graft.adt.AdtSql.sql(spark, stmt)
+    val result =
+      if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser])
+        spark.sql(stmt)
+      else graft.adt.AdtSql.sql(spark, stmt)
+    if (graft.adt.AdtSql.isCreateType(stmt))
+      GraftCatalog.recordType(warehouse, stmt)
+    result
   }
 
   private def render(spark: SparkSession, df: DataFrame): Unit = {
@@ -98,7 +105,8 @@ object Sql {
     statements.foreach { stmt =>
       try render(spark, execute(spark, warehouse, stmt))
       catch { case e: Exception =>
-        println(s"error: ${e.getMessage.linesIterator.take(3).mkString(" ")}")
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+        println(s"error: ${msg.linesIterator.take(3).mkString(" ")}")
       }
     }
     spark.stop()

@@ -85,7 +85,10 @@ object AdtSql {
         val start = i; i += 1
         var done = false
         while (i < n && !done) {
-          if (s(i) == c) { if (i + 1 < n && s(i + 1) == c) i += 2 else { i += 1; done = true } }
+          // backslash escape (Spark default string literals) — backticked
+          // identifiers only use doubling
+          if (s(i) == '\\' && c != '`' && i + 1 < n) i += 2
+          else if (s(i) == c) { if (i + 1 < n && s(i + 1) == c) i += 2 else { i += 1; done = true } }
           else i += 1
         }
         out += Opaque(start, i)
@@ -139,6 +142,12 @@ object AdtSql {
   /** Does this statement declare a type? (If so, [[sql]]/the injected parser
     * registers it instead of delegating the text to Spark.) */
   def isCreateType(text: String): Boolean = CreateType.matches(text)
+
+  /** The declared type name, if the statement is a CREATE TYPE. */
+  def createTypeName(text: String): Option[String] = text match {
+    case CreateType(name, _) => Some(name)
+    case _ => None
+  }
 
   /** `TEXT` is the reference's string type name; everything else must be
     * Spark DDL, validated eagerly so a bad CREATE TYPE fails at declaration
@@ -339,9 +348,24 @@ object AdtSql {
     None
   }
 
-  /** Type-resolve the arms against the session catalog and emit the CASE. */
+  /** Type-resolve the arms against the session catalog and emit the CASE.
+    *
+    * The subject text is interpolated into each arm's tag test and payload
+    * accessor; Catalyst's subexpression elimination collapses the duplicate
+    * evaluations of a deterministic subject inside codegen, but a
+    * NON-deterministic subject would be genuinely re-evaluated — tag test
+    * and payload could disagree — so those are rejected here.
+    */
+  private val NonDeterministicFns =
+    Seq("rand", "randn", "random", "uuid", "shuffle", "monotonically_increasing_id")
   private def lowerMatch(spark: SparkSession, subj: String,
                          arms: Seq[Arm], elseBody: Option[String]): String = {
+    val subjWords = lex(subj).collect { case Word(_, _, w) => w.toLowerCase }.toSet
+    val nd = NonDeterministicFns.filter(subjWords.contains)
+    if (nd.nonEmpty) fail(
+      s"MATCH subject must be deterministic (found ${nd.mkString(", ")}): " +
+      "its text is evaluated per arm, so a random subject could match one " +
+      "arm's tag and read another's payload — bind it in a subquery first")
     val sessionTypes = types(spark)
     if (sessionTypes.isEmpty) fail("no types declared — CREATE TYPE first")
     val candidates = sessionTypes.filter(td => arms.forall(a => td.variant(a.tag).isDefined))
@@ -365,7 +389,9 @@ object AdtSql {
         s"${td.name}.${v.tag} has ${v.fields.length} payload field(s), pattern binds ${a.binders.length}")
       // positional binder → payload field accessor, substituted word-wise
       // (opaque string literals are never touched; a binder shadows any
-      // same-named column inside its own arm, as in the reference)
+      // same-named column inside its own arm, as in the reference). A word
+      // preceded by '.' is a qualified/field reference and one followed by
+      // '(' is a function-call head — neither is a binder occurrence.
       val sub = a.binders.zip(v.fields).map { case (b, (fn, _)) =>
         b.toLowerCase -> s"($subj).${v.fieldName}.$fn"
       }.toMap
@@ -373,10 +399,15 @@ object AdtSql {
         if (sub.isEmpty) a.body
         else {
           val bts = lex(a.body)
+          def isPunct(idx: Int, c: Char): Boolean = bts.lift(idx).exists {
+            case Punct(_, _, p) => p == c
+            case _ => false
+          }
           val sb = new StringBuilder
           var pos = 0
-          for (t <- bts) t match {
-            case Word(s0, e0, wtx) if sub.contains(wtx.toLowerCase) =>
+          for (idx <- bts.indices) bts(idx) match {
+            case Word(s0, e0, wtx) if sub.contains(wtx.toLowerCase) &&
+                !isPunct(idx - 1, '.') && !isPunct(idx + 1, '(') =>
               sb.append(a.body.substring(pos, s0)).append(sub(wtx.toLowerCase)); pos = e0
             case _ =>
           }

@@ -91,6 +91,13 @@ case class SrpBucketKeys(child: Expression, planes: Array[Array[Float]], bitsPer
   private val tables = planes.length / bitsPerTable
   require(tables * bitsPerTable == planes.length,
     s"planes (${planes.length}) must be a multiple of bitsPerTable ($bitsPerTable)")
+  private val dim = planes.headOption.map(_.length).getOrElse(0)
+  require(planes.forall(_.length == dim), "all hyperplanes must share one dimension")
+
+  // NULL on vector/plane dimension mismatch (same discipline as
+  // FloatDotProduct: a prefix-truncated projection would silently bucket a
+  // malformed vector on partial information)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -104,14 +111,14 @@ case class SrpBucketKeys(child: Expression, planes: Array[Array[Float]], bitsPer
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) return null
     val out = new Array[Int](tables)
     var j = 0
     while (j < planes.length) {
       val p = planes(j)
-      val m = math.min(a.numElements(), p.length)
       var acc = 0.0
       var i = 0
-      while (i < m) { acc += a.getFloat(i).toDouble * p(i).toDouble; i += 1 }
+      while (i < dim) { acc += a.getFloat(i).toDouble * p(i).toDouble; i += 1 }
       if (acc >= 0) out(j / bitsPerTable) |= (1 << (j % bitsPerTable))
       j += 1
     }
@@ -123,19 +130,22 @@ case class SrpBucketKeys(child: Expression, planes: Array[Array[Float]], bitsPer
     nullSafeCodeGen(ctx, ev, c => {
       val out = ctx.freshName("buckets"); val j = ctx.freshName("j")
       val p = ctx.freshName("plane"); val acc = ctx.freshName("acc")
-      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val i = ctx.freshName("i")
       s"""
-         |int[] $out = new int[$tables];
-         |for (int $j = 0; $j < ${planes.length}; $j++) {
-         |  float[] $p = $planesRef[$j];
-         |  int $m = java.lang.Math.min($c.numElements(), $p.length);
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $m; $i++) {
-         |    $acc += ((double) $c.getFloat($i)) * ((double) $p[$i]);
+         |if ($c.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $out = new int[$tables];
+         |  for (int $j = 0; $j < ${planes.length}; $j++) {
+         |    float[] $p = $planesRef[$j];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $acc += ((double) $c.getFloat($i)) * ((double) $p[$i]);
+         |    }
+         |    if ($acc >= 0) $out[$j / $bitsPerTable] |= (1 << ($j % $bitsPerTable));
          |  }
-         |  if ($acc >= 0) $out[$j / $bitsPerTable] |= (1 << ($j % $bitsPerTable));
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

@@ -72,51 +72,15 @@ object Pipeline {
     // asserts ≥98% recall of planted near-dups and the Jaccard filter.
     "dedup_near_minhash" -> Decl(
       (s, d) => {
-        // Shape notes (measured at sf0.1):
-        //  - repartition first: the corpus parquet is one small file (one
-        //    input split) — without it every downstream transform runs on a
-        //    single core.
-        //  - explode shingles immediately and dedup relationally: building
-        //    and persisting ARRAY<STRING> columns (array_distinct) measured
-        //    ~10× slower than explode + codegen'd distinct.
-        //  - persist the two tables consumed by multiple branches; at 100 TB
-        //    these are the intermediates a pipeline materializes to storage.
-        val ex = nearDupCorpus(s, d)
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 3)).as("shingle"))
-          .distinct()
-          .persist()
-        val sigs = Minhash.signatures(ex).persist()
-        val banded = Minhash.bandedKeys(sigs)
-        val cand = banded.as("a")
-          .join(banded.as("b"),
-                col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-                col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        // Intersection counting joins on a 64-bit shingle hash (compact
-        // shuffle keys) and broadcasts the small candidate-pair table so the
-        // big exploded side never shuffles for the first join.
-        val exh = ex.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-        val inter = broadcast(cand)
-          .join(exh.select(col("doc_id").as("id_a"), col("h")), "id_a")
-          .join(exh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-        val sizes = sigs.select(col("doc_id"), col("set_size"))
-        val scored = inter
-          .join(sizes.select(col("doc_id").as("id_a"), col("set_size").as("sa")), "id_a")
-          .join(sizes.select(col("doc_id").as("id_b"), col("set_size").as("sb")), "id_b")
-          .withColumn("jaccard", round(
-            col("inter").cast("double") /
-            (col("sa") + col("sb") - col("inter")).cast("double"), 6))
-          .filter(col("jaccard") >= 0.5)
-          .select("id_a", "id_b", "jaccard")
-          // Materialize the (small) verified-pair result eagerly so the two
-          // big persisted intermediates release inside the query instead of
-          // leaking into the caller's session until clearCache.
-          .localCheckpoint(true)
-        ex.unpersist(); sigs.unpersist()
-        scored.orderBy("id_a", "id_b")
+        // Checkpoint the (small) verified-pair result eagerly so the two
+        // big persisted intermediates release inside the query instead of
+        // leaking into the caller's session until clearCache; the LAZY
+        // pipeline stays separately inspectable (minhashPairs) so plan
+        // gates see the full join tree, not a post-checkpoint LogicalRDD.
+        val (scored, cached) = minhashPairs(s, d)
+        val out = scored.localCheckpoint(true)
+        cached.foreach(_.unpersist())
+        out.orderBy("id_a", "id_b")
       },
       None),
 
@@ -248,4 +212,53 @@ object Pipeline {
              |round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_first_dim
              |FROM documents JOIN embeddings ON doc_id = vec_id
              |GROUP BY lang, label ORDER BY lang, label""".stripMargin)))
+
+  /** The LAZY minhash pair pipeline: banded-LSH candidates, exact-Jaccard
+    * verified, NOT yet checkpointed — returned with the persisted
+    * intermediates so the caller controls their release. Kept separate from
+    * the declared query so plan-level gates (ScaleSpec's cartesian sweep)
+    * inspect the full join tree rather than a post-checkpoint LogicalRDD.
+    *
+    * Shape notes (measured at sf0.1):
+    *  - repartition first: the corpus parquet is one small file (one input
+    *    split) — without it every downstream transform runs on one core.
+    *  - explode shingles immediately and dedup relationally: building and
+    *    persisting ARRAY<STRING> columns (array_distinct) measured ~10×
+    *    slower than explode + codegen'd distinct.
+    *  - persist the two tables consumed by multiple branches; at 100 TB
+    *    these are the intermediates a pipeline materializes to storage.
+    *  - intersection counting joins on a 64-bit shingle hash (compact
+    *    shuffle keys) and broadcasts the small candidate-pair table so the
+    *    big exploded side never shuffles for the first join.
+    */
+  private[graft] def minhashPairs(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val ex = nearDupCorpus(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 3)).as("shingle"))
+      .distinct()
+      .persist()
+    val sigs = Minhash.signatures(ex).persist()
+    val banded = Minhash.bandedKeys(sigs)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val exh = ex.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val inter = broadcast(cand)
+      .join(exh.select(col("doc_id").as("id_a"), col("h")), "id_a")
+      .join(exh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sizes = sigs.select(col("doc_id"), col("set_size"))
+    val scored = inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("set_size").as("sa")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("set_size").as("sb")), "id_b")
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+    (scored, Seq(ex, sigs))
+  }
 }

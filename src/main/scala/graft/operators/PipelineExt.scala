@@ -77,38 +77,13 @@ object PipelineExt {
     // OperatorSpec asserts planted-pair recall.
     "dedup_simhash" -> Decl(
       (s, d) => {
-        // same planted-near-dup corpus as dedup_near_minhash (one shared
-        // definition keeps both dedup families testing identical pairs)
-        val ex = Pipeline.nearDupCorpus(s, d)
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), explode(col("toks")).as("tok"))
-          .withColumn("h", xxhash64(col("tok")))
-        val votes = (0 until 64).map { i =>
-          sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
-        }
-        val sig = ex.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-          .select(col("doc_id"),
-                  (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-                    .reduce(_.bitwiseOR(_)).as("sim"))
-          .persist()
-        val banded = sig.select(col("doc_id"), col("sim"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-                   shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bk"))
-          .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.v").as("v"))
-        val matched = banded.as("a")
-          .join(banded.as("b"),
-                col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-                col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-                  bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
-          // eager materialize (small pair set) so the signature cache
-          // releases inside the query — same hygiene as dedup_near_minhash
-          .localCheckpoint(true)
-        sig.unpersist()
-        matched.orderBy("id_a", "id_b")
+        // eager checkpoint of the small pair set releases the signature
+        // cache inside the query — same hygiene as dedup_near_minhash; the
+        // lazy pipeline (simhashPairs) stays inspectable for plan gates
+        val (matched, cached) = simhashPairs(s, d)
+        val out = matched.localCheckpoint(true)
+        cached.foreach(_.unpersist())
+        out.orderBy("id_a", "id_b")
       },
       None),
 
@@ -563,11 +538,45 @@ object PipelineExt {
   private def dlist(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  /** Bigram-Jaccard near-dup pairs (id_a < id_b, jaccard ≥ 0.2) within
-    * (lang, source) groups — shared by `dedup_ngram_jaccard` and the
-    * connected-components clustering built on top of it.
+  /** LAZY 64-bit SimHash pair pipeline (hamming ≤ 3 via 4×16-bit banding),
+    * NOT yet checkpointed — returned with the persisted signature table so
+    * the caller controls its release; plan gates inspect this full tree.
+    * Same planted-near-dup corpus as dedup_near_minhash (one shared
+    * definition keeps both dedup families testing identical pairs).
     */
-  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def simhashPairs(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val ex = Pipeline.nearDupCorpus(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sig = ex.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+              (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+                .reduce(_.bitwiseOR(_)).as("sim"))
+      .persist()
+    val banded = sig.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+               shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.v").as("v"))
+    val matched = banded.as("a")
+      .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+              bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+    (matched, Seq(sig))
+  }
+
+  /** LAZY bigram-Jaccard near-dup pairs (id_a < id_b, jaccard ≥ 0.2) within
+    * (lang, source) groups, NOT yet checkpointed — see [[ngramJaccardPairs]].
+    */
+  private[graft] def ngramJaccardPairsLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val sh = docsWithTokens(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
@@ -588,12 +597,20 @@ object PipelineExt {
         round(col("n").cast("double") / (col("sa") + col("sb") - col("n")).cast("double"), 6))
       .filter(col("jaccard") >= 0.2)
       .select("id_a", "id_b", "jaccard")
-      // Materialize the (tiny) pair table eagerly so the big exploded
-      // shingle intermediate can be released HERE instead of leaking into
-      // the caller's session until clearCache — at scale this is the point
-      // a pipeline would write the pair table to storage.
-      .localCheckpoint(true)
-    sh.unpersist()
+    (out, Seq(sh))
+  }
+
+  /** Bigram-Jaccard near-dup pairs, eagerly checkpointed (the tiny pair
+    * table materializes HERE so the big exploded shingle intermediate is
+    * released inside the query instead of leaking into the caller's session
+    * — at scale this is the point a pipeline would write the pair table to
+    * storage). Shared by `dedup_ngram_jaccard` and the connected-components
+    * clustering built on top of it.
+    */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val (pairs, cached) = ngramJaccardPairsLazy(s, d)
+    val out = pairs.localCheckpoint(true)
+    cached.foreach(_.unpersist())
     out
   }
 }

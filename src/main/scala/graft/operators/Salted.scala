@@ -41,8 +41,16 @@ object Salted {
               .contains(joinType.toLowerCase.replace("_", "")),
       s"salted join preserves the fact side only; joinType '$joinType' would " +
       "duplicate dim-preserved rows across salts (use broadcast or AQE skew handling)")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "input already has a __salt column — rename it before salting")
+    // hash every hashable fact column for per-row spread (hashing only the
+    // join keys would give one salt per key — no spread at all); MapType is
+    // the one type Spark's hash rejects, and it cannot carry the key anyway
+    val hashable = fact.schema.fields.filterNot(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]).map(f => col(f.name))
+    require(hashable.nonEmpty, "fact table has no hashable (non-map) columns to salt on")
     val saltedFact = fact.withColumn(
-      "__salt", pmod(hash(fact.columns.toIndexedSeq.map(col): _*), lit(salts)))
+      "__salt", pmod(hash(hashable.toIndexedSeq: _*), lit(salts)))
     // one dim copy per salt; hint MERGE so the planner keeps the shuffle
     // join this operator exists to de-skew (auto-broadcast of a small test
     // dim would silently hide the salted shape being demonstrated)

@@ -32,6 +32,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  // The three pair-generating pipelines checkpoint their result, so the
+  // declared queries' plans collapse to a LogicalRDD — the sweep above
+  // cannot see their join trees. Inspect the LAZY (pre-checkpoint)
+  // variants explicitly so a cartesian regression in the pipelines
+  // themselves cannot hide behind the checkpoint.
+  test("checkpointed pair pipelines have no cartesian upstream of the checkpoint") {
+    val lazyPipelines = Seq(
+      "dedup_near_minhash" -> operators.Pipeline.minhashPairs(spark, sf),
+      "dedup_simhash" -> operators.PipelineExt.simhashPairs(spark, sf),
+      "dedup_ngram_jaccard" -> operators.PipelineExt.ngramJaccardPairsLazy(spark, sf))
+    val offenders = lazyPipelines.flatMap { case (name, (df, cached)) =>
+      val plan = df.queryExecution.executedPlan.toString
+      cached.foreach(_.unpersist())
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("aggregate-only queries prune fact-table columns at the scan") {
     val plan = SparkEntry.queries("agg_groupby_pricing")(spark, sf)
       .queryExecution.executedPlan.toString
