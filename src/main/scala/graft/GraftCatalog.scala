@@ -42,9 +42,17 @@ object GraftCatalog {
           finally listing.close()
         dirs.flatMap { name =>
           try {
-            spark.read.parquet(s"$warehouse/$name").createOrReplaceTempView(name)
+            // a REAL (external) catalog table, not a temp view: INSERT INTO
+            // then appends parquet files at the table location, so the
+            // mutation surface the contract keeps (batch-append) works on
+            // restored tables too
+            spark.catalog.createTable(name, s"$warehouse/$name", "parquet")
             Some(name)
-          } catch { case _: Exception => None } // not a table dir — skip
+          } catch {
+            case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+              Some(name) // same-session re-restore
+            case _: Exception => None // not a table dir — skip
+          }
         }.sorted
       }
     val types =

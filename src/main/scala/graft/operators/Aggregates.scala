@@ -304,31 +304,53 @@ object Aggregates {
       Some(LimitOffsetSql)),
 
     // Recursive CTE (new in Spark 4.x) — the classic date-spine expansion:
-    // walk month-by-month from min to max order date, then LEFT JOIN so
-    // empty months surface with n=0 (a plain GROUP BY would silently skip
-    // them). The recursion itself is driver-light (one row per step; the
-    // heavy lifting stays in the joined aggregate). Identical SQL runs on
-    // both engines; the outer CAST pins DuckDB's DATE-typed date_trunc to
-    // Spark's TIMESTAMP.
+    // a month spine from min to max order date, LEFT JOINed so empty months
+    // surface with n=0 (a plain GROUP BY would silently skip them).
+    // Recursion GRANULARITY is the scale lesson here: Spark runs one job
+    // per recursion step, so the recursion walks YEARS (≈7 steps) and each
+    // year expands to its months inline — recursing month-by-month measured
+    // 4 s of pure step overhead for the identical 80-row spine. The outer
+    // CAST pins DuckDB's DATE-typed date arithmetic to Spark's TIMESTAMP.
     "recursive_cte_spine" -> Decl(
-      (s, d) => { Tables.views(s, d); s.sql(RecursiveSpineSql) },
-      Some(RecursiveSpineSql)))
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""WITH RECURSIVE years(y, mx) AS (
+                |  SELECT date_trunc('year', min(o_orderdate)),
+                |         date_trunc('month', max(o_orderdate)) FROM orders
+                |  UNION ALL
+                |  SELECT y + INTERVAL 1 YEAR, mx FROM years
+                |  WHERE y + INTERVAL 1 YEAR <= mx
+                |),
+                |months AS (
+                |  SELECT CAST(y + make_ym_interval(0, CAST(k AS INT)) AS TIMESTAMP) AS m
+                |  FROM years LATERAL VIEW explode(sequence(0, 11)) t AS k
+                |  WHERE y + make_ym_interval(0, CAST(k AS INT)) <= mx
+                |)
+                |SELECT m, count(o_orderkey) AS n,
+                |       round(sum(o_totalprice), 2) AS total
+                |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+                |GROUP BY m ORDER BY m""".stripMargin)
+      },
+      Some("""WITH RECURSIVE years(y, mx) AS (
+             |  SELECT date_trunc('year', min(o_orderdate)),
+             |         date_trunc('month', max(o_orderdate)) FROM orders
+             |  UNION ALL
+             |  SELECT y + INTERVAL 1 YEAR, mx FROM years
+             |  WHERE y + INTERVAL 1 YEAR <= mx
+             |),
+             |months AS (
+             |  SELECT CAST(y + to_months(CAST(k AS INT)) AS TIMESTAMP) AS m
+             |  FROM years CROSS JOIN generate_series(0, 11) t(k)
+             |  WHERE y + to_months(CAST(k AS INT)) <= mx
+             |)
+             |SELECT m, count(o_orderkey) AS n,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+             |GROUP BY m ORDER BY m""".stripMargin)))
 
   private def LimitOffsetSql: String =
     """SELECT o_orderkey, o_custkey FROM orders
       |ORDER BY o_orderkey LIMIT 100 OFFSET 50""".stripMargin
-
-  private def RecursiveSpineSql: String =
-    """WITH RECURSIVE months(m, mx) AS (
-      |  SELECT date_trunc('month', min(o_orderdate)),
-      |         date_trunc('month', max(o_orderdate)) FROM orders
-      |  UNION ALL
-      |  SELECT m + INTERVAL 1 MONTH, mx FROM months WHERE m < mx
-      |)
-      |SELECT CAST(m AS TIMESTAMP) AS m, count(o_orderkey) AS n,
-      |       round(sum(o_totalprice), 2) AS total
-      |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
-      |GROUP BY m ORDER BY m""".stripMargin
 
   // ---------------------------------------------------------------- §2.7
   private val sets: Map[String, Decl] = Map(

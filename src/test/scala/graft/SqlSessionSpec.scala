@@ -57,5 +57,14 @@ class SqlSessionSpec extends AnyFunSuite {
     val m = s2.sql(
       "SELECT MATCH (Status.Err('boom')) WHEN Ok THEN 'fine' WHEN Err(m) THEN m END AS r")
     assert(m.head.getString(0) == "boom")
+
+    // restored tables are REAL catalog tables: INSERT INTO appends at the
+    // warehouse location, and a third session sees the appended row
+    s2.sql("INSERT INTO saved_regions VALUES (99, 'APPENDED')")
+    assert(s2.sql("SELECT count(*) AS n FROM saved_regions").head.getLong(0) == expected + 1)
+    val s3 = freshSession(warehouse)
+    GraftCatalog.restore(s3, warehouse)
+    assert(s3.sql("SELECT r_name FROM saved_regions WHERE r_regionkey = 99")
+      .head.getString(0) == "APPENDED")
   }
 }
