@@ -19,11 +19,10 @@ run / fork := true
 // JSON stdout line, and sbt's logger prefixing/buffering corrupted that
 // capture in round 1.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-// graft.Sql reads multi-statement scripts from stdin (sbt would otherwise
-// swallow it for the forked JVM). runMain resolves its own scope, so set
-// both.
+// Forward stdin to the forked `run` JVM; `runMain` under sbt -batch does
+// not reliably receive piped stdin regardless, which is why graft.Sql
+// also takes `-f <script>`.
 run / connectInput := true
-Compile / runMain / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -136,6 +136,19 @@ object Aggregates {
              |round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // KLL/GK-sketch percentiles — the quantile to reach for at 100 TB: one
+    // pass, mergeable partial state, no Expand/sort blow-up (the exact
+    // `percentile` below buffers every value per group). Result is an
+    // order statistic, not interpolated, and sketch-implementation-defined
+    // → no SQL oracle; OperatorSpec bounds it against the exact median.
+    "agg_approx_percentile" -> Decl(
+      (s, d) => Tables(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("med_approx"),
+             expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
+        .orderBy("o_orderpriority"),
+      None),
+
     // Exact interpolated percentiles (median/p90) — Spark `percentile` and
     // DuckDB `quantile_cont` share the linear-interpolation definition.
     "agg_percentile" -> Decl(

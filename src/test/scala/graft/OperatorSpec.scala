@@ -36,6 +36,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("approx_percentile stays within 5% of the exact percentile") {
+    val exact = Tables(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"),
+           expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    SparkEntry.queries("agg_approx_percentile")(spark, sf)
+      .collect().foreach { r =>
+        val (med, p90) = exact(r.getString(0))
+        assert(math.abs(r.getDouble(1) - med) / med < 0.05,
+          s"${r.getString(0)} median: approx=${r.getDouble(1)} exact=$med")
+        assert(math.abs(r.getDouble(2) - p90) / p90 < 0.05,
+          s"${r.getString(0)} p90: approx=${r.getDouble(2)} exact=$p90")
+      }
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val exact = Tables(spark, sf, "lineitem")
       .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("x"))
