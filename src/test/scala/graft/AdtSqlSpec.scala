@@ -98,6 +98,42 @@ class AdtSqlSpec extends AnyFunSuite {
     bad("CREATE TYPE Bad = A(x NOSUCHTYPE) | B", "bad field type")
   }
 
+  test("binder substitution skips qualified references and call heads") {
+    declareOrderState()
+    // `o.p` must stay the table column even though the binder is also `p`,
+    // and `year(...)` must stay a function call when a binder is named year
+    val df = spark.sql(
+      """SELECT MATCH (OrderState.Open(o.p))
+        |  WHEN Open(p) THEN p || '/' || o.p
+        |  WHEN Shipped(d) THEN 'no' WHEN Returned THEN 'no'
+        |END AS r
+        |FROM (SELECT 'X' AS p) o""".stripMargin)
+    assert(df.head.getString(0) == "X/X")
+    val fn = spark.sql(
+      """SELECT MATCH (OrderState.Shipped(TIMESTAMP '1999-06-01 00:00:00'))
+        |  WHEN Open(p) THEN 'no'
+        |  WHEN Shipped(year) THEN CAST(year(year) AS STRING)
+        |  WHEN Returned THEN 'no'
+        |END AS r""".stripMargin)
+    assert(fn.head.getString(0) == "1999")
+  }
+
+  test("nested MATCH and string literals with escapes survive the rewrite") {
+    declareOrderState()
+    spark.sql("CREATE TYPE Wrap = Inner(v STRING) | Empty")
+    val df = spark.sql(
+      """SELECT MATCH (Wrap.Inner('a'))
+        |  WHEN Inner(v) THEN
+        |    MATCH (OrderState.Returned())
+        |      WHEN Open(p) THEN p
+        |      WHEN Shipped(d) THEN 'no'
+        |      WHEN Returned THEN v || ' it''s; nested \' ok'
+        |    END
+        |  WHEN Empty THEN 'empty'
+        |END AS r""".stripMargin)
+    assert(df.head.getString(0) == "a it's; nested ' ok")
+  }
+
   test("MATCH arms resolve against the right type; ambiguity is rejected") {
     declareOrderState()
     spark.sql("CREATE TYPE Payment = Card(num TEXT) | Cash")
