@@ -332,6 +332,24 @@ object PipelineExt {
     // token stream, acc = (acc*31 + tokval) mod 1e9+7 with
     // tokval = len(tok)*131 + first-char code — permutation-sensitive where
     // dedup_exact's md5 is content-only. Same fold in both engines.
+    // Per-label embedding centroid — the class-centroid computation every
+    // embedding pipeline needs (IVF routing builds on the same shape). The
+    // scalable form is posexplode → (label, dim) partial-agg mean: one
+    // shuffle of scalar rows, no array materialization per group (a
+    // collect_list-then-fold centroid would buffer every vector of a label
+    // in one task). Output is (label, dim, coord) scalar rows (R5).
+    "agg_vector_centroid" -> Decl(
+      (s, d) => Tables(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).as("dim"))
+        .agg(round(avg(col("v").cast("double")), 6).as("coord"))
+        .orderBy("label", "dim"),
+      Some("""SELECT label, pos AS dim, round(avg(CAST(v AS DOUBLE)), 6) AS coord
+             |FROM (SELECT label, unnest(embedding) AS v,
+             |             generate_subscripts(embedding, 1) AS pos
+             |      FROM embeddings)
+             |GROUP BY label, pos ORDER BY label, dim""".stripMargin)),
+
     // Deterministic train/valid/test assignment — the split every training
     // pipeline needs. A Knuth multiplicative hash of the doc id (NOT rand():
     // re-runs, retries, and different engines must agree on every row's
