@@ -22,14 +22,20 @@ object Minhash {
   val BandSize = 4
   val NumBands: Int = NumHashes / BandSize
 
-  /** exploded distinct (doc_id, shingle) rows → (doc_id, set_size, m0..m31):
-    * per-doc shingle-set size and the 32-min signature, in one shuffle.
-    * (Takes the exploded form, not shingle arrays: building/persisting
-    * array columns measured ~10× slower than explode + codegen'd hash agg.)
+  /** exploded distinct (doc_id, h) rows — `h` the 64-bit shingle hash —
+    * → (doc_id, set_size, m0..m31): per-doc set size and the 32-min
+    * signature, in one shuffle. (Takes the exploded PRE-HASHED form:
+    * building/persisting array columns measured ~10× slower than explode +
+    * codegen'd hash agg, and hashing each variable-length shingle string
+    * once up front means the distinct shuffles fixed 8-byte keys and all
+    * 32 permutation hashes run over a long, not a string — at corpus scale
+    * the shingle text never leaves its scan stage. xxhash64(seed, h) of a
+    * 64-bit h is as valid a permutation family as hashing the string, and
+    * collisions at 2⁻⁶⁴ are far below the sketch's own error.)
     */
   def signatures(ex: DataFrame): DataFrame = {
     val aggs = count(lit(1)).as("set_size") +:
-      (0 until NumHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+      (0 until NumHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 

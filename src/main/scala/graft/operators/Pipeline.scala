@@ -232,9 +232,14 @@ object Pipeline {
     *    big exploded side never shuffles for the first join.
     */
   private[graft] def minhashPairs(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    // hash each shingle to 64 bits AT THE SCAN: the distinct shuffles
+    // fixed (long, long) keys and every downstream consumer (signature
+    // minima, intersection counting) reuses `h` — shingle text never
+    // leaves this stage
     val ex = nearDupCorpus(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 3)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
       .persist()
     val sigs = Minhash.signatures(ex).persist()
@@ -245,7 +250,7 @@ object Pipeline {
             col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val exh = ex.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val exh = ex // already (doc_id, h)
     val inter = broadcast(cand)
       .join(exh.select(col("doc_id").as("id_a"), col("h")), "id_a")
       .join(exh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
