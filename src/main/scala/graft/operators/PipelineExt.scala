@@ -595,10 +595,15 @@ object PipelineExt {
     * (lang, source) groups, NOT yet checkpointed — see [[ngramJaccardPairs]].
     */
   private[graft] def ngramJaccardPairsLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    // bigram text is hashed to 64 bits at the scan — the distinct and the
+    // within-(lang, source) self-join move fixed-width keys instead of
+    // strings (2⁻⁶⁴ collisions are far below any Jaccard threshold; the
+    // DuckDB oracle's string-exact counts still hash-match)
     val sh = docsWithTokens(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
-              explode(TextOps.shingles(col("toks"), 2)).as("g"))
+              explode(TextOps.shingles(col("toks"), 2)).as("gs"))
+      .select(col("doc_id"), col("lang"), col("source"), xxhash64(col("gs")).as("g"))
       .distinct()
       .persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
