@@ -24,6 +24,20 @@ object GraftCatalog {
 
   private def typesFile(warehouse: String): Path =
     Paths.get(warehouse, "_graft_types.sql")
+  private def viewsFile(warehouse: String): Path =
+    Paths.get(warehouse, "_graft_views.sql")
+
+  private val CreateView =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_][A-Za-z_0-9]*)\b.*""".r
+
+  /** Is this statement a persistent view definition? (TEMPORARY views are
+    * session-scoped by SQL semantics and are deliberately NOT recorded.) */
+  def isCreateView(stmt: String): Boolean = CreateView.matches(stmt)
+
+  private def viewName(stmt: String): Option[String] = stmt match {
+    case CreateView(name) => Some(name)
+    case _ => None
+  }
 
   /** Re-register persisted tables and types into a fresh session.
     * Returns the restored (table, type) names for the session banner.
@@ -63,7 +77,31 @@ object GraftCatalog {
           try Some(graft.adt.AdtSql.createType(spark, stmt).name)
           catch { case _: Exception => None }
         }
+    // views replay AFTER tables and types (they may reference both); a view
+    // whose dependencies vanished is skipped, not fatal
+    if (Files.exists(viewsFile(warehouse)))
+      Files.readAllLines(viewsFile(warehouse)).asScala
+        .map(_.trim).filter(_.nonEmpty)
+        .foreach { stmt =>
+          try graft.adt.AdtSql.sql(spark, stmt)
+          catch { case _: Exception => () }
+        }
     (tables, types)
+  }
+
+  /** Record a CREATE VIEW statement durably (latest per view name wins). */
+  def recordView(warehouse: String, stmt: String): Unit = {
+    val oneLine = stmt.replaceAll("\\s+", " ").trim
+    val name = viewName(oneLine).getOrElse(
+      throw new IllegalArgumentException(s"not a CREATE VIEW statement: $stmt"))
+    val f = viewsFile(warehouse)
+    Files.createDirectories(f.getParent)
+    val kept =
+      if (Files.exists(f))
+        Files.readAllLines(f).asScala.toSeq.filterNot(l => l.trim.isEmpty ||
+          viewName(l).exists(_.equalsIgnoreCase(name)))
+      else Seq.empty
+    Files.write(f, (kept :+ oneLine).mkString("\n").getBytes)
   }
 
   /** Record a CREATE TYPE statement durably (replacing any earlier

@@ -61,6 +61,8 @@ object Sql {
       else graft.adt.AdtSql.sql(spark, stmt)
     if (graft.adt.AdtSql.isCreateType(stmt))
       GraftCatalog.recordType(warehouse, stmt)
+    else if (GraftCatalog.isCreateView(stmt))
+      GraftCatalog.recordView(warehouse, stmt)
     result
   }
 

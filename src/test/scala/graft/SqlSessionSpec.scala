@@ -62,9 +62,17 @@ class SqlSessionSpec extends AnyFunSuite {
     // warehouse location, and a third session sees the appended row
     s2.sql("INSERT INTO saved_regions VALUES (99, 'APPENDED')")
     assert(s2.sql("SELECT count(*) AS n FROM saved_regions").head.getLong(0) == expected + 1)
+    // a persistent VIEW (here one using the replayed ADT type) survives too
+    Sql.execute(s2, warehouse,
+      """CREATE VIEW region_states AS
+        |SELECT r_regionkey,
+        |  MATCH (Status.Err(r_name)) WHEN Ok THEN 'ok' WHEN Err(m) THEN m END AS st
+        |FROM saved_regions""".stripMargin)
     val s3 = freshSession(warehouse)
     GraftCatalog.restore(s3, warehouse)
     assert(s3.sql("SELECT r_name FROM saved_regions WHERE r_regionkey = 99")
+      .head.getString(0) == "APPENDED")
+    assert(s3.sql("SELECT st FROM region_states WHERE r_regionkey = 99")
       .head.getString(0) == "APPENDED")
   }
 }
