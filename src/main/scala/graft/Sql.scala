@@ -49,21 +49,107 @@ object Sql {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  private val DeleteStmt =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z_0-9]*)\s+WHERE\s+(.+)$""".r
+  private val UpdateStmt =
+    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z_0-9]*)\s+SET\s+(.+?)\s+WHERE\s+(.+)$""".r
+
+  /** Copy-on-write mutation of a warehouse table: compute the surviving /
+    * updated rows, write them to a staging dir, swap it in, re-register.
+    * This is exactly how DELETE/UPDATE work on immutable columnar storage
+    * (Spark itself only supports them on v2 tables with row-level-op
+    * support); the swap is not transactional — a crash between delete and
+    * rename loses the table, which a production lakehouse would solve with
+    * a format like the open table formats rather than bare parquet.
+    */
+  private def copyOnWrite(spark: SparkSession, warehouse: String, table: String)
+                         (transform: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(warehouse, table)
+    require(Files.isDirectory(dir), s"no warehouse table '$table' to mutate")
+    val before = spark.read.parquet(dir.toString)
+    val after = transform(before)
+    val staging = Paths.get(warehouse, s"_staging_$table")
+    after.write.mode("overwrite").parquet(staging.toString)
+    val n = spark.read.parquet(staging.toString).count()
+    // swap: drop the old generation, move staging into place
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    Files.move(staging, dir)
+    // refresh whichever registration this session has for the name
+    spark.catalog.refreshByPath(dir.toString)
+    try spark.catalog.refreshTable(table) catch { case _: Exception => () }
+    spark.sql(s"SELECT CAST($n AS BIGINT) AS rows_after")
+  }
+
   /** Execute one statement; a CREATE TYPE that passes the typechecker is
     * then recorded in the persistent catalog (recording first would
-    * persist ill-typed declarations). Returns the result for rendering. */
+    * persist ill-typed declarations). DELETE/UPDATE on warehouse tables
+    * run as copy-on-write rewrites. Returns the result for rendering. */
   def execute(spark: SparkSession, warehouse: String, stmt: String): DataFrame = {
-    // the injected AdtParser handles ADT syntax inside plain spark.sql;
-    // AdtSql.sql is the equivalent route for sessions without extensions
-    val result =
-      if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser])
-        spark.sql(stmt)
-      else graft.adt.AdtSql.sql(spark, stmt)
-    if (graft.adt.AdtSql.isCreateType(stmt))
-      GraftCatalog.recordType(warehouse, stmt)
-    else if (GraftCatalog.isCreateView(stmt))
-      GraftCatalog.recordView(warehouse, stmt)
-    result
+    def rewriteExpr(text: String): String =
+      graft.adt.AdtSql.rewrite(spark, text)
+    stmt match {
+      case DeleteStmt(table, pred) =>
+        copyOnWrite(spark, warehouse, table)(_.filter(s"NOT (${rewriteExpr(pred)})"))
+      case UpdateStmt(table, setList, pred) =>
+        val sets = splitTopLevel(setList, ',').map { a =>
+          a.split("=", 2) match {
+            case Array(c, e) => c.trim -> rewriteExpr(e).trim
+            case _ => throw new IllegalArgumentException(s"bad SET assignment '$a'")
+          }
+        }
+        copyOnWrite(spark, warehouse, table) { df =>
+          // ONE projection: SQL UPDATE evaluates every SET expression
+          // against the OLD row, so assignments must not see each other
+          val setMap = sets.toMap
+          val predSql = rewriteExpr(pred)
+          setMap.keys.foreach(c =>
+            require(df.columns.contains(c), s"UPDATE: no column '$c' in $table"))
+          import org.apache.spark.sql.functions.{col, expr}
+          df.select(df.columns.toIndexedSeq.map { c =>
+            setMap.get(c) match {
+              case Some(e) => expr(s"CASE WHEN ($predSql) THEN ($e) ELSE $c END").as(c)
+              case None => col(c)
+            }
+          }: _*)
+        }
+      case _ =>
+        // the injected AdtParser handles ADT syntax inside plain spark.sql;
+        // AdtSql.sql is the equivalent route for sessions without extensions
+        val result =
+          if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser])
+            spark.sql(stmt)
+          else graft.adt.AdtSql.sql(spark, stmt)
+        if (graft.adt.AdtSql.isCreateType(stmt))
+          GraftCatalog.recordType(warehouse, stmt)
+        else if (GraftCatalog.isCreateView(stmt))
+          GraftCatalog.recordView(warehouse, stmt)
+        result
+    }
+  }
+
+  /** Split on a separator at paren/quote depth zero. */
+  private def splitTopLevel(text: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var last = 0; var i = 0
+    while (i < text.length) {
+      text(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          while (i < text.length && text(i) != q) {
+            if (text(i) == '\\' && q != '`' && i + 1 < text.length) i += 2 else i += 1
+          }
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if c == sep && depth == 0 =>
+          out += text.substring(last, i); last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += text.substring(last)
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   private def render(spark: SparkSession, df: DataFrame): Unit = {

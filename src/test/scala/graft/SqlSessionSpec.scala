@@ -75,4 +75,27 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(s3.sql("SELECT st FROM region_states WHERE r_regionkey = 99")
       .head.getString(0) == "APPENDED")
   }
+
+  test("DELETE and UPDATE run as copy-on-write rewrites on warehouse tables") {
+    val warehouse = Tables.scratchDir("graft_mut").toString
+    val s1 = freshSession(warehouse)
+    Tables(s1, sf, "region").createOrReplaceTempView("region")
+    Sql.execute(s1, warehouse,
+      "CREATE TABLE mut USING parquet AS SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v FROM region")
+    // UPDATE: both assignments must read the OLD row (v gets old k's text)
+    val up = Sql.execute(s1, warehouse,
+      "UPDATE mut SET v = 'k' || CAST(k AS STRING), k = k + 100 WHERE k >= 3")
+    assert(up.head.getLong(0) == 5) // rows_after
+    val rows = s1.sql("SELECT k, v FROM mut ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.count(_._1 >= 100) == 2)
+    assert(rows.contains((103L, "k3")) && rows.contains((104L, "k4")), rows.toSeq)
+    val del = Sql.execute(s1, warehouse, "DELETE FROM mut WHERE k >= 100")
+    assert(del.head.getLong(0) == 3)
+    // the mutation is durable: a fresh session sees the post-mutation table
+    val s2 = freshSession(warehouse)
+    GraftCatalog.restore(s2, warehouse)
+    assert(s2.sql("SELECT count(*) AS n FROM mut").head.getLong(0) == 3)
+    assert(s2.sql("SELECT max(k) AS m FROM mut").head.getLong(0) == 2)
+  }
 }
