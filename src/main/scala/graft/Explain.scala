@@ -21,7 +21,7 @@ object Explain {
       println(s"=== $q ===")
       try println(SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan)
       catch { case e: Exception =>
-        println(s"(failed: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()})")
+        println(s"(failed: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(1).mkString})")
       }
       spark.catalog.clearCache()
     }

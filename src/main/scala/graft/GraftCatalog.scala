@@ -5,20 +5,24 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Filesystem-persistent catalog for the SQL session (`graft.Sql`) — the
-  * reference is a client/server DBMS whose tables and type declarations
-  * survive a restart; Spark's `InMemoryCatalog` forgets both at JVM exit.
-  * Persistence here is metastore-free and derives everything from the
-  * warehouse directory itself:
+  * reference is a client/server DBMS whose tables, views and type
+  * declarations survive a restart; Spark's `InMemoryCatalog` forgets all
+  * of them at JVM exit. Persistence here is metastore-free and derives
+  * everything from the warehouse directory itself:
   *
   *  - tables: `CREATE TABLE t USING parquet AS …` writes
   *    `<warehouse>/t/` (stock Spark behavior); on startup every table
-  *    directory found in the warehouse is re-registered as a view —
-  *    parquet is self-describing, so no schema store is needed. This is
-  *    exactly how a 100 TB lakehouse catalog works: the data layout IS
-  *    the source of truth, metadata is derived.
-  *  - ADT types: each `CREATE TYPE` statement is appended (latest per
-  *    type name wins) to `<warehouse>/_graft_types.sql` and replayed into
-  *    `AdtSql`'s session registry on startup.
+  *    directory found in the warehouse is re-registered as an external
+  *    catalog table — parquet is self-describing, so no schema store is
+  *    needed. This is exactly how a 100 TB lakehouse catalog works: the
+  *    data layout IS the source of truth, metadata is derived. DROP TABLE
+  *    through the session also removes the directory, so a dropped table
+  *    cannot resurrect on the next restart.
+  *  - ADT types and persistent views: each statement is recorded
+  *    (newline-escaped, one per line, IN PLACE so creation order — and
+  *    therefore view dependency order — is preserved) in
+  *    `<warehouse>/_graft_types.sql` / `_graft_views.sql` and replayed on
+  *    startup. DROP VIEW prunes the record.
   */
 object GraftCatalog {
 
@@ -27,19 +31,92 @@ object GraftCatalog {
   private def viewsFile(warehouse: String): Path =
     Paths.get(warehouse, "_graft_views.sql")
 
+  // ---------------------------------------------------------- statements
+
+  // An identifier: bare word or backticked (possibly qualified: a.b)
+  private val Ident = """(?:`[^`]+`|[A-Za-z_][A-Za-z_0-9]*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_][A-Za-z_0-9]*))*"""
   private val CreateView =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_][A-Za-z_0-9]*)\b.*""".r
+    s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?($Ident).*""".r
+  private val DropView =
+    s"""(?is)^\\s*DROP\\s+VIEW\\s+(?:IF\\s+EXISTS\\s+)?($Ident)\\s*;?\\s*$$""".r
+  private val DropTable =
+    s"""(?is)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?($Ident)\\s*;?\\s*$$""".r
+
+  /** Canonical comparison form of an identifier: backticks stripped,
+    * lowercased (Spark resolution is case-insensitive by default). */
+  private def canonName(raw: String): String =
+    raw.split("\\.").map(_.trim.stripPrefix("`").stripSuffix("`")).mkString(".").toLowerCase
 
   /** Is this statement a persistent view definition? (TEMPORARY views are
     * session-scoped by SQL semantics and are deliberately NOT recorded.) */
   def isCreateView(stmt: String): Boolean = CreateView.matches(stmt)
 
   private def viewName(stmt: String): Option[String] = stmt match {
-    case CreateView(name) => Some(name)
+    case CreateView(name) => Some(canonName(name))
     case _ => None
   }
 
-  /** Re-register persisted tables and types into a fresh session.
+  /** The dropped view's name, if the statement is a DROP VIEW. */
+  def dropViewName(stmt: String): Option[String] = stmt match {
+    case DropView(name) => Some(canonName(name))
+    case _ => None
+  }
+
+  /** The dropped table's name, if the statement is a DROP TABLE. */
+  def dropTableName(stmt: String): Option[String] = stmt match {
+    case DropTable(name) => Some(canonName(name))
+    case _ => None
+  }
+
+  // ---------------------------------------------- one-statement-per-line
+
+  // Statements are stored one per line; newlines (and the escape char)
+  // inside the statement — INCLUDING inside string literals, which a
+  // whitespace-collapse would silently corrupt — survive via escaping.
+  private def encode(stmt: String): String =
+    stmt.replace("\\", "\\\\").replace("\r", "\\r").replace("\n", "\\n").trim
+  private def decode(line: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < line.length) {
+      if (line(i) == '\\' && i + 1 < line.length) {
+        line(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case c => sb.append('\\').append(c); i += 2
+        }
+      } else { sb.append(line(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def readStatements(f: Path): Seq[String] =
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f).asScala.toSeq.filter(_.trim.nonEmpty).map(decode)
+
+  /** Record `stmt` keyed by `name`: replace an existing definition IN
+    * PLACE (preserving creation order — replaying views out of creation
+    * order would break dependents), else append. */
+  private def upsert(f: Path, name: String, stmt: String,
+                     nameOf: String => Option[String]): Unit = {
+    Files.createDirectories(f.getParent)
+    val existing = readStatements(f)
+    val replaced =
+      if (existing.exists(nameOf(_).contains(name)))
+        existing.map(s => if (nameOf(s).contains(name)) stmt else s)
+      else existing :+ stmt
+    Files.write(f, replaced.map(encode).mkString("\n").getBytes)
+  }
+
+  private def remove(f: Path, name: String, nameOf: String => Option[String]): Unit =
+    if (Files.exists(f))
+      Files.write(f, readStatements(f).filterNot(nameOf(_).contains(name))
+        .map(encode).mkString("\n").getBytes)
+
+  // -------------------------------------------------------------- public
+
+  /** Re-register persisted tables, types and views into a fresh session.
     * Returns the restored (table, type) names for the session banner.
     */
   def restore(spark: SparkSession, warehouse: String): (Seq[String], Seq[String]) = {
@@ -58,9 +135,11 @@ object GraftCatalog {
           try {
             // a REAL (external) catalog table, not a temp view: INSERT INTO
             // then appends parquet files at the table location, so the
-            // mutation surface the contract keeps (batch-append) works on
-            // restored tables too
+            // mutation surface works on restored tables too
             spark.catalog.createTable(name, s"$warehouse/$name", "parquet")
+            // a fixture temp view of the same name would shadow the user's
+            // saved table — the saved table wins, as it did pre-restart
+            try spark.catalog.dropTempView(name) catch { case _: Exception => () }
             Some(name)
           } catch {
             case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
@@ -69,56 +148,48 @@ object GraftCatalog {
           }
         }.sorted
       }
-    val types =
-      if (!Files.exists(typesFile(warehouse))) Seq.empty
-      else Files.readAllLines(typesFile(warehouse)).asScala.toSeq
-        .map(_.trim).filter(_.nonEmpty)
-        .flatMap { stmt =>
-          try Some(graft.adt.AdtSql.createType(spark, stmt).name)
-          catch { case _: Exception => None }
-        }
-    // views replay AFTER tables and types (they may reference both); a view
-    // whose dependencies vanished is skipped, not fatal
-    if (Files.exists(viewsFile(warehouse)))
-      Files.readAllLines(viewsFile(warehouse)).asScala
-        .map(_.trim).filter(_.nonEmpty)
-        .foreach { stmt =>
-          try graft.adt.AdtSql.sql(spark, stmt)
-          catch { case _: Exception => () }
-        }
+    val types = readStatements(typesFile(warehouse)).flatMap { stmt =>
+      try Some(graft.adt.AdtSql.createType(spark, stmt).name)
+      catch { case _: Exception => None }
+    }
+    // views replay AFTER tables and types (they may reference both), in
+    // creation order (upsert preserves it); a view whose dependencies
+    // vanished is skipped, not fatal
+    readStatements(viewsFile(warehouse)).foreach { stmt =>
+      try graft.adt.AdtSql.sql(spark, stmt)
+      catch { case _: Exception => () }
+    }
     (tables, types)
   }
 
-  /** Record a CREATE VIEW statement durably (latest per view name wins). */
+  /** Record a CREATE VIEW statement durably. */
   def recordView(warehouse: String, stmt: String): Unit = {
-    val oneLine = stmt.replaceAll("\\s+", " ").trim
-    val name = viewName(oneLine).getOrElse(
+    val name = viewName(stmt).getOrElse(
       throw new IllegalArgumentException(s"not a CREATE VIEW statement: $stmt"))
-    val f = viewsFile(warehouse)
-    Files.createDirectories(f.getParent)
-    val kept =
-      if (Files.exists(f))
-        Files.readAllLines(f).asScala.toSeq.filterNot(l => l.trim.isEmpty ||
-          viewName(l).exists(_.equalsIgnoreCase(name)))
-      else Seq.empty
-    Files.write(f, (kept :+ oneLine).mkString("\n").getBytes)
+    upsert(viewsFile(warehouse), name, stmt.trim, viewName)
   }
 
-  /** Record a CREATE TYPE statement durably (replacing any earlier
-    * declaration of the same type name). Callers record only AFTER the
-    * statement passed the typechecker — an ill-typed declaration must not
-    * be replayed forever. */
+  /** Forget a dropped view so it cannot replay after restart. */
+  def forgetView(warehouse: String, name: String): Unit =
+    remove(viewsFile(warehouse), canonName(name), viewName)
+
+  /** Delete a dropped table's warehouse directory so it cannot resurrect
+    * on the next restore (DROP TABLE on the external registration only
+    * removes metadata). */
+  def forgetTable(warehouse: String, name: String): Unit = {
+    val dir = Paths.get(warehouse, canonName(name))
+    if (Files.isDirectory(dir))
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+  }
+
+  /** Record a CREATE TYPE statement durably (callers record only AFTER
+    * the statement passed the typechecker — an ill-typed declaration must
+    * not be replayed forever). */
   def recordType(warehouse: String, stmt: String): Unit = {
-    val oneLine = stmt.replaceAll("\\s+", " ").trim
-    val name = graft.adt.AdtSql.createTypeName(oneLine).getOrElse(
+    val name = graft.adt.AdtSql.createTypeName(stmt.trim).map(_.toLowerCase).getOrElse(
       throw new IllegalArgumentException(s"not a CREATE TYPE statement: $stmt"))
-    val f = typesFile(warehouse)
-    Files.createDirectories(f.getParent)
-    val kept =
-      if (Files.exists(f))
-        Files.readAllLines(f).asScala.toSeq.filterNot(l => l.trim.isEmpty ||
-          graft.adt.AdtSql.createTypeName(l).exists(_.equalsIgnoreCase(name)))
-      else Seq.empty
-    Files.write(f, (kept :+ oneLine).mkString("\n").getBytes)
+    upsert(typesFile(warehouse), name, stmt.trim,
+      s => graft.adt.AdtSql.createTypeName(s).map(_.toLowerCase))
   }
 }

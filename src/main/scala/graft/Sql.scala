@@ -50,9 +50,37 @@ object Sql {
   }
 
   private val DeleteStmt =
-    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z_0-9]*)\s+WHERE\s+(.+)$""".r
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z_0-9]*)\s*(.*)$""".r
   private val UpdateStmt =
-    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z_0-9]*)\s+SET\s+(.+?)\s+WHERE\s+(.+)$""".r
+    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z_0-9]*)\s+SET\s+(.+)$""".r
+
+  /** Index of the first occurrence of keyword `kw` at paren depth 0 and
+    * outside quoted spans, or -1 — a regex would match a 'where' inside a
+    * string literal or subquery. */
+  private def topLevelKeywordIndex(text: String, kw: String): Int = {
+    var depth = 0; var i = 0
+    while (i < text.length) {
+      text(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          while (i < text.length && text(i) != q) {
+            if (text(i) == '\\' && q != '`' && i + 1 < text.length) i += 2 else i += 1
+          }
+          i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c if depth == 0 && Character.toUpperCase(c) == kw.head &&
+            i + kw.length <= text.length &&
+            text.substring(i, i + kw.length).equalsIgnoreCase(kw) &&
+            (i == 0 || !text(i - 1).isLetterOrDigit && text(i - 1) != '_') &&
+            (i + kw.length == text.length ||
+             !text(i + kw.length).isLetterOrDigit && text(i + kw.length) != '_') =>
+          return i
+        case _ => i += 1
+      }
+    }
+    -1
+  }
 
   /** Copy-on-write mutation of a warehouse table: compute the surviving /
     * updated rows, write them to a staging dir, swap it in, re-register.
@@ -89,10 +117,32 @@ object Sql {
   def execute(spark: SparkSession, warehouse: String, stmt: String): DataFrame = {
     def rewriteExpr(text: String): String =
       graft.adt.AdtSql.rewrite(spark, text)
+    def runSql(text: String): DataFrame =
+      if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser])
+        spark.sql(text)
+      else graft.adt.AdtSql.sql(spark, text)
+    // A WHERE-less DELETE/UPDATE is legal SQL: it touches every row.
+    def predOf(rest: String): String = {
+      val r = rest.trim.stripSuffix(";").trim
+      if (r.isEmpty) "true"
+      else if (r.length >= 5 && r.substring(0, 5).equalsIgnoreCase("WHERE"))
+        rewriteExpr(r.substring(5))
+      else throw new IllegalArgumentException(s"expected WHERE, got: $r")
+    }
     stmt match {
-      case DeleteStmt(table, pred) =>
-        copyOnWrite(spark, warehouse, table)(_.filter(s"NOT (${rewriteExpr(pred)})"))
-      case UpdateStmt(table, setList, pred) =>
+      case DeleteStmt(table, rest) =>
+        val pred = predOf(rest)
+        // keep rows where the predicate is NOT TRUE: a NULL-valued
+        // predicate must KEEP the row (plain NOT(pred) in a filter would
+        // silently delete it — NULL is not TRUE but NOT(NULL) is NULL)
+        copyOnWrite(spark, warehouse, table)(
+          _.filter(s"NOT coalesce(($pred), false)"))
+      case UpdateStmt(table, setsAndPred) =>
+        val whereIdx = topLevelKeywordIndex(setsAndPred, "WHERE")
+        val (setList, pred) =
+          if (whereIdx < 0) (setsAndPred.trim.stripSuffix(";"), "true")
+          else (setsAndPred.substring(0, whereIdx),
+                rewriteExpr(setsAndPred.substring(whereIdx + 5)))
         val sets = splitTopLevel(setList, ',').map { a =>
           a.split("=", 2) match {
             case Array(c, e) => c.trim -> rewriteExpr(e).trim
@@ -101,15 +151,16 @@ object Sql {
         }
         copyOnWrite(spark, warehouse, table) { df =>
           // ONE projection: SQL UPDATE evaluates every SET expression
-          // against the OLD row, so assignments must not see each other
-          val setMap = sets.toMap
-          val predSql = rewriteExpr(pred)
-          setMap.keys.foreach(c =>
-            require(df.columns.contains(c), s"UPDATE: no column '$c' in $table"))
+          // against the OLD row, so assignments must not see each other.
+          // Column matching is case-insensitive like the rest of Spark SQL.
+          val resolved = sets.map { case (c, e) =>
+            df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+              throw new IllegalArgumentException(s"UPDATE: no column '$c' in $table")) -> e
+          }.toMap
           import org.apache.spark.sql.functions.{col, expr}
           df.select(df.columns.toIndexedSeq.map { c =>
-            setMap.get(c) match {
-              case Some(e) => expr(s"CASE WHEN ($predSql) THEN ($e) ELSE $c END").as(c)
+            resolved.get(c) match {
+              case Some(e) => expr(s"CASE WHEN ($pred) THEN ($e) ELSE $c END").as(c)
               case None => col(c)
             }
           }: _*)
@@ -117,14 +168,13 @@ object Sql {
       case _ =>
         // the injected AdtParser handles ADT syntax inside plain spark.sql;
         // AdtSql.sql is the equivalent route for sessions without extensions
-        val result =
-          if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser])
-            spark.sql(stmt)
-          else graft.adt.AdtSql.sql(spark, stmt)
+        val result = runSql(stmt)
         if (graft.adt.AdtSql.isCreateType(stmt))
           GraftCatalog.recordType(warehouse, stmt)
         else if (GraftCatalog.isCreateView(stmt))
           GraftCatalog.recordView(warehouse, stmt)
+        else GraftCatalog.dropViewName(stmt).foreach(GraftCatalog.forgetView(warehouse, _))
+        GraftCatalog.dropTableName(stmt).foreach(GraftCatalog.forgetTable(warehouse, _))
         result
     }
   }

@@ -327,34 +327,36 @@ object Aggregates {
     "recursive_cte_spine" -> Decl(
       (s, d) => {
         Tables.views(s, d)
-        s.sql("""WITH RECURSIVE years(y, mx) AS (
+        s.sql("""WITH RECURSIVE years(y, mn, mx) AS (
                 |  SELECT date_trunc('year', min(o_orderdate)),
+                |         date_trunc('month', min(o_orderdate)),
                 |         date_trunc('month', max(o_orderdate)) FROM orders
                 |  UNION ALL
-                |  SELECT y + INTERVAL 1 YEAR, mx FROM years
+                |  SELECT y + INTERVAL 1 YEAR, mn, mx FROM years
                 |  WHERE y + INTERVAL 1 YEAR <= mx
                 |),
                 |months AS (
                 |  SELECT CAST(y + make_ym_interval(0, CAST(k AS INT)) AS TIMESTAMP) AS m
                 |  FROM years LATERAL VIEW explode(sequence(0, 11)) t AS k
-                |  WHERE y + make_ym_interval(0, CAST(k AS INT)) <= mx
+                |  WHERE y + make_ym_interval(0, CAST(k AS INT)) BETWEEN mn AND mx
                 |)
                 |SELECT m, count(o_orderkey) AS n,
                 |       round(sum(o_totalprice), 2) AS total
                 |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
                 |GROUP BY m ORDER BY m""".stripMargin)
       },
-      Some("""WITH RECURSIVE years(y, mx) AS (
+      Some("""WITH RECURSIVE years(y, mn, mx) AS (
              |  SELECT date_trunc('year', min(o_orderdate)),
+             |         date_trunc('month', min(o_orderdate)),
              |         date_trunc('month', max(o_orderdate)) FROM orders
              |  UNION ALL
-             |  SELECT y + INTERVAL 1 YEAR, mx FROM years
+             |  SELECT y + INTERVAL 1 YEAR, mn, mx FROM years
              |  WHERE y + INTERVAL 1 YEAR <= mx
              |),
              |months AS (
              |  SELECT CAST(y + to_months(CAST(k AS INT)) AS TIMESTAMP) AS m
              |  FROM years CROSS JOIN generate_series(0, 11) t(k)
-             |  WHERE y + to_months(CAST(k AS INT)) <= mx
+             |  WHERE y + to_months(CAST(k AS INT)) BETWEEN mn AND mx
              |)
              |SELECT m, count(o_orderkey) AS n,
              |       round(sum(o_totalprice), 2) AS total

@@ -76,6 +76,40 @@ class SqlSessionSpec extends AnyFunSuite {
       .head.getString(0) == "APPENDED")
   }
 
+  test("mutation edge cases: NULL predicates, literals, drops, view order") {
+    val warehouse = Tables.scratchDir("graft_edge").toString
+    val s1 = freshSession(warehouse)
+    Sql.execute(s1, warehouse,
+      "CREATE TABLE e USING parquet AS SELECT * FROM VALUES (1, 'a where b'), (2, NULL), (3, 'x') AS t(k, v)")
+    // DELETE must only remove rows where the predicate is TRUE — the
+    // NULL-valued row survives (NOT(NULL) is NULL, not TRUE)
+    Sql.execute(s1, warehouse, "DELETE FROM e WHERE v = 'x'")
+    assert(s1.sql("SELECT count(*) AS n FROM e").head.getLong(0) == 2)
+    // 'where' inside a string literal must not split the UPDATE
+    Sql.execute(s1, warehouse, "UPDATE e SET v = 'still where-y' WHERE v = 'a where b'")
+    assert(s1.sql("SELECT v FROM e WHERE k = 1").head.getString(0) == "still where-y")
+    // WHERE-less forms touch every row
+    Sql.execute(s1, warehouse, "UPDATE e SET k = k + 10")
+    assert(s1.sql("SELECT min(k) AS m FROM e").head.getInt(0) == 11)
+    Sql.execute(s1, warehouse, "DELETE FROM e")
+    assert(s1.sql("SELECT count(*) AS n FROM e").head.getLong(0) == 0)
+
+    // literal whitespace survives view persistence (no whitespace collapse)
+    Sql.execute(s1, warehouse, "CREATE VIEW wsv AS SELECT 'a  b' AS s")
+    // view redefinition keeps creation order so dependents still replay
+    Sql.execute(s1, warehouse, "CREATE VIEW base AS SELECT 1 AS x")
+    Sql.execute(s1, warehouse, "CREATE VIEW dep AS SELECT x + 1 AS y FROM base")
+    Sql.execute(s1, warehouse, "CREATE OR REPLACE VIEW base AS SELECT 5 AS x")
+    // dropping a table removes its directory: no resurrection after restart
+    Sql.execute(s1, warehouse, "DROP TABLE e")
+
+    val s2 = freshSession(warehouse)
+    val (tables, _) = GraftCatalog.restore(s2, warehouse)
+    assert(!tables.contains("e"), s"dropped table resurrected: $tables")
+    assert(s2.sql("SELECT s FROM wsv").head.getString(0) == "a  b")
+    assert(s2.sql("SELECT y FROM dep").head.getInt(0) == 6)
+  }
+
   test("DELETE and UPDATE run as copy-on-write rewrites on warehouse tables") {
     val warehouse = Tables.scratchDir("graft_mut").toString
     val s1 = freshSession(warehouse)
