@@ -37,10 +37,12 @@ object GraftCatalog {
   private val Ident = """(?:`[^`]+`|[A-Za-z_][A-Za-z_0-9]*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_][A-Za-z_0-9]*))*"""
   private val CreateView =
     s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?($Ident).*""".r
+  private val CreateViewIfNotExists =
+    s"""(?is)^\\s*CREATE\\s+VIEW\\s+IF\\s+NOT\\s+EXISTS\\s+.*""".r
   private val DropView =
     s"""(?is)^\\s*DROP\\s+VIEW\\s+(?:IF\\s+EXISTS\\s+)?($Ident)\\s*;?\\s*$$""".r
   private val DropTable =
-    s"""(?is)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?($Ident)\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?($Ident)(?:\\s+PURGE)?\\s*;?\\s*$$""".r
 
   /** Canonical comparison form of an identifier: backticks stripped,
     * lowercased (Spark resolution is case-insensitive by default). */
@@ -162,11 +164,17 @@ object GraftCatalog {
     (tables, types)
   }
 
-  /** Record a CREATE VIEW statement durably. */
+  /** Record a CREATE VIEW statement durably. An IF NOT EXISTS statement
+    * is a no-op in Spark when the view already exists — overwriting the
+    * record then would make the restored catalog diverge from the session
+    * state, so an existing record wins. */
   def recordView(warehouse: String, stmt: String): Unit = {
     val name = viewName(stmt).getOrElse(
       throw new IllegalArgumentException(s"not a CREATE VIEW statement: $stmt"))
-    upsert(viewsFile(warehouse), name, stmt.trim, viewName)
+    val alreadyRecorded =
+      readStatements(viewsFile(warehouse)).exists(viewName(_).contains(name))
+    if (!(alreadyRecorded && CreateViewIfNotExists.matches(stmt)))
+      upsert(viewsFile(warehouse), name, stmt.trim, viewName)
   }
 
   /** Forget a dropped view so it cannot replay after restart. */
@@ -176,12 +184,18 @@ object GraftCatalog {
   /** Delete a dropped table's warehouse directory so it cannot resurrect
     * on the next restore (DROP TABLE on the external registration only
     * removes metadata). */
-  def forgetTable(warehouse: String, name: String): Unit = {
-    val dir = Paths.get(warehouse, canonName(name))
-    if (Files.isDirectory(dir))
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+  def forgetTable(warehouse: String, name: String): Unit =
+    deleteRecursively(Paths.get(warehouse, canonName(name)))
+
+  /** Recursive delete with the walk stream closed (the JDK leaks a
+    * directory fd otherwise). No-op on a missing path. */
+  private[graft] def deleteRecursively(dir: Path): Unit =
+    if (Files.isDirectory(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
-  }
+      finally walk.close()
+    }
 
   /** Record a CREATE TYPE statement durably (callers record only AFTER
     * the statement passed the typechecker — an ill-typed declaration must

@@ -93,16 +93,20 @@ object Sql {
   private def copyOnWrite(spark: SparkSession, warehouse: String, table: String)
                          (transform: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val dir = Paths.get(warehouse, table)
+    // Spark lowercases catalog names when laying out the warehouse — the
+    // user may type any case
+    val dirName = table.toLowerCase
+    val dir = Paths.get(warehouse, dirName)
     require(Files.isDirectory(dir), s"no warehouse table '$table' to mutate")
-    val before = spark.read.parquet(dir.toString)
+    // alias to the statement's table name so qualified references
+    // (`WHERE t.k = 1`) resolve
+    val before = spark.read.parquet(dir.toString).alias(table)
     val after = transform(before)
-    val staging = Paths.get(warehouse, s"_staging_$table")
+    val staging = Paths.get(warehouse, s"_staging_$dirName")
     after.write.mode("overwrite").parquet(staging.toString)
     val n = spark.read.parquet(staging.toString).count()
     // swap: drop the old generation, move staging into place
-    Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => Files.deleteIfExists(p))
+    GraftCatalog.deleteRecursively(dir)
     Files.move(staging, dir)
     // refresh whichever registration this session has for the name
     spark.catalog.refreshByPath(dir.toString)
@@ -121,11 +125,14 @@ object Sql {
       if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser])
         spark.sql(text)
       else graft.adt.AdtSql.sql(spark, text)
-    // A WHERE-less DELETE/UPDATE is legal SQL: it touches every row.
+    // A WHERE-less DELETE/UPDATE is legal SQL: it touches every row. The
+    // WHERE match needs a word boundary — "WHEREX > 1" must be a syntax
+    // error, not a predicate on X.
     def predOf(rest: String): String = {
       val r = rest.trim.stripSuffix(";").trim
       if (r.isEmpty) "true"
-      else if (r.length >= 5 && r.substring(0, 5).equalsIgnoreCase("WHERE"))
+      else if (r.length > 5 && r.substring(0, 5).equalsIgnoreCase("WHERE") &&
+               !r(5).isLetterOrDigit && r(5) != '_')
         rewriteExpr(r.substring(5))
       else throw new IllegalArgumentException(s"expected WHERE, got: $r")
     }
@@ -142,17 +149,23 @@ object Sql {
         val (setList, pred) =
           if (whereIdx < 0) (setsAndPred.trim.stripSuffix(";"), "true")
           else (setsAndPred.substring(0, whereIdx),
-                rewriteExpr(setsAndPred.substring(whereIdx + 5)))
+                rewriteExpr(setsAndPred.substring(whereIdx + 5).trim.stripSuffix(";")))
         val sets = splitTopLevel(setList, ',').map { a =>
           a.split("=", 2) match {
-            case Array(c, e) => c.trim -> rewriteExpr(e).trim
+            // a backticked SET target is accepted and stored unquoted
+            case Array(c, e) =>
+              c.trim.stripPrefix("`").stripSuffix("`") -> rewriteExpr(e).trim
             case _ => throw new IllegalArgumentException(s"bad SET assignment '$a'")
           }
         }
+        // SQL rejects assigning the same column twice in one UPDATE
+        val dupes = sets.groupBy(_._1.toLowerCase).filter(_._2.length > 1).keys
+        require(dupes.isEmpty, s"UPDATE: column(s) assigned more than once: ${dupes.mkString(", ")}")
         copyOnWrite(spark, warehouse, table) { df =>
           // ONE projection: SQL UPDATE evaluates every SET expression
           // against the OLD row, so assignments must not see each other.
-          // Column matching is case-insensitive like the rest of Spark SQL.
+          // Column matching is case-insensitive like the rest of Spark SQL;
+          // generated references are backtick-quoted so any column name works.
           val resolved = sets.map { case (c, e) =>
             df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
               throw new IllegalArgumentException(s"UPDATE: no column '$c' in $table")) -> e
@@ -160,12 +173,20 @@ object Sql {
           import org.apache.spark.sql.functions.{col, expr}
           df.select(df.columns.toIndexedSeq.map { c =>
             resolved.get(c) match {
-              case Some(e) => expr(s"CASE WHEN ($pred) THEN ($e) ELSE $c END").as(c)
+              case Some(e) => expr(s"CASE WHEN ($pred) THEN ($e) ELSE `$c` END").as(c)
               case None => col(c)
             }
           }: _*)
         }
       case _ =>
+        // A DROP VIEW that resolves to a TEMP view must not prune the
+        // persistent record — the untouched catalog view survives the
+        // session, so it must survive the restart too. Snapshot before
+        // executing (the drop removes the evidence).
+        val dropHitsTempView = GraftCatalog.dropViewName(stmt).exists { n =>
+          try spark.catalog.tableExists(n) && spark.catalog.getTable(n).isTemporary
+          catch { case _: Exception => false }
+        }
         // the injected AdtParser handles ADT syntax inside plain spark.sql;
         // AdtSql.sql is the equivalent route for sessions without extensions
         val result = runSql(stmt)
@@ -173,7 +194,8 @@ object Sql {
           GraftCatalog.recordType(warehouse, stmt)
         else if (GraftCatalog.isCreateView(stmt))
           GraftCatalog.recordView(warehouse, stmt)
-        else GraftCatalog.dropViewName(stmt).foreach(GraftCatalog.forgetView(warehouse, _))
+        else if (!dropHitsTempView)
+          GraftCatalog.dropViewName(stmt).foreach(GraftCatalog.forgetView(warehouse, _))
         GraftCatalog.dropTableName(stmt).foreach(GraftCatalog.forgetTable(warehouse, _))
         result
     }

@@ -103,6 +103,23 @@ class SqlSessionSpec extends AnyFunSuite {
     // dropping a table removes its directory: no resurrection after restart
     Sql.execute(s1, warehouse, "DROP TABLE e")
 
+    // IF NOT EXISTS on an existing view is a no-op — the record must keep
+    // the ORIGINAL definition, not the ignored new text
+    Sql.execute(s1, warehouse, "CREATE VIEW IF NOT EXISTS wsv AS SELECT 'ignored' AS s")
+    // qualified predicate references and mixed-case table names work
+    Sql.execute(s1, warehouse,
+      "CREATE TABLE QCase USING parquet AS SELECT * FROM VALUES (1), (2) AS t(k)")
+    Sql.execute(s1, warehouse, "DELETE FROM QCase WHERE QCase.k = 1")
+    assert(s1.sql("SELECT k FROM QCase").head.getInt(0) == 2)
+    // duplicate SET targets are rejected; WHEREX is a syntax error
+    intercept[IllegalArgumentException](
+      Sql.execute(s1, warehouse, "UPDATE QCase SET k = 1, k = 2 WHERE k = 2"))
+    intercept[IllegalArgumentException](
+      Sql.execute(s1, warehouse, "DELETE FROM QCase WHEREX > 1"))
+    // DROP VIEW hitting a TEMP view must not prune the persistent record
+    s1.sql("CREATE TEMPORARY VIEW wsv AS SELECT 'temp' AS s")
+    Sql.execute(s1, warehouse, "DROP VIEW wsv")
+
     val s2 = freshSession(warehouse)
     val (tables, _) = GraftCatalog.restore(s2, warehouse)
     assert(!tables.contains("e"), s"dropped table resurrected: $tables")
