@@ -153,6 +153,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(fanOut.get.length == 2, s"expected (event_type, __salt) keys, got ${fanOut.get}")
   }
 
+  // The sampling/split operators must stay pure scan-side work — a
+  // shuffle or window sneaking in would turn an I/O-speed filter into a
+  // cluster-wide exchange at 100 TB.
+  test("split and stratified-sample plans contain no exchange except the declared sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    Seq("split_train_holdout", "sample_stratified").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      // exactly one range partitioning for the canon total order; nothing else
+      assert(shuffles.length <= 1 &&
+             shuffles.forall(_.outputPartitioning.toString.contains("range")),
+        s"$name has non-sort exchanges:\n$plan")
+    }
+  }
+
+  // The correlated LATERAL top-1 must decorrelate into a ranked join
+  // (row_number <= 1 over a window), not re-execute the subquery per outer
+  // row — per-row re-execution would be a driver-side loop at scale.
+  test("join_lateral_topn decorrelates into a windowed rank, not per-row subqueries") {
+    val plan = SparkEntry.queries("join_lateral_topn")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty, s"no window/rank in lateral plan:\n$plan")
+  }
+
   test("salting spreads a skewed join key across subkeys") {
     val sp = spark; import sp.implicits._
     // 10k rows all sharing one key — the pathological skew case. Salt the
