@@ -567,13 +567,11 @@ object PipelineExt {
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
-    }
-    val sig = ex.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-              (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-                .reduce(_.bitwiseOR(_)).as("sim"))
+    // ONE native sketch aggregate (65-long buffer) instead of 64
+    // conditional sums — same signature bits, 64× fewer aggregate
+    // evaluations per row; see functions.SimHashAgg
+    val sig = ex.groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg(col("h")).as("sim"))
       .persist()
     val banded = sig.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(b =>
