@@ -19,6 +19,10 @@ run / fork := true
 // JSON stdout line, and sbt's logger prefixing/buffering corrupted that
 // capture in round 1.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Silence sbt's "[success] Total time: …" epilogue: the driver keeps only a
+// 2000-char stdout TAIL, and that trailing line both ate budget and kept the
+// bench JSON from being the final stdout line in rounds 1-2.
+Global / showSuccess := false
 // Forward stdin to the forked `run` JVM; `runMain` under sbt -batch does
 // not reliably receive piped stdin regardless, which is why graft.Sql
 // also takes `-f <script>`.

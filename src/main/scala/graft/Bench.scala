@@ -46,13 +46,32 @@ object Bench {
     }
     // Emit the JSON as the sole, short line on stdout: logs silenced first
     // (a concurrent log write interleaving into the line truncated round 1's
-    // capture), timings rounded to ms so the 100+-query line stays short,
-    // and an explicit flush before spark.stop()'s shutdown chatter.
+    // capture) and an explicit flush before spark.stop()'s shutdown chatter.
+    //
+    // The capture window is a 2000-char stdout TAIL (BENCH_r02.json:
+    // "tail" is exactly 2000 chars and the 114-entry line overflowed it, so
+    // "parsed" came back null two rounds running). The whole line must
+    // therefore fit in <2000 chars: report per-query timings slowest-first
+    // and stop adding entries at a 1800-char budget. `value` still sums
+    // EVERY query, and `nq`/`reported` make the truncation explicit; the
+    // omitted entries are the sub-0.1 s noise floor.
     def r(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val qs = new StringBuilder
+    var reported = 0
+    // Failed queries (-1) sort ahead of everything — a dropped failure would
+    // read as a pass; slowest genuine timings follow.
+    results.toSeq.sortBy { case (_, v) =>
+      if (v < 0) Double.NegativeInfinity else -v
+    }.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + r(v)
+      if (qs.length + entry.length + 1 <= 1800) {
+        if (reported > 0) qs.append(',')
+        qs.append(entry)
+        reported += 1
+      }
+    }
+    val line = s"""{"metric":"total","value":${r(total)},"unit":"sec","nq":${results.size},"reported":$reported,"queries":{$qs},"sf":"$sfDir"}"""
     spark.sparkContext.setLogLevel("OFF")
     println(line)
     System.out.flush()
