@@ -421,12 +421,20 @@ object PipelineExt {
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
           .persist()
-        var labels = Tables(s, d, "documents")
+        // Iterate over the DUP-GRAPH NODES only: a doc with no near-dup edge
+        // can never change label, so the corpus stays out of the loop
+        // entirely (at 100 TB the pair graph is orders of magnitude smaller
+        // than the corpus — this is the difference between joining 5 000
+        // labels per round and joining the handful of docs that actually
+        // have duplicates). Isolated docs are stitched back at the end with
+        // comp = doc_id.
+        var labels = edges.select(col("src").as("doc_id")).distinct()
           .select(col("doc_id"), col("doc_id").as("comp"))
         var prev: Option[org.apache.spark.sql.DataFrame] = None
-        var changed = 1L
+        var prevSum = java.math.BigDecimal.valueOf(-1L)
+        var changed = true
         var iter = 0
-        while (changed > 0 && iter < 20) {
+        while (changed && iter < 20) {
           val nbrMin = labels.join(edges, col("doc_id") === col("src"))
             .groupBy(col("dst")).agg(min(col("comp")).as("nbr_min"))
             .select(col("dst").as("nbr_id"), col("nbr_min"))
@@ -437,15 +445,22 @@ object PipelineExt {
           // DEEPER per round (the classic iterative-algorithm killer at
           // scale), and without unpersist every superseded generation's
           // blocks pile up for the session lifetime. localCheckpoint every
-          // 5 rounds cuts the lineage; the `changed` count below
+          // 5 rounds cuts the lineage; the convergence probe below
           // materializes the persisted generation before its predecessor is
           // dropped. (On a multi-executor cluster with dynamic allocation,
           // swap localCheckpoint for a reliable checkpoint dir.)
           val next =
             if (iter % 5 == 4) step.localCheckpoint(true) else step.persist()
-          changed = next.as("n")
-            .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-            .filter(col("n.comp") =!= col("o.comp")).count()
+          // Convergence probe: labels only ever DECREASE (min-propagation),
+          // so sum(comp) strictly decreases iff any label changed — one
+          // cheap aggregate per round instead of a join + count. DECIMAL
+          // sum so the probe can't overflow at any corpus size.
+          val sumNow = next
+            .agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+                          lit(java.math.BigDecimal.ZERO)))
+            .first().getDecimal(0)
+          changed = prevSum.compareTo(sumNow) != 0
+          prevSum = sumNow
           prev.foreach(_.unpersist())
           prev = Some(next)
           labels = next
@@ -454,10 +469,16 @@ object PipelineExt {
         // Returning partially-propagated labels would silently diverge from
         // the recursive-CTE oracle — fail loudly instead (a >20-diameter
         // dedup component means the threshold, not the cap, is wrong).
-        if (changed > 0) throw new IllegalStateException(
-          s"connected components did not converge within $iter rounds ($changed labels still changing)")
+        if (changed) throw new IllegalStateException(
+          s"connected components did not converge within $iter rounds")
+        val full = Tables(s, d, "documents")
+          .join(labels.select(col("doc_id").as("lid"), col("comp")),
+                col("doc_id") === col("lid"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        val out = full.localCheckpoint(true)
+        prev.foreach(_.unpersist())
         edges.unpersist()
-        labels.orderBy("doc_id")
+        out.orderBy("doc_id")
       },
       Some("""WITH RECURSIVE
              |tok AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
