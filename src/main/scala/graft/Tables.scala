@@ -51,6 +51,11 @@ object Tables {
   }
   private val scratchSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Test hook: the shared scratch root, so specs can inspect layouts the
+    * sink queries write (ScaleSpec's compaction file-count invariant).
+    */
+  private[graft] def scratchRootForTest: java.nio.file.Path = scratchRoot
+
   def scratchDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createDirectory(
       scratchRoot.resolve(s"$prefix-${scratchSeq.incrementAndGet()}"))

@@ -149,6 +149,91 @@ object Aggregates {
         .orderBy("o_orderpriority"),
       None),
 
+    // Fixed-width histogram: 10 × 50k buckets over order totals, out-of-range
+    // clamped into the edge buckets so the histogram is total. Same floor
+    // arithmetic on both sides (DuckDB 1.0 has no width_bucket). One
+    // partial-agg shuffle on a 10-value key — the shape survives any scale.
+    "agg_histogram" -> Decl(
+      (s, d) => Tables(s, d, "orders")
+        .select(least(greatest(floor(col("o_totalprice") / 50000), lit(0)), lit(9))
+                  .cast("int").as("bucket"),
+                col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+             round(min("o_totalprice"), 2).as("lo"),
+             round(max("o_totalprice"), 2).as("hi"),
+             round(avg("o_totalprice"), 6).as("avg_price"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(least(greatest(floor(o_totalprice / 50000), 0), 9) AS INT) AS bucket,
+             |count(*) AS n, round(min(o_totalprice), 2) AS lo,
+             |round(max(o_totalprice), 2) AS hi, round(avg(o_totalprice), 6) AS avg_price
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // min_by/max_by (argmin/argmax): which customer holds the extreme
+    // balance per market segment. The ordering key packs (balance, custkey)
+    // into one BIGINT — round(bal·100)·10⁷ + custkey, exact within 53-bit
+    // doubles — because (segment, acctbal) ties DO occur at sf0.1 and a bare
+    // arg_max would be nondeterministic (SURVEY §7.3 R2).
+    "agg_argminmax" -> Decl(
+      (s, d) => {
+        val ord = round(col("c_acctbal") * 100, 0).cast("bigint") * 10000000L +
+          col("c_custkey")
+        Tables(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), ord.as("ord"))
+          .groupBy("c_mktsegment")
+          .agg(max_by(col("c_custkey"), col("ord")).as("richest_cust"),
+               round(max(col("c_acctbal")), 2).as("max_bal"),
+               min_by(col("c_custkey"), col("ord")).as("poorest_cust"),
+               round(min(col("c_acctbal")), 2).as("min_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest_cust,
+             |round(max(c_acctbal), 2) AS max_bal,
+             |arg_min(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS poorest_cust,
+             |round(min(c_acctbal), 2) AS min_bal
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Conditional aggregation — FILTER-clause aggregates and count_if, the
+    // SQL-standard "pivot one metric by predicate". SQL text entry point
+    // (EP2) so the query is a 1:1 textual twin of the oracle.
+    "agg_filtered" -> Decl(
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderstatus,
+                |count(*) AS n,
+                |count_if(o_totalprice > 250000) AS n_big,
+                |round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS sum_urgent,
+                |round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 6) AS avg_low
+                |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |count(*) AS n,
+             |count(*) FILTER (WHERE o_totalprice > 250000) AS n_big,
+             |round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS sum_urgent,
+             |round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 6) AS avg_low
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Mergeable HLL sketches (Apache DataSketches built-ins): per-group
+    // sketch → per-group estimate, plus hll_union_agg across groups for the
+    // global estimate WITHOUT re-scanning the input — the sketch-merge
+    // pattern is how a 100 TB pipeline gets cheap distinct counts per
+    // partition/day and rolls them up. Sketch internals have no DuckDB twin
+    // → oracle-N; OperatorSpec bounds every estimate against the exact
+    // distinct count.
+    "agg_hll_sketch_union" -> Decl(
+      (s, d) => {
+        val sk = Tables(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        val per = sk.select(col("o_orderpriority").as("scope"),
+                            hll_sketch_estimate(col("sk")).as("est"))
+        val all = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .select(lit("ALL").as("scope"), col("est"))
+        per.unionAll(all).orderBy("scope")
+      },
+      None),
+
     // Exact interpolated percentiles (median/p90) — Spark `percentile` and
     // DuckDB `quantile_cont` share the linear-interpolation definition.
     "agg_percentile" -> Decl(

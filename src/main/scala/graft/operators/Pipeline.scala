@@ -64,6 +64,40 @@ object Pipeline {
              |    SELECT doc_id + 1000000, upper(text) || '  ' FROM documents))
              |GROUP BY h HAVING count(*) > 1 ORDER BY h""".stripMargin)),
 
+    // Canonical-doc selection — the step AFTER dup grouping: keep ONE
+    // representative per group (min doc_id, so originals beat the planted
+    // +1M copies) and account the bytes dedup saves. min_by's ordering key
+    // is the unique doc_id, so the pick is deterministic (R2). Same
+    // hash-first shape as dedup_exact: full text never shuffles, only
+    // (hash, id, length).
+    "dedup_keep_canonical" -> Decl(
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val noisy = docs.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text"))
+        docs.unionAll(noisy)
+          .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
+                  length(col("text")).cast("bigint").as("len"))
+          .groupBy("h")
+          .agg(count(lit(1)).as("n_docs"),
+               min("doc_id").as("canonical_id"),
+               sum("len").as("bytes_total"),
+               min_by(col("len"), col("doc_id")).as("bytes_kept"))
+          .withColumn("bytes_saved", col("bytes_total") - col("bytes_kept"))
+          .orderBy("h")
+      },
+      Some("""SELECT h, count(*) AS n_docs, min(doc_id) AS canonical_id,
+             |CAST(sum(len) AS BIGINT) AS bytes_total,
+             |arg_min(len, doc_id) AS bytes_kept,
+             |CAST(sum(len) - arg_min(len, doc_id) AS BIGINT) AS bytes_saved FROM (
+             |  SELECT doc_id, md5(lower(trim(text))) AS h,
+             |         CAST(length(text) AS BIGINT) AS len FROM (
+             |    SELECT doc_id, text FROM documents
+             |    UNION ALL
+             |    SELECT doc_id + 1000000, upper(text) || '  ' FROM documents))
+             |GROUP BY h ORDER BY h""".stripMargin)),
+
     // MinHash-LSH near-dup: explode shingles → one-shuffle 32-min signature
     // → 8 banded bucket keys → bucket self-join → exact-Jaccard verification
     // of candidates only, computed relationally (intersection = count of

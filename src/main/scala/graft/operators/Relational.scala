@@ -69,6 +69,24 @@ object Relational {
       },
       Some("SELECT * FROM orders ORDER BY ALL NULLS FIRST")),
 
+    // Small-file compaction: repartition by the partition column before a
+    // partitionBy write → exactly ONE file per partition directory. This is
+    // the nightly compaction job a 100 TB lakehouse runs to keep file
+    // counts bounded (a fact table written by 1000 executors otherwise
+    // scatters 1000 tiny files into every partition). Roundtrip identity is
+    // the oracle; the one-file-per-directory invariant is asserted in
+    // ScaleSpec.
+    "sink_compacted" -> Decl(
+      (s, d) => {
+        val out = Tables.scratchDir("graft_compact").resolve("docs_by_lang").toString
+        Tables(s, d, "documents")
+          .repartition(col("lang"))
+          .write.mode("overwrite").partitionBy("lang").parquet(out)
+        Tables.canon(
+          s.read.parquet(out).select("doc_id", "text", "lang", "source", "n_chars"))
+      },
+      Some("SELECT * FROM documents ORDER BY ALL NULLS FIRST")),
+
     // Batch-append — the mutation surface the driver contract keeps
     // ("batch-append and recompute"): write one slice, append the
     // complementary slice, read the union back. On a real deployment this

@@ -146,6 +146,44 @@ object Windows {
              |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
              |ORDER BY ALL NULLS FIRST""".stripMargin)),
 
+    // Batch sessionization (gaps-and-islands): a session breaks after a
+    // >10-minute silence per user; lag → break flag → running sum = session
+    // id → per-session aggregate. Both window passes and the groupBy reuse
+    // ONE (user_id-hash, time-sorted) shuffle — at scale this is a single
+    // exchange over the event stream, the batch twin of
+    // stream_session_window's stateful operator. Session ids are 0-based
+    // (the first event's lag is NULL → break flag 0 in both engines).
+    "window_sessionize_batch" -> Decl(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val brk = when(
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 600000000L,
+          lit(1)).otherwise(lit(0))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("sid",
+            sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n_events"),
+               min("ts").as("session_start"),
+               max("ts").as("session_end"))
+          .orderBy("user_id", "sid")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 600000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM m)
+             |SELECT user_id, sid, count(*) AS n_events,
+             |       min(ts) AS session_start, max(ts) AS session_end
+             |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)),
+
     "window_ntile_firstlast" -> Decl(
       (s, d) => {
         val ord = Window.partitionBy("c_mktsegment")

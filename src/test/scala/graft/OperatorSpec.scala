@@ -63,6 +63,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("hll sketch estimates stay within 5% of exact, union included") {
+    val exactPer = Tables(spark, sf, "orders")
+      .groupBy("o_orderpriority").agg(countDistinct("o_custkey").as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables(spark, sf, "orders")
+      .agg(countDistinct("o_custkey")).first().getLong(0)
+    SparkEntry.queries("agg_hll_sketch_union")(spark, sf)
+      .collect().foreach { r =>
+        val scope = r.getString(0)
+        val exact = if (scope == "ALL") exactAll else exactPer(scope)
+        assert(math.abs(r.getLong(1) - exact).toDouble / exact < 0.05,
+          s"$scope: sketch=${r.getLong(1)} exact=$exact")
+      }
+  }
+
   test("minhash near-dedup recovers planted near-dups with high recall and exact Jaccard") {
     val rows = SparkEntry.queries("dedup_near_minhash")(spark, sf).collect()
     val planted = rows.count(r => r.getLong(1) == r.getLong(0) + 1000000L)

@@ -114,6 +114,26 @@ class ScaleSpec extends AnyFunSuite {
       Tables(sp, sf, "orders").filter(col("o_orderstatus") === "F").count())
   }
 
+  test("sink_compacted writes exactly one data file per partition directory") {
+    val sp = spark
+    // run the declared query (it writes, then reads back) so the assertion
+    // covers the exact layout the contract key produces
+    SparkEntry.queries("sink_compacted")(sp, sf).count()
+    val root = java.nio.file.Files.list(Tables.scratchRootForTest)
+      .filter(_.getFileName.toString.startsWith("graft_compact"))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .findFirst().get().resolve("docs_by_lang")
+    val langDirs = java.nio.file.Files.list(root).filter(p =>
+      java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("lang=")).toArray
+    assert(langDirs.length >= 2, s"expected lang= partition dirs under $root")
+    langDirs.foreach { case p: java.nio.file.Path =>
+      val files = java.nio.file.Files.list(p)
+        .filter(_.getFileName.toString.endsWith(".parquet")).count()
+      assert(files == 1, s"$p has $files parquet files; compaction should leave 1")
+    }
+  }
+
   // The candidate-verify joins must broadcast the SMALL side (the deduped
   // candidate-pair table — bounded by LSH collisions) and never the raw
   // embeddings table, which is unbounded at scale. A BroadcastExchange
