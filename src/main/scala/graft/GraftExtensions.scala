@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // stock parser — the reference's typechecked sum-type SQL surface.
     e.injectParser((session, delegate) => new graft.adt.AdtParser(session, delegate))
     e.injectFunction((
+      new FunctionIdentifier("z_interleave"),
+      new ExpressionInfo(classOf[graft.functions.InterleaveBits].getName, "z_interleave"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"z_interleave takes 2 arguments, got ${children.length}")
+        graft.functions.InterleaveBits(children.head, children(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "vec_dot"),
       (children: Seq[Expression]) => {

@@ -69,6 +69,50 @@ object Relational {
       },
       Some("SELECT * FROM orders ORDER BY ALL NULLS FIRST")),
 
+    // Z-order clustered layout: range-partition + sort the fact table by
+    // the Morton interleave of (l_partkey, l_suppkey) before writing, so
+    // every output file's parquet min/max statistics narrow on BOTH key
+    // columns — point/range filters on either dimension prune files at the
+    // scan (ScaleSpec asserts the per-file range narrowing against an
+    // orderkey-sorted control layout). This is the multi-dimensional
+    // clustering lever for 100 TB data skipping; the z key itself is the
+    // native codegen'd `InterleaveBits` expression, mirrored in DuckDB by
+    // a 16-term shift/add fold.
+    "layout_zorder" -> Decl(
+      (s, d) => {
+        val out = Tables.scratchDir("graft_zorder").resolve("lineitem_z").toString
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+                  col("l_quantity"), col("l_extendedprice"))
+        // Min-max quantize BOTH dimensions to the full 16-bit range before
+        // interleaving: the raw key domains have unequal bit widths (1 000
+        // suppliers vs 20 000 parts), and un-normalized interleaving lets
+        // the wider dimension dominate every z-range cut — the narrow
+        // column's per-file ranges wouldn't narrow at all. Integer
+        // arithmetic (DIV) keeps the quantization engine-exact.
+        val dom = li.agg(
+          min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+          min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+        li.crossJoin(broadcast(dom))
+          .withColumn("z", graft.functions.ZOrder.interleave16(
+            expr("((l_partkey - pmin) * 65535) DIV (pmax - pmin)"),
+            expr("((l_suppkey - smin) * 65535) DIV (smax - smin)")))
+          .drop("pmin", "pmax", "smin", "smax")
+          .repartitionByRange(8, col("z"))
+          .sortWithinPartitions("z")
+          .write.mode("overwrite").parquet(out)
+        Tables.canon(s.read.parquet(out))
+      },
+      Some("""WITH dom AS (SELECT min(l_partkey) pmin, max(l_partkey) pmax,
+             |                    min(l_suppkey) smin, max(l_suppkey) smax
+             |             FROM lineitem)
+             |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice,
+             |CAST(list_sum(list_transform(range(0, 16), i ->
+             |  (((((l_partkey - pmin) * 65535) // (pmax - pmin) >> i) & 1) << (2 * i)) +
+             |  (((((l_suppkey - smin) * 65535) // (smax - smin) >> i) & 1) << (2 * i + 1))
+             |)) AS BIGINT) AS z
+             |FROM lineitem, dom ORDER BY ALL NULLS FIRST""".stripMargin)),
+
     // Small-file compaction: repartition by the partition column before a
     // partitionBy write → exactly ONE file per partition directory. This is
     // the nightly compaction job a 100 TB lakehouse runs to keep file

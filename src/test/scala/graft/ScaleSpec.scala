@@ -114,6 +114,61 @@ class ScaleSpec extends AnyFunSuite {
       Tables(sp, sf, "orders").filter(col("o_orderstatus") === "F").count())
   }
 
+  test("z-order layout narrows per-file min/max on BOTH clustering columns") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val sp = spark
+    // per-file [min, max] width of `column` across all parquet files in dir,
+    // averaged and normalized by the global domain width
+    def avgRangeFraction(dir: java.nio.file.Path, column: String, domain: Double): Double = {
+      val files = java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(files.nonEmpty, s"no parquet files under $dir")
+      val fractions = files.map { f =>
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString),
+          sp.sparkContext.hadoopConfiguration))
+        try {
+          val stats = rd.getFooter.getBlocks.asScala.map { b =>
+            val c = b.getColumns.asScala.find(_.getPath.toDotString == column).get
+            val st = c.getStatistics
+            (st.genericGetMin.asInstanceOf[Number].doubleValue(),
+             st.genericGetMax.asInstanceOf[Number].doubleValue())
+          }
+          (stats.map(_._2).max - stats.map(_._1).min) / domain
+        } finally rd.close()
+      }
+      fractions.sum / fractions.size
+    }
+    // the declared query writes the z-clustered layout
+    SparkEntry.queries("layout_zorder")(sp, sf).count()
+    val zdir = java.nio.file.Files.list(Tables.scratchRootForTest)
+      .filter(_.getFileName.toString.startsWith("graft_zorder"))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .findFirst().get().resolve("lineitem_z")
+    // control: same data, same file count, clustered by the UNRELATED
+    // orderkey — every file spans ~the full partkey/suppkey domain
+    val ctl = Tables.scratchDir("graft_zctl").resolve("lineitem_o")
+    Tables(sp, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(ctl.toString)
+    val li = Tables(sp, sf, "lineitem")
+    val pDom = li.agg(max("l_partkey") - min("l_partkey")).first().getLong(0).toDouble
+    val sDom = li.agg(max("l_suppkey") - min("l_suppkey")).first().getLong(0).toDouble
+    val (zp, zs) = (avgRangeFraction(zdir, "l_partkey", pDom),
+                    avgRangeFraction(zdir, "l_suppkey", sDom))
+    val (cp, cs) = (avgRangeFraction(ctl, "l_partkey", pDom),
+                    avgRangeFraction(ctl, "l_suppkey", sDom))
+    // control files span essentially the whole domain in both dimensions;
+    // z-clustered files must be materially narrower in both AT ONCE
+    assert(cp > 0.9 && cs > 0.9, s"control layout unexpectedly clustered: $cp / $cs")
+    assert(zp < 0.66 * cp, s"z layout partkey range fraction $zp not < 0.66×$cp")
+    assert(zs < 0.66 * cs, s"z layout suppkey range fraction $zs not < 0.66×$cs")
+  }
+
   test("sink_compacted writes exactly one data file per partition directory") {
     val sp = spark
     // run the declared query (it writes, then reads back) so the assertion
