@@ -30,6 +30,8 @@ object GraftCatalog {
     Paths.get(warehouse, "_graft_types.sql")
   private def viewsFile(warehouse: String): Path =
     Paths.get(warehouse, "_graft_views.sql")
+  private def statsFile(warehouse: String): Path =
+    Paths.get(warehouse, "_graft_stats.sql")
 
   // ---------------------------------------------------------- statements
 
@@ -43,6 +45,8 @@ object GraftCatalog {
     s"""(?is)^\\s*DROP\\s+VIEW\\s+(?:IF\\s+EXISTS\\s+)?($Ident)\\s*;?\\s*$$""".r
   private val DropTable =
     s"""(?is)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?($Ident)(?:\\s+PURGE)?\\s*;?\\s*$$""".r
+  private val AnalyzeStmt =
+    s"""(?is)^\\s*ANALYZE\\s+TABLE\\s+($Ident)\\s+COMPUTE\\s+STATISTICS.*""".r
 
   /** Canonical comparison form of an identifier: backticks stripped,
     * lowercased (Spark resolution is case-insensitive by default). */
@@ -67,6 +71,13 @@ object GraftCatalog {
   /** The dropped table's name, if the statement is a DROP TABLE. */
   def dropTableName(stmt: String): Option[String] = stmt match {
     case DropTable(name) => Some(canonName(name))
+    case _ => None
+  }
+
+  /** The analyzed table's name, if the statement is an ANALYZE TABLE …
+    * COMPUTE STATISTICS. */
+  def analyzeTableName(stmt: String): Option[String] = stmt match {
+    case AnalyzeStmt(name) => Some(canonName(name))
     case _ => None
   }
 
@@ -161,7 +172,26 @@ object GraftCatalog {
       try graft.adt.AdtSql.sql(spark, stmt)
       catch { case _: Exception => () }
     }
+    // statistics replay LAST (they target restored tables). The catalog is
+    // metastore-free, so the only way stats survive a restart is re-running
+    // the recorded ANALYZE — a re-scan of the table, the price of deriving
+    // all metadata from storage. The last ANALYZE per table is what replays
+    // (upsert keyed by table name); a table whose ANALYZE fails is skipped,
+    // not fatal.
+    readStatements(statsFile(warehouse)).foreach { stmt =>
+      try spark.sql(stmt)
+      catch { case _: Exception => () }
+    }
     (tables, types)
+  }
+
+  /** Record an ANALYZE TABLE statement durably so column/table statistics
+    * survive a restart (callers record only AFTER the statement executed —
+    * an ANALYZE against a missing table must not replay forever). */
+  def recordAnalyze(warehouse: String, stmt: String): Unit = {
+    val name = analyzeTableName(stmt).getOrElse(
+      throw new IllegalArgumentException(s"not an ANALYZE TABLE statement: $stmt"))
+    upsert(statsFile(warehouse), name, stmt.trim, analyzeTableName)
   }
 
   /** Record a CREATE VIEW statement durably. An IF NOT EXISTS statement
@@ -183,9 +213,11 @@ object GraftCatalog {
 
   /** Delete a dropped table's warehouse directory so it cannot resurrect
     * on the next restore (DROP TABLE on the external registration only
-    * removes metadata). */
-  def forgetTable(warehouse: String, name: String): Unit =
+    * removes metadata); its recorded statistics go with it. */
+  def forgetTable(warehouse: String, name: String): Unit = {
     deleteRecursively(Paths.get(warehouse, canonName(name)))
+    remove(statsFile(warehouse), canonName(name), analyzeTableName)
+  }
 
   /** Recursive delete with the walk stream closed (the JDK leaks a
     * directory fd otherwise). No-op on a missing path. */

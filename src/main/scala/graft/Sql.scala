@@ -194,6 +194,8 @@ object Sql {
           GraftCatalog.recordType(warehouse, stmt)
         else if (GraftCatalog.isCreateView(stmt))
           GraftCatalog.recordView(warehouse, stmt)
+        else if (GraftCatalog.analyzeTableName(stmt).isDefined)
+          GraftCatalog.recordAnalyze(warehouse, stmt)
         else if (!dropHitsTempView)
           GraftCatalog.dropViewName(stmt).foreach(GraftCatalog.forgetView(warehouse, _))
         GraftCatalog.dropTableName(stmt).foreach(GraftCatalog.forgetTable(warehouse, _))
@@ -247,6 +249,12 @@ object Sql {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.ui.enabled", "false")
+      // cost-based optimization: ANALYZE TABLE statistics (persisted by
+      // GraftCatalog, replayed on restore) feed join reordering and better
+      // broadcast decisions — at 100 TB, stats-driven planning is the
+      // difference between a broadcast and a sort-merge of a dimension.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

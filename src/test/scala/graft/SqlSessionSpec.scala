@@ -21,6 +21,11 @@ class SqlSessionSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.ui.enabled", "false")
+      // mirror graft.Sql's session config: CBO on, so ANALYZE statistics
+      // are visible through optimizedPlan.stats (rowCount is only
+      // propagated when CBO is enabled)
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
   }
@@ -74,6 +79,37 @@ class SqlSessionSpec extends AnyFunSuite {
       .head.getString(0) == "APPENDED")
     assert(s3.sql("SELECT st FROM region_states WHERE r_regionkey = 99")
       .head.getString(0) == "APPENDED")
+  }
+
+  test("ANALYZE statistics persist across restart and reach the optimizer") {
+    val warehouse = Tables.scratchDir("graft_whstats").toString
+    val s1 = freshSession(warehouse)
+    Tables(s1, sf, "orders").createOrReplaceTempView("orders")
+    Sql.execute(s1, warehouse,
+      "CREATE TABLE stats_orders USING parquet AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
+      .collect()
+    val expected = Tables(s1, sf, "orders").count()
+    Sql.execute(s1, warehouse,
+      "ANALYZE TABLE stats_orders COMPUTE STATISTICS FOR ALL COLUMNS").collect()
+    def optimizerRowCount(s: SparkSession): Option[BigInt] =
+      s.table("stats_orders").queryExecution.optimizedPlan.stats.rowCount
+    assert(optimizerRowCount(s1).contains(BigInt(expected)),
+      s"expected rowCount=$expected in session 1, got ${optimizerRowCount(s1)}")
+
+    // a fresh JVM-restart-equivalent session: stats must come back from the
+    // recorded ANALYZE replay, not session memory
+    val s2 = freshSession(warehouse)
+    GraftCatalog.restore(s2, warehouse)
+    assert(optimizerRowCount(s2).contains(BigInt(expected)),
+      s"expected rowCount=$expected after restart, got ${optimizerRowCount(s2)}")
+
+    // DROP TABLE forgets the recorded ANALYZE too — a later table of the
+    // same name must not inherit stale statistics on restore
+    Sql.execute(s2, warehouse, "DROP TABLE stats_orders")
+    val s3 = freshSession(warehouse)
+    val (tables, _) = GraftCatalog.restore(s3, warehouse)
+    assert(!tables.contains("stats_orders"), s"dropped table restored: $tables")
+    s3.stop()
   }
 
   test("mutation edge cases: NULL predicates, literals, drops, view order") {
