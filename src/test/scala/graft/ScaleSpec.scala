@@ -114,6 +114,35 @@ class ScaleSpec extends AnyFunSuite {
       Tables(sp, sf, "orders").filter(col("o_orderstatus") === "F").count())
   }
 
+  // Runtime (bloom-filter) join pruning: when a fact⋈dim join's dim side
+  // carries a selective filter and the join must shuffle (too big to
+  // broadcast at scale), Catalyst can build a bloom filter from the dim
+  // keys and semi-prune the fact scan before the shuffle — at 100 TB this
+  // skips most of the fact exchange. The fixture scans are far below the
+  // default 10 GB application-side threshold, so the test lowers the
+  // thresholds to demonstrate (and pin) the rewrite itself.
+  test("runtime bloom filter semi-prunes the fact side of a selective shuffle join") {
+    val sp = spark
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> sp.conf.getOption(k))
+    try {
+      sp.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables(sp, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+      val o = Tables(sp, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a bloom-filter runtime filter (might_contain) in:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => sp.conf.set(k, v)
+      case (k, None) => sp.conf.unset(k)
+    }
+  }
+
   test("z-order layout narrows per-file min/max on BOTH clustering columns") {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
