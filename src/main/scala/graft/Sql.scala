@@ -57,7 +57,7 @@ object Sql {
   /** Index of the first occurrence of keyword `kw` at paren depth 0 and
     * outside quoted spans, or -1 — a regex would match a 'where' inside a
     * string literal or subquery. */
-  private def topLevelKeywordIndex(text: String, kw: String): Int = {
+  private[graft] def topLevelKeywordIndex(text: String, kw: String): Int = {
     var depth = 0; var i = 0
     while (i < text.length) {
       text(i) match {
@@ -136,6 +136,10 @@ object Sql {
         rewriteExpr(r.substring(5))
       else throw new IllegalArgumentException(s"expected WHERE, got: $r")
     }
+    Merge.parse(stmt) match {
+      case Some(spec) => return executeMerge(spark, warehouse, spec)
+      case None => ()
+    }
     stmt match {
       case DeleteStmt(table, rest) =>
         val pred = predOf(rest)
@@ -203,8 +207,101 @@ object Sql {
     }
   }
 
+  /** MERGE INTO as a copy-on-write rewrite (grammar and semantics:
+    * [[Merge]]). The result set is assembled relationally from the frozen
+    * before-image: untouched rows (anti join on matched ids) ∪
+    * updated/kept matched rows ∪ inserted not-matched source rows.
+    */
+  private def executeMerge(spark: SparkSession, warehouse: String,
+                           spec: Merge.MergeSpec): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, monotonically_increasing_id}
+    def rw(text: String): String = graft.adt.AdtSql.rewrite(spark, text)
+    copyOnWrite(spark, warehouse, spec.table) { before0 =>
+      // Freeze a synthetic row id so "matched" is decided against stable
+      // identities: monotonically_increasing_id is plan-dependent, and the
+      // before-image is referenced by several branches below — the eager
+      // checkpoint pins one assignment for all of them.
+      val before = before0.withColumn("__rid", monotonically_increasing_id())
+        .localCheckpoint(true).alias(spec.tableAlias)
+      val tCols = before.columns.filterNot(_ == "__rid").toIndexedSeq
+      def tType(c: String) = before.schema(c).dataType
+      val src = (spec.sourceSql match {
+        case Left(name) => spark.table(name)
+        case Right(sql) =>
+          if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser]) spark.sql(sql)
+          else graft.adt.AdtSql.sql(spark, sql)
+      }).alias(spec.sourceAlias)
+      def cond = expr(rw(spec.cond))
+      val m = before.join(src, cond) // matched (target, source) pairs
+      // SQL-standard guard: a target row matching more than one source row
+      // makes UPDATE/DELETE nondeterministic — error, never pick one.
+      val dup = m.groupBy(col("__rid")).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        s"MERGE: a ${spec.table} row matches more than one source row")
+      val matchedRids = m.select(col("__rid"))
+      val untouched = before.join(matchedRids, Seq("__rid"), "left_anti")
+        .select(tCols.map(c => col(s"`$c`")): _*)
+      // qualified reference to the TARGET side of the join (source may
+      // share column names)
+      def tRef(c: String) = col(s"${spec.tableAlias}.`$c`")
+      val survivors = spec.matched match {
+        case Some(Merge.DeleteAction) => untouched
+        case Some(Merge.UpdateAction(sets)) =>
+          val dupes = sets.groupBy(_._1.toLowerCase).filter(_._2.length > 1).keys
+          require(dupes.isEmpty,
+            s"MERGE: column(s) assigned more than once: ${dupes.mkString(", ")}")
+          val resolved = sets.map { case (c, e) =>
+            tCols.find(_.equalsIgnoreCase(c)).getOrElse(
+              throw new IllegalArgumentException(
+                s"MERGE: no column '$c' in ${spec.table}")) -> rw(e)
+          }.toMap
+          // ONE projection over the joined pair: every SET expression sees
+          // the OLD target row and the source row (SQL UPDATE semantics)
+          val updated = m.select(tCols.map { c =>
+            resolved.get(c) match {
+              case Some(e) => expr(e).cast(tType(c)).as(c)
+              case None => tRef(c).as(c)
+            }
+          }: _*)
+          untouched.unionAll(updated)
+        case None =>
+          untouched.unionAll(m.select(tCols.map(c => tRef(c).as(c)): _*))
+      }
+      spec.notMatched match {
+        case None => survivors
+        case Some(ins) =>
+          val anti = src.join(before, cond, "left_anti")
+          val inserted = ins.colsValues match {
+            case None => // INSERT *: source columns matched by name
+              anti.select(tCols.map { c =>
+                src.columns.find(_.equalsIgnoreCase(c)) match {
+                  case Some(sc) => col(s"`$sc`").cast(tType(c)).as(c)
+                  case None => lit(null).cast(tType(c)).as(c)
+                }
+              }: _*)
+            case Some((cols, values)) =>
+              val vmap = cols.zip(values).map { case (c, v) =>
+                tCols.find(_.equalsIgnoreCase(c)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"MERGE: no column '$c' in ${spec.table}")) -> v
+              }.toMap
+              require(vmap.size == cols.size,
+                s"MERGE: duplicate insert column in (${cols.mkString(", ")})")
+              anti.select(tCols.map { c =>
+                vmap.get(c) match {
+                  case Some(v) => expr(rw(v)).cast(tType(c)).as(c)
+                  case None => lit(null).cast(tType(c)).as(c)
+                }
+              }: _*)
+          }
+          survivors.unionAll(inserted)
+      }
+    }
+  }
+
   /** Split on a separator at paren/quote depth zero. */
-  private def splitTopLevel(text: String, sep: Char): Seq[String] = {
+  private[graft] def splitTopLevel(text: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; var last = 0; var i = 0
     while (i < text.length) {

@@ -112,6 +112,55 @@ class SqlSessionSpec extends AnyFunSuite {
     s3.stop()
   }
 
+  test("MERGE INTO upserts, deletes, and rejects multi-match sources") {
+    val warehouse = Tables.scratchDir("graft_whmerge").toString
+    val s1 = freshSession(warehouse)
+    Tables(s1, sf, "region").createOrReplaceTempView("region")
+    Sql.execute(s1, warehouse,
+      "CREATE TABLE merged USING parquet AS SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name FROM region")
+      .collect()
+    // 5 rows, keys 0..4. Upsert: update 0/1 from the source, insert 7.
+    Sql.execute(s1, warehouse,
+      """MERGE INTO merged t
+        |USING (SELECT * FROM VALUES (0, 'ZERO'), (1, 'ONE'), (7, 'SEVEN') AS v(k, nm)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET name = s.nm
+        |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, s.nm)""".stripMargin).collect()
+    val after = s1.sql("SELECT k, name FROM merged ORDER BY k").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(after.length == 6, after.mkString(", "))
+    assert(after.take(2).toSeq == Seq(0L -> "ZERO", 1L -> "ONE"))
+    assert(after.last == 7L -> "SEVEN")
+    // unmatched target rows (2, 3, 4) kept their original names
+    assert(after.toMap.apply(2L) != null)
+
+    // WHEN MATCHED THEN DELETE removes matched rows, INSERT * maps by name
+    Sql.execute(s1, warehouse,
+      """MERGE INTO merged USING (SELECT 7 AS k, 'X' AS name) s
+        |ON merged.k = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin).collect()
+    assert(s1.sql("SELECT count(*) FROM merged WHERE k = 7").head.getLong(0) == 0)
+    Sql.execute(s1, warehouse,
+      """MERGE INTO merged USING (SELECT 9 AS k, 'NINE' AS name) s
+        |ON merged.k = s.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(s1.sql("SELECT name FROM merged WHERE k = 9").head.getString(0) == "NINE")
+
+    // a target row matching two source rows is an ERROR, and the failed
+    // merge must not have mutated the table (copy-on-write staging)
+    val beforeCount = s1.sql("SELECT count(*) FROM merged").head.getLong(0)
+    val err = intercept[Exception] {
+      Sql.execute(s1, warehouse,
+        """MERGE INTO merged USING (SELECT * FROM VALUES (0, 'A'), (0, 'B') AS v(k, nm)) s
+          |ON merged.k = s.k
+          |WHEN MATCHED THEN UPDATE SET name = s.nm""".stripMargin).collect()
+    }
+    assert(err.getMessage.contains("more than one source row"), err.getMessage)
+    assert(s1.sql("SELECT count(*) FROM merged").head.getLong(0) == beforeCount)
+    assert(s1.sql("SELECT name FROM merged WHERE k = 0").head.getString(0) == "ZERO")
+    s1.stop()
+  }
+
   test("mutation edge cases: NULL predicates, literals, drops, view order") {
     val warehouse = Tables.scratchDir("graft_edge").toString
     val s1 = freshSession(warehouse)
