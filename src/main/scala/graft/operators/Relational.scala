@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Decl, Tables}
+import graft.{Decl, Sql, Tables}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.1 scans/sources/sinks, §2.2 projection/filter/predicates,
@@ -68,6 +68,45 @@ object Relational {
             "o_totalprice", "o_orderdate", "o_orderpriority"))
       },
       Some("SELECT * FROM orders ORDER BY ALL NULLS FIRST")),
+
+    // MERGE upsert through the session's copy-on-write machinery, as an
+    // oracled contract key: seed a target from the 'F' orders, merge in the
+    // urgent orders (matched → price bump, unmatched → insert), read the
+    // final table back. The DuckDB oracle reproduces the upsert
+    // relationally (left join for the update arm, anti join for the insert
+    // arm) — proving the mutation path yields exactly the SQL-standard
+    // result set, not just "some rows changed".
+    "sink_merge_upsert" -> Decl(
+      (s, d) => {
+        val wh = Tables.scratchDir("graft_mergewh").toString
+        Tables(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$wh/merge_target")
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        Sql.execute(s, wh,
+          """MERGE INTO merge_target t
+            |USING (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+            |       WHERE o_orderpriority = '1-URGENT') s
+            |ON t.o_orderkey = s.k
+            |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 1000
+            |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) VALUES (s.k, s.p)""".stripMargin)
+        Tables.canon(
+          s.read.parquet(s"$wh/merge_target")
+            .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice")))
+      },
+      Some("""WITH f AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'),
+             |u AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+             |      WHERE o_orderpriority = '1-URGENT')
+             |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
+             |  SELECT f.o_orderkey,
+             |         CASE WHEN u.k IS NULL THEN f.o_totalprice
+             |              ELSE f.o_totalprice + 1000 END AS o_totalprice
+             |  FROM f LEFT JOIN u ON f.o_orderkey = u.k
+             |  UNION ALL
+             |  SELECT u.k, u.p FROM u LEFT JOIN f ON f.o_orderkey = u.k
+             |  WHERE f.o_orderkey IS NULL)
+             |ORDER BY ALL NULLS FIRST""".stripMargin)),
 
     // Z-order clustered layout: range-partition + sort the fact table by
     // the Morton interleave of (l_partkey, l_suppkey) before writing, so
