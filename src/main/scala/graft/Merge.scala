@@ -41,6 +41,38 @@ private[graft] object Merge {
   private val Head =
     """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z_0-9]*)(?:\s+(?:AS\s+)?([A-Za-z_][A-Za-z_0-9]*))?\s+USING\s+(.*)$""".r
 
+  /** Index of the first occurrence of keyword `kw` at paren depth 0 that is
+    * also outside any CASE … END or MATCH … END expression — those carry
+    * their own WHEN/THEN arms at paren depth 0, so the plain top-level scan
+    * (Sql.topLevelKeywordIndex) would cut a MERGE clause at the first
+    * `CASE WHEN` inside an ON condition or SET expression. */
+  private def clauseKeywordIndex(text: String, kw: String): Int = {
+    var depth = 0; var caseDepth = 0; var i = 0
+    while (i < text.length) {
+      text(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          while (i < text.length && text(i) != q) {
+            if (text(i) == '\\' && q != '`' && i + 1 < text.length) i += 2 else i += 1
+          }
+          i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c if c.isLetter || c == '_' =>
+          val start = i
+          while (i < text.length && (text(i).isLetterOrDigit || text(i) == '_')) i += 1
+          val word = text.substring(start, i)
+          if (depth == 0) {
+            if (word.equalsIgnoreCase("CASE") || word.equalsIgnoreCase("MATCH")) caseDepth += 1
+            else if (word.equalsIgnoreCase("END") && caseDepth > 0) caseDepth -= 1
+            else if (caseDepth == 0 && word.equalsIgnoreCase(kw)) return start
+          }
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
   /** Parse `stmt` as MERGE, or None if it is not one. Malformed MERGE
     * throws (a statement that names the verb must not fall through to the
     * stock parser, which would produce a misleading error). */
@@ -48,7 +80,7 @@ private[graft] object Merge {
     case Head(table, aliasOpt, rest0) =>
       val tableAlias = Option(aliasOpt).getOrElse(table)
       // source spec runs up to the top-level ON
-      val onIdx = Sql.topLevelKeywordIndex(rest0, "ON")
+      val onIdx = clauseKeywordIndex(rest0, "ON")
       require(onIdx > 0, s"MERGE: expected ON <condition> in: $stmt")
       val (srcSpec, afterOn) = (rest0.substring(0, onIdx).trim, rest0.substring(onIdx + 2))
       val (sourceSql, sourceAlias) =
@@ -58,7 +90,7 @@ private[graft] object Merge {
           val alias = srcSpec.substring(close + 1).trim match {
             case a if a.isEmpty => throw new IllegalArgumentException(
               "MERGE: a source subquery needs an alias")
-            case a => a.stripPrefix("AS ").stripPrefix("as ").trim
+            case a => a.replaceFirst("(?i)^AS\\s+", "").trim
           }
           (Right(srcSpec.substring(1, close)): Either[String, String], alias)
         } else srcSpec.split("\\s+").toSeq match {
@@ -70,14 +102,14 @@ private[graft] object Merge {
             s"MERGE: cannot parse source '$srcSpec'")
         }
       // condition runs up to the first top-level WHEN
-      val whenIdx = Sql.topLevelKeywordIndex(afterOn, "WHEN")
+      val whenIdx = clauseKeywordIndex(afterOn, "WHEN")
       require(whenIdx > 0, s"MERGE: expected at least one WHEN clause in: $stmt")
       val cond = afterOn.substring(0, whenIdx).trim
       // split the remaining text into WHEN clauses
       var rest = afterOn.substring(whenIdx)
       val clauses = Seq.newBuilder[String]
       while (rest.nonEmpty) {
-        val next = Sql.topLevelKeywordIndex(rest.substring(4), "WHEN") match {
+        val next = clauseKeywordIndex(rest.substring(4), "WHEN") match {
           case -1 => rest.length
           case i => i + 4
         }
@@ -111,7 +143,7 @@ private[graft] object Merge {
           val body = ins.trim
           if (body == "*") notMatched = Some(InsertAction(None))
           else {
-            val vIdx = Sql.topLevelKeywordIndex(body, "VALUES")
+            val vIdx = clauseKeywordIndex(body, "VALUES")
             require(vIdx > 0, s"MERGE: expected INSERT (cols) VALUES (exprs), got: $body")
             def parenList(s: String): Seq[String] = {
               val t = s.trim

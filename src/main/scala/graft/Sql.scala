@@ -118,13 +118,17 @@ object Sql {
     * then recorded in the persistent catalog (recording first would
     * persist ill-typed declarations). DELETE/UPDATE on warehouse tables
     * run as copy-on-write rewrites. Returns the result for rendering. */
+  /** Run SQL text through the ADT-aware path: the injected parser if this
+    * session has it, the source-to-source rewriter otherwise. */
+  private[graft] def runSql(spark: SparkSession, text: String): DataFrame =
+    if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser])
+      spark.sql(text)
+    else graft.adt.AdtSql.sql(spark, text)
+
   def execute(spark: SparkSession, warehouse: String, stmt: String): DataFrame = {
     def rewriteExpr(text: String): String =
       graft.adt.AdtSql.rewrite(spark, text)
-    def runSql(text: String): DataFrame =
-      if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser])
-        spark.sql(text)
-      else graft.adt.AdtSql.sql(spark, text)
+    def runSql(text: String): DataFrame = Sql.runSql(spark, text)
     // A WHERE-less DELETE/UPDATE is legal SQL: it touches every row. The
     // WHERE match needs a word boundary — "WHEREX > 1" must be a syntax
     // error, not a predicate on X.
@@ -198,7 +202,12 @@ object Sql {
           GraftCatalog.recordType(warehouse, stmt)
         else if (GraftCatalog.isCreateView(stmt))
           GraftCatalog.recordView(warehouse, stmt)
-        else if (GraftCatalog.analyzeTableName(stmt).isDefined)
+        // record only ANALYZE of WAREHOUSE tables: analyzing a fixture temp
+        // view succeeds in Spark but the view won't exist at restore time,
+        // and a recorded statement with no DROP path would replay (and
+        // re-scan) forever
+        else if (GraftCatalog.analyzeTableName(stmt).exists(n =>
+                   java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warehouse, n))))
           GraftCatalog.recordAnalyze(warehouse, stmt)
         else if (!dropHitsTempView)
           GraftCatalog.dropViewName(stmt).foreach(GraftCatalog.forgetView(warehouse, _))
@@ -213,90 +222,105 @@ object Sql {
     * updated/kept matched rows ∪ inserted not-matched source rows.
     */
   private def executeMerge(spark: SparkSession, warehouse: String,
-                           spec: Merge.MergeSpec): DataFrame = {
+                           spec: Merge.MergeSpec): DataFrame =
+    copyOnWrite(spark, warehouse, spec.table)(mergeResult(spark, _, spec))
+
+  /** Assemble the MERGE result set from the before-image (pure relative to
+    * the warehouse — `private[graft]` so plan gates can inspect the join
+    * tree it builds without running a copy-on-write swap). */
+  private[graft] def mergeResult(spark: SparkSession,
+                                 before0: DataFrame,
+                                 spec: Merge.MergeSpec): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit, monotonically_increasing_id}
     def rw(text: String): String = graft.adt.AdtSql.rewrite(spark, text)
-    copyOnWrite(spark, warehouse, spec.table) { before0 =>
-      // Freeze a synthetic row id so "matched" is decided against stable
-      // identities: monotonically_increasing_id is plan-dependent, and the
-      // before-image is referenced by several branches below — the eager
-      // checkpoint pins one assignment for all of them.
-      val before = before0.withColumn("__rid", monotonically_increasing_id())
-        .localCheckpoint(true).alias(spec.tableAlias)
-      val tCols = before.columns.filterNot(_ == "__rid").toIndexedSeq
-      def tType(c: String) = before.schema(c).dataType
-      val src = (spec.sourceSql match {
-        case Left(name) => spark.table(name)
-        case Right(sql) =>
-          if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser]) spark.sql(sql)
-          else graft.adt.AdtSql.sql(spark, sql)
-      }).alias(spec.sourceAlias)
-      def cond = expr(rw(spec.cond))
-      val m = before.join(src, cond) // matched (target, source) pairs
-      // SQL-standard guard: a target row matching more than one source row
-      // makes UPDATE/DELETE nondeterministic — error, never pick one.
+    // Freeze a synthetic row id so "matched" is decided against stable
+    // identities: monotonically_increasing_id is plan-dependent, and the
+    // before-image is referenced by several branches below — the eager
+    // checkpoint pins one assignment for all of them.
+    val before = before0.withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint(true).alias(spec.tableAlias)
+    val tCols = before.columns.filterNot(_ == "__rid").toIndexedSeq
+    def tType(c: String) = before.schema(c).dataType
+    // a SET/INSERT target column may be written qualified (`t.col`) —
+    // accept the target alias or table name as a prefix
+    def targetCol(c: String): String = {
+      val bare = Seq(s"${spec.tableAlias}.", s"${spec.table}.")
+        .collectFirst { case p if c.length > p.length && c.regionMatches(true, 0, p, 0, p.length) =>
+          c.substring(p.length) }
+        .getOrElse(c).trim.stripPrefix("`").stripSuffix("`")
+      tCols.find(_.equalsIgnoreCase(bare)).getOrElse(
+        throw new IllegalArgumentException(s"MERGE: no column '$c' in ${spec.table}"))
+    }
+    val src = (spec.sourceSql match {
+      case Left(name) => spark.table(name)
+      case Right(sql) => runSql(spark, sql)
+    }).alias(spec.sourceAlias)
+    def cond = expr(rw(spec.cond))
+    val m = before.join(src, cond) // matched (target, source) pairs
+    // SQL-standard guard: a target row matching more than one source row
+    // makes UPDATE/DELETE nondeterministic — error, never pick one. An
+    // insert-only merge is exempt (no matched action exists, so multiple
+    // matches are harmless and legal).
+    if (spec.matched.isDefined) {
       val dup = m.groupBy(col("__rid")).count()
         .filter(col("count") > 1).limit(1).count()
       require(dup == 0,
         s"MERGE: a ${spec.table} row matches more than one source row")
-      val matchedRids = m.select(col("__rid"))
-      val untouched = before.join(matchedRids, Seq("__rid"), "left_anti")
-        .select(tCols.map(c => col(s"`$c`")): _*)
-      // qualified reference to the TARGET side of the join (source may
-      // share column names)
-      def tRef(c: String) = col(s"${spec.tableAlias}.`$c`")
-      val survivors = spec.matched match {
-        case Some(Merge.DeleteAction) => untouched
-        case Some(Merge.UpdateAction(sets)) =>
-          val dupes = sets.groupBy(_._1.toLowerCase).filter(_._2.length > 1).keys
-          require(dupes.isEmpty,
-            s"MERGE: column(s) assigned more than once: ${dupes.mkString(", ")}")
-          val resolved = sets.map { case (c, e) =>
-            tCols.find(_.equalsIgnoreCase(c)).getOrElse(
-              throw new IllegalArgumentException(
-                s"MERGE: no column '$c' in ${spec.table}")) -> rw(e)
-          }.toMap
-          // ONE projection over the joined pair: every SET expression sees
-          // the OLD target row and the source row (SQL UPDATE semantics)
-          val updated = m.select(tCols.map { c =>
-            resolved.get(c) match {
-              case Some(e) => expr(e).cast(tType(c)).as(c)
-              case None => tRef(c).as(c)
-            }
-          }: _*)
-          untouched.unionAll(updated)
-        case None =>
-          untouched.unionAll(m.select(tCols.map(c => tRef(c).as(c)): _*))
-      }
-      spec.notMatched match {
-        case None => survivors
-        case Some(ins) =>
-          val anti = src.join(before, cond, "left_anti")
-          val inserted = ins.colsValues match {
-            case None => // INSERT *: source columns matched by name
-              anti.select(tCols.map { c =>
-                src.columns.find(_.equalsIgnoreCase(c)) match {
-                  case Some(sc) => col(s"`$sc`").cast(tType(c)).as(c)
-                  case None => lit(null).cast(tType(c)).as(c)
-                }
-              }: _*)
-            case Some((cols, values)) =>
-              val vmap = cols.zip(values).map { case (c, v) =>
-                tCols.find(_.equalsIgnoreCase(c)).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"MERGE: no column '$c' in ${spec.table}")) -> v
-              }.toMap
-              require(vmap.size == cols.size,
-                s"MERGE: duplicate insert column in (${cols.mkString(", ")})")
-              anti.select(tCols.map { c =>
-                vmap.get(c) match {
-                  case Some(v) => expr(rw(v)).cast(tType(c)).as(c)
-                  case None => lit(null).cast(tType(c)).as(c)
-                }
-              }: _*)
-          }
-          survivors.unionAll(inserted)
-      }
+    }
+    // qualified reference to the TARGET side of the join (source may
+    // share column names)
+    def tRef(c: String) = col(s"${spec.tableAlias}.`$c`")
+    val survivors = spec.matched match {
+      case None =>
+        // no matched action: every target row survives unchanged
+        before.select(tCols.map(c => col(s"`$c`")): _*)
+      case Some(action) =>
+        val matchedRids = m.select(col("__rid"))
+        val untouched = before.join(matchedRids, Seq("__rid"), "left_anti")
+          .select(tCols.map(c => col(s"`$c`")): _*)
+        action match {
+          case Merge.DeleteAction => untouched
+          case Merge.UpdateAction(sets) =>
+            val resolved = sets.map { case (c, e) => targetCol(c) -> rw(e) }
+            val dupes = resolved.groupBy(_._1).filter(_._2.length > 1).keys
+            require(dupes.isEmpty,
+              s"MERGE: column(s) assigned more than once: ${dupes.mkString(", ")}")
+            // ONE projection over the joined pair: every SET expression sees
+            // the OLD target row and the source row (SQL UPDATE semantics)
+            val rmap = resolved.toMap
+            val updated = m.select(tCols.map { c =>
+              rmap.get(c) match {
+                case Some(e) => expr(e).cast(tType(c)).as(c)
+                case None => tRef(c).as(c)
+              }
+            }: _*)
+            untouched.unionAll(updated)
+        }
+    }
+    spec.notMatched match {
+      case None => survivors
+      case Some(ins) =>
+        val anti = src.join(before, cond, "left_anti")
+        val inserted = ins.colsValues match {
+          case None => // INSERT *: source columns matched by name
+            anti.select(tCols.map { c =>
+              src.columns.find(_.equalsIgnoreCase(c)) match {
+                case Some(sc) => col(s"`$sc`").cast(tType(c)).as(c)
+                case None => lit(null).cast(tType(c)).as(c)
+              }
+            }: _*)
+          case Some((cols, values)) =>
+            val vmap = cols.zip(values).map { case (c, v) => targetCol(c) -> v }.toMap
+            require(vmap.size == cols.size,
+              s"MERGE: duplicate insert column in (${cols.mkString(", ")})")
+            anti.select(tCols.map { c =>
+              vmap.get(c) match {
+                case Some(v) => expr(rw(v)).cast(tType(c)).as(c)
+                case None => lit(null).cast(tType(c)).as(c)
+              }
+            }: _*)
+        }
+        survivors.unionAll(inserted)
     }
   }
 

@@ -57,8 +57,11 @@ object Tables {
   private[graft] def scratchRootForTest: java.nio.file.Path = scratchRoot
 
   def scratchDir(prefix: String): java.nio.file.Path =
+    // zero-padded sequence so lexicographic order == creation order (tests
+    // pick "the latest dir for a prefix" by name sort; "-9" > "-12" would
+    // select a stale directory)
     java.nio.file.Files.createDirectory(
-      scratchRoot.resolve(s"$prefix-${scratchSeq.incrementAndGet()}"))
+      scratchRoot.resolve(f"$prefix-${scratchSeq.incrementAndGet()}%06d"))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark 4.1.2 rejects it unless
     * `nanosAsLong` is set, after which it surfaces as LONG nanoseconds.

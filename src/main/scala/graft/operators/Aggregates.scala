@@ -171,12 +171,14 @@ object Aggregates {
 
     // min_by/max_by (argmin/argmax): which customer holds the extreme
     // balance per market segment. The ordering key packs (balance, custkey)
-    // into one BIGINT — round(bal·100)·10⁷ + custkey, exact within 53-bit
-    // doubles — because (segment, acctbal) ties DO occur at sf0.1 and a bare
-    // arg_max would be nondeterministic (SURVEY §7.3 R2).
+    // into one BIGINT — round(bal·100)·2³⁶ + custkey — because (segment,
+    // acctbal) ties DO occur at sf0.1 and a bare arg_max would be
+    // nondeterministic (SURVEY §7.3 R2). The 36-bit shift keeps the packing
+    // collision-free for custkeys up to ~6.9·10¹⁰ (TPC-H SF ~450 000) while
+    // bal·100·2³⁶ ≤ 10⁸·2³⁶ ≈ 6.9·10¹⁸ stays inside the BIGINT range.
     "agg_argminmax" -> Decl(
       (s, d) => {
-        val ord = round(col("c_acctbal") * 100, 0).cast("bigint") * 10000000L +
+        val ord = round(col("c_acctbal") * 100, 0).cast("bigint") * 68719476736L +
           col("c_custkey")
         Tables(s, d, "customer")
           .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), ord.as("ord"))
@@ -188,9 +190,9 @@ object Aggregates {
           .orderBy("c_mktsegment")
       },
       Some("""SELECT c_mktsegment,
-             |arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest_cust,
+             |arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 68719476736 + c_custkey) AS richest_cust,
              |round(max(c_acctbal), 2) AS max_bal,
-             |arg_min(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS poorest_cust,
+             |arg_min(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 68719476736 + c_custkey) AS poorest_cust,
              |round(min(c_acctbal), 2) AS min_bal
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 

@@ -133,9 +133,12 @@ object Relational {
           min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
           min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
         li.crossJoin(broadcast(dom))
+          // greatest(…, 1) guards the degenerate single-valued domain: Spark
+          // DIV would yield NULL where DuckDB's // raises — a silent
+          // cross-engine divergence; with the guard both map to z-bits 0.
           .withColumn("z", graft.functions.ZOrder.interleave16(
-            expr("((l_partkey - pmin) * 65535) DIV (pmax - pmin)"),
-            expr("((l_suppkey - smin) * 65535) DIV (smax - smin)")))
+            expr("((l_partkey - pmin) * 65535) DIV greatest(pmax - pmin, 1)"),
+            expr("((l_suppkey - smin) * 65535) DIV greatest(smax - smin, 1)")))
           .drop("pmin", "pmax", "smin", "smax")
           .repartitionByRange(8, col("z"))
           .sortWithinPartitions("z")
@@ -147,8 +150,8 @@ object Relational {
              |             FROM lineitem)
              |SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice,
              |CAST(list_sum(list_transform(range(0, 16), i ->
-             |  (((((l_partkey - pmin) * 65535) // (pmax - pmin) >> i) & 1) << (2 * i)) +
-             |  (((((l_suppkey - smin) * 65535) // (smax - smin) >> i) & 1) << (2 * i + 1))
+             |  (((((l_partkey - pmin) * 65535) // greatest(pmax - pmin, 1) >> i) & 1) << (2 * i)) +
+             |  (((((l_suppkey - smin) * 65535) // greatest(smax - smin, 1) >> i) & 1) << (2 * i + 1))
              |)) AS BIGINT) AS z
              |FROM lineitem, dom ORDER BY ALL NULLS FIRST""".stripMargin)),
 

@@ -143,6 +143,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  // The MERGE result set is assembled behind a copy-on-write swap (the
+  // declared sink_merge_upsert key reads back a plain parquet file), so the
+  // cartesian sweep above never sees its join tree. Build the result
+  // assembly directly and sweep it: the matched-pair join and the
+  // insert-arm anti join must plan as hash joins, never cartesians.
+  test("MERGE result assembly plans without cartesian joins") {
+    val sp = spark
+    Tables(sp, sf, "orders").createOrReplaceTempView("orders")
+    val spec = Merge.parse(
+      """MERGE INTO t USING (SELECT o_orderkey AS k, o_totalprice AS p FROM orders) s
+        |ON t.o_orderkey = s.k
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) VALUES (s.k, s.p)""".stripMargin).get
+    val before = Tables(sp, sf, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val plan = Sql.mergeResult(sp, before, spec).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in MERGE plan:\n$plan")
+  }
+
+  /** Directory listing with the stream closed (the JDK leaks a directory
+    * fd otherwise — same guard GraftCatalog uses). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(p)
+    try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+    finally s.close()
+  }
+
+  /** The scratch directory a just-run query created for `prefix` — the
+    * highest sequence number (scratchDir zero-pads, so name order is
+    * creation order). */
+  private def latestScratch(prefix: String): java.nio.file.Path =
+    listDir(Tables.scratchRootForTest)
+      .filter(_.getFileName.toString.startsWith(prefix)).max
+
   test("z-order layout narrows per-file min/max on BOTH clustering columns") {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -151,8 +184,7 @@ class ScaleSpec extends AnyFunSuite {
     // per-file [min, max] width of `column` across all parquet files in dir,
     // averaged and normalized by the global domain width
     def avgRangeFraction(dir: java.nio.file.Path, column: String, domain: Double): Double = {
-      val files = java.nio.file.Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      val files = listDir(dir).filter(_.getFileName.toString.endsWith(".parquet"))
       assert(files.nonEmpty, s"no parquet files under $dir")
       val fractions = files.map { f =>
         val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
@@ -172,10 +204,7 @@ class ScaleSpec extends AnyFunSuite {
     }
     // the declared query writes the z-clustered layout
     SparkEntry.queries("layout_zorder")(sp, sf).count()
-    val zdir = java.nio.file.Files.list(Tables.scratchRootForTest)
-      .filter(_.getFileName.toString.startsWith("graft_zorder"))
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .findFirst().get().resolve("lineitem_z")
+    val zdir = latestScratch("graft_zorder").resolve("lineitem_z")
     // control: same data, same file count, clustered by the UNRELATED
     // orderkey — every file spans ~the full partkey/suppkey domain
     val ctl = Tables.scratchDir("graft_zctl").resolve("lineitem_o")
@@ -203,17 +232,13 @@ class ScaleSpec extends AnyFunSuite {
     // run the declared query (it writes, then reads back) so the assertion
     // covers the exact layout the contract key produces
     SparkEntry.queries("sink_compacted")(sp, sf).count()
-    val root = java.nio.file.Files.list(Tables.scratchRootForTest)
-      .filter(_.getFileName.toString.startsWith("graft_compact"))
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .findFirst().get().resolve("docs_by_lang")
-    val langDirs = java.nio.file.Files.list(root).filter(p =>
+    val root = latestScratch("graft_compact").resolve("docs_by_lang")
+    val langDirs = listDir(root).filter(p =>
       java.nio.file.Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("lang=")).toArray
+        p.getFileName.toString.startsWith("lang="))
     assert(langDirs.length >= 2, s"expected lang= partition dirs under $root")
-    langDirs.foreach { case p: java.nio.file.Path =>
-      val files = java.nio.file.Files.list(p)
-        .filter(_.getFileName.toString.endsWith(".parquet")).count()
+    langDirs.foreach { p =>
+      val files = listDir(p).count(_.getFileName.toString.endsWith(".parquet"))
       assert(files == 1, s"$p has $files parquet files; compaction should leave 1")
     }
   }

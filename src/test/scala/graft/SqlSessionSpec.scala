@@ -158,6 +158,23 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(err.getMessage.contains("more than one source row"), err.getMessage)
     assert(s1.sql("SELECT count(*) FROM merged").head.getLong(0) == beforeCount)
     assert(s1.sql("SELECT name FROM merged WHERE k = 0").head.getString(0) == "ZERO")
+
+    // an INSERT-ONLY merge tolerates multi-match sources (no matched action
+    // → nothing nondeterministic), and CASE WHEN inside a clause expression
+    // must not be mistaken for a WHEN clause boundary
+    Sql.execute(s1, warehouse,
+      """MERGE INTO merged USING (SELECT * FROM VALUES (0, 'A'), (0, 'B'), (11, 'ELEVEN') AS v(k, nm)) s
+        |ON merged.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, name)
+        |VALUES (s.k, CASE WHEN s.nm = 'ELEVEN' THEN 'XI' ELSE s.nm END)""".stripMargin).collect()
+    assert(s1.sql("SELECT name FROM merged WHERE k = 11").head.getString(0) == "XI")
+    assert(s1.sql("SELECT name FROM merged WHERE k = 0").head.getString(0) == "ZERO")
+    Sql.execute(s1, warehouse,
+      """MERGE INTO merged USING (SELECT 11 AS k, 'once' AS nm) s
+        |ON merged.k = s.k
+        |WHEN MATCHED THEN UPDATE SET `name` = CASE WHEN s.nm = 'once' THEN 'ONCE' ELSE merged.name END""".stripMargin)
+      .collect()
+    assert(s1.sql("SELECT name FROM merged WHERE k = 11").head.getString(0) == "ONCE")
     s1.stop()
   }
 
