@@ -170,6 +170,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map("GOLD" -> 2L, "SILVER" -> 1L))
   }
 
+  // Streaming CDC upsert: each micro-batch MERGEs into a warehouse table
+  // through the session's copy-on-write machinery — the foreachBatch +
+  // MERGE pattern every incremental training-data ingest runs. Later
+  // micro-batches overwrite earlier values for the same key; new keys
+  // insert.
+  test("foreachBatch MERGE upserts each micro-batch into a warehouse table") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val wh = Tables.scratchDir("graft_whstream").toString
+    Seq((1L, "init1"), (2L, "init2")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$wh/cdc_target")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("k", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the micro-batch runs in a cloned session — register the view and
+        // execute the merge THERE, not in the outer session
+        batch.createOrReplaceTempView("cdc_batch")
+        Sql.execute(batch.sparkSession, wh,
+          """MERGE INTO cdc_target t
+            |USING (SELECT k, v FROM cdc_batch) s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+        ()
+      }
+      .start()
+    mem.addData((2L, "updated2"), (3L, "inserted3"))
+    q.processAllAvailable()
+    mem.addData((3L, "updated3"))
+    q.processAllAvailable()
+    q.stop()
+    val got = sp.read.parquet(s"$wh/cdc_target").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "init1", 2L -> "updated2", 3L -> "updated3"), got.toString)
+  }
+
   test("stream-stream interval join matches the batch formulation") {
     val sp = spark; import sp.implicits._
     implicit val sq = sp.sqlContext
