@@ -112,6 +112,32 @@ class SqlSessionSpec extends AnyFunSuite {
     s3.stop()
   }
 
+  test("ADT-typed columns persist through the warehouse and MATCH after restart") {
+    val warehouse = Tables.scratchDir("graft_whadt").toString
+    val s1 = freshSession(warehouse)
+    Tables(s1, sf, "orders").createOrReplaceTempView("orders")
+    Sql.execute(s1, warehouse, "CREATE TYPE Pay = Cash | Card(bank TEXT)")
+    // the tagged-struct encoding is plain parquet — a CTAS with an ADT
+    // constructor column round-trips storage like any other column
+    Sql.execute(s1, warehouse,
+      """CREATE TABLE pays USING parquet AS
+        |SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN Pay.Cash() ELSE Pay.Card('acme') END AS pay
+        |FROM orders""".stripMargin).collect()
+    val s2 = freshSession(warehouse)
+    GraftCatalog.restore(s2, warehouse)
+    // the restored TYPE and the restored TABLE compose: pattern match over
+    // the stored tagged structs in a brand-new session
+    val m = s2.sql(
+      """SELECT MATCH (pay) WHEN Cash THEN 'cash' WHEN Card(b) THEN b END AS how,
+        |count(*) AS n FROM pays GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables(s2, sf, "orders").count()
+    assert(m.keySet == Set("acme", "cash"), m.toString)
+    assert(m.values.sum == total, s"$m vs $total rows")
+    s2.stop()
+  }
+
   test("MERGE INTO upserts, deletes, and rejects multi-match sources") {
     val warehouse = Tables.scratchDir("graft_whmerge").toString
     val s1 = freshSession(warehouse)
