@@ -205,27 +205,51 @@ object PipelineExt {
       },
       None),
 
-    // IVF-style routed search: coarse centroids (mean vector per label, i.e.
-    // the cluster structure the data ships with), route the query to its 3
-    // nearest centroids, scan only those partitions for the top-10. At scale
-    // the routed scan reads ~nprobe/nlist of the data instead of all of it.
+    // IVF routed search with REAL k-means cells: label means seed the
+    // centroids, two deterministic Lloyd iterations refine them (assign →
+    // recompute), vectors are routed to their final cell, and the query
+    // scans only its 3 nearest cells for the top-10. At scale the routed
+    // scan reads ~nprobe/nlist of the data; the assign passes are
+    // broadcast-nested-loop over nlist centroids (tiny) × one data scan
+    // each — the standard IVF build cost, amortized over every query.
+    // Determinism: centroid coordinates round to 6 dp (kills partial-agg
+    // ULP noise), assignment tie-breaks by lowest cell id.
     "sim_ann_ivf" -> Decl(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        // centroid per label: elementwise mean via posexplode + regroup
-        val cent = emb
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy("label", "pos").agg(avg(col("x")).as("m"))
-          .groupBy("label")
+        // elementwise mean centroid per cell: one posexplode partial-agg
+        // shuffle of scalars, no per-cell array buffering
+        def centroidOf(assigned: DataFrame): DataFrame = assigned
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+          .groupBy("cid")
           .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("label").as("c_label"),
-                  expr("transform(pm, p -> CAST(p.m AS FLOAT))").as("centroid"))
+          .select(col("cid"),
+                  expr("transform(pm, p -> CAST(round(p.m, 6) AS FLOAT))").as("centroid"))
+        // deterministic integer cell ids seeded from the label partition
+        val w = org.apache.spark.sql.expressions.Window.orderBy("label")
+        val labelIds = emb.select("label").distinct()
+          .withColumn("cid", row_number().over(w))
+        def assignTo(cent: DataFrame): DataFrame = emb
+          .crossJoin(broadcast(cent))
+          .withColumn("sc", round(VectorOps.cosine(col("embedding"), col("centroid")), 6))
+          .groupBy("vec_id")
+          .agg(max_by(col("cid"), struct(col("sc"), -col("cid"))).as("cid"))
+        var cent = centroidOf(
+          emb.join(broadcast(labelIds), "label").select(col("cid"), col("embedding")))
+          .localCheckpoint(true) // keep each Lloyd round's plan shallow
+        for (_ <- 1 to 2)
+          cent = centroidOf(
+            emb.join(assignTo(cent), "vec_id").select(col("cid"), col("embedding")))
+            .localCheckpoint(true)
+        val cells = assignTo(cent) // final (vec_id, cid) routing table
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         val probes = cent.crossJoin(broadcast(q))
-          .select(col("c_label"), VectorOps.cosine(col("centroid"), col("qv")).as("cscore"))
-          .orderBy(col("cscore").desc, col("c_label").asc)
+          .select(col("cid"), VectorOps.cosine(col("centroid"), col("qv")).as("cscore"))
+          .orderBy(col("cscore").desc, col("cid").asc)
           .limit(3)
-        emb.join(broadcast(probes), emb("label") === probes("c_label"))
+        emb.join(cells, "vec_id")
+          .join(broadcast(probes.select("cid")), "cid")
           .filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"), round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("cos"))
