@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // window top-k (`row_number() <= k`, rn dropped) → native bounded-heap
+    // TopKPerKey: no per-partition sort, no window evaluation
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     // ADT grammar (CREATE TYPE / constructors / MATCH…END) in front of the
     // stock parser — the reference's typechecked sum-type SQL surface.
     e.injectParser((session, delegate) => new graft.adt.AdtParser(session, delegate))

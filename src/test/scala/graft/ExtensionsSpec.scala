@@ -28,5 +28,29 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT vec_dot(array(1), array(CAST(1.0 AS FLOAT)))").collect()
     }
     assert(err.getMessage.contains("vec_dot") || err.getMessage.contains("DATATYPE"))
+
+    // --- TopKRewrite: row_number()<=k with rn dropped → native TopKPerKey
+    Tables(spark, "/root/testdata/sf0.001", "orders").createOrReplaceTempView("orders")
+    val rewritten = spark.sql(
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected native TopKPerKey in:\n$plan")
+    assert(!plan.contains("Window"), s"window should be eliminated:\n$plan")
+    // keeping rn in the output blocks the rewrite (the window must run)
+    val kept = spark.sql(
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin)
+    assert(kept.queryExecution.executedPlan.toString.contains("Window"))
+    // same rows either way
+    assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+           kept.select("o_custkey", "o_orderkey")
+             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 }
