@@ -217,32 +217,23 @@ object PipelineExt {
     "sim_ann_ivf" -> Decl(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        // elementwise mean centroid per cell: one posexplode partial-agg
-        // shuffle of scalars, no per-cell array buffering
-        def centroidOf(assigned: DataFrame): DataFrame = assigned
-          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-          .groupBy("cid")
-          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("cid"),
-                  expr("transform(pm, p -> CAST(round(p.m, 6) AS FLOAT))").as("centroid"))
-        // deterministic integer cell ids seeded from the label partition
-        val w = org.apache.spark.sql.expressions.Window.orderBy("label")
-        val labelIds = emb.select("label").distinct()
-          .withColumn("cid", row_number().over(w))
-        def assignTo(cent: DataFrame): DataFrame = emb
-          .crossJoin(broadcast(cent))
-          .withColumn("sc", round(VectorOps.cosine(col("embedding"), col("centroid")), 6))
-          .groupBy("vec_id")
-          .agg(max_by(col("cid"), struct(col("sc"), -col("cid"))).as("cid"))
-        var cent = centroidOf(
-          emb.join(broadcast(labelIds), "label").select(col("cid"), col("embedding")))
-          .localCheckpoint(true) // keep each Lloyd round's plan shallow
+        // Each Lloyd round is checkpointed: `cent` is consumed by the next
+        // assignment AND the probe routing, and without truncation the
+        // final plan nests every round's full join tree. (The eager
+        // checkpoints mean even constructing this DataFrame runs the
+        // k-means build — same construction-time-materialization tradeoff
+        // the pair pipelines make; the LAZY single-round shape is exposed
+        // as ivfAssignLazy for plan gates.)
+        var cent = ivfCentroidOf(
+          emb.join(broadcast(ivfLabelSeed(s, d)), "label")
+            .select(col("cid"), col("embedding")))
+          .localCheckpoint(true)
         for (_ <- 1 to 2)
-          cent = centroidOf(
-            emb.join(assignTo(cent), "vec_id").select(col("cid"), col("embedding")))
+          cent = ivfCentroidOf(
+            emb.join(ivfAssignLazy(s, d, cent), "vec_id")
+              .select(col("cid"), col("embedding")))
             .localCheckpoint(true)
-        val cells = assignTo(cent) // final (vec_id, cid) routing table
+        val cells = ivfAssignLazy(s, d, cent) // final (vec_id, cid) routing
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         val probes = cent.crossJoin(broadcast(q))
           .select(col("cid"), VectorOps.cosine(col("centroid"), col("qv")).as("cscore"))
@@ -600,6 +591,36 @@ object PipelineExt {
   /** DuckDB list literal from strings. */
   private def dlist(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Deterministic integer cell ids seeding the IVF k-means from the label
+    * partition (lazy). */
+  private[graft] def ivfLabelSeed(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("label")
+    Tables(s, d, "embeddings").select("label").distinct()
+      .withColumn("cid", row_number().over(w))
+  }
+
+  /** Elementwise mean centroid per cell: one posexplode partial-agg shuffle
+    * of scalars, no per-cell array buffering. Coordinates round to 6 dp so
+    * partial-agg ULP noise cannot flip downstream assignments. */
+  private[graft] def ivfCentroidOf(assigned: DataFrame): DataFrame = assigned
+    .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+    .groupBy("cid")
+    .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+    .select(col("cid"),
+            expr("transform(pm, p -> CAST(round(p.m, 6) AS FLOAT))").as("centroid"))
+
+  /** One Lloyd assignment pass of every vector to its best cell in `cent` —
+    * LAZY (no checkpoint), so ScaleSpec's cartesian gate can inspect the
+    * broadcast-nested-loop shape the checkpointed query hides. Ties break
+    * to the lowest cell id. */
+  private[graft] def ivfAssignLazy(s: SparkSession, d: String, cent: DataFrame): DataFrame =
+    Tables(s, d, "embeddings")
+      .crossJoin(broadcast(cent))
+      .withColumn("sc", round(VectorOps.cosine(col("embedding"), col("centroid")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sc"), -col("cid"))).as("cid"))
 
   /** LAZY 64-bit SimHash pair pipeline (hamming ≤ 3 via 4×16-bit banding),
     * NOT yet checkpointed — returned with the persisted signature table so

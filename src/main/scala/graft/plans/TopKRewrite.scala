@@ -28,13 +28,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
-  /** `rn <= k` in its equivalent literal forms → (rn, k). */
+  /** `rn <= k` in its equivalent literal forms → (rn, k). The strict forms
+    * guard `k > Int.MinValue` so `k - 1` cannot wrap to Int.MaxValue and
+    * turn an always-false filter into top-everything. */
   private object RnBound {
     def unapply(cond: Expression): Option[(Attribute, Int)] = cond match {
       case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) => Some((a, k))
-      case LessThan(a: Attribute, IntegerLiteral(k)) => Some((a, k - 1))
+      case LessThan(a: Attribute, IntegerLiteral(k)) if k > Int.MinValue => Some((a, k - 1))
       case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) => Some((a, k))
-      case GreaterThan(IntegerLiteral(k), a: Attribute) => Some((a, k - 1))
+      case GreaterThan(IntegerLiteral(k), a: Attribute) if k > Int.MinValue => Some((a, k - 1))
       case EqualTo(a: Attribute, IntegerLiteral(1)) => Some((a, 1))
       case _ => None
     }
@@ -48,6 +50,9 @@ object TopKRewrite extends Rule[LogicalPlan] {
             WindowSpecDefinition(part, ord, _)), _)),
           _, _, wchild, _)))
         if k > 0 && rn.exprId == al.exprId &&
+          // a global (unpartitioned) top-k is TakeOrderedAndProject's job —
+          // and TopKPerKeyExec's ClusteredDistribution(Nil) would throw
+          part.nonEmpty &&
           projectList.forall(_.references.subsetOf(wchild.outputSet)) &&
           part.forall(_.deterministic) && ord.forall(_.deterministic) =>
       // if InferWindowGroupLimit already inserted its pre-filter, subsume

@@ -52,5 +52,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
            kept.select("o_custkey", "o_orderkey")
              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // a GLOBAL (unpartitioned) top-k must NOT be rewritten — that is
+    // TakeOrderedAndProject's job, and a keyless TopKPerKey cannot plan
+    val global = spark.sql(
+      """SELECT o_orderkey FROM (
+        |  SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 5""".stripMargin)
+    assert(!global.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(global.collect().length == 5)
   }
 }

@@ -38,10 +38,16 @@ class ScaleSpec extends AnyFunSuite {
   // variants explicitly so a cartesian regression in the pipelines
   // themselves cannot hide behind the checkpoint.
   test("checkpointed pair pipelines have no cartesian upstream of the checkpoint") {
+    val ivfLazy = operators.PipelineExt.ivfAssignLazy(spark, sf,
+      operators.PipelineExt.ivfCentroidOf(
+        Tables(spark, sf, "embeddings")
+          .join(broadcast(operators.PipelineExt.ivfLabelSeed(spark, sf)), "label")
+          .select(col("cid"), col("embedding"))))
     val lazyPipelines = Seq(
       "dedup_near_minhash" -> operators.Pipeline.minhashPairs(spark, sf),
       "dedup_simhash" -> operators.PipelineExt.simhashPairs(spark, sf),
-      "dedup_ngram_jaccard" -> operators.PipelineExt.ngramJaccardPairsLazy(spark, sf))
+      "dedup_ngram_jaccard" -> operators.PipelineExt.ngramJaccardPairsLazy(spark, sf),
+      "sim_ann_ivf (one Lloyd round)" -> ((ivfLazy, Seq.empty[org.apache.spark.sql.DataFrame])))
     val offenders = lazyPipelines.flatMap { case (name, (df, cached)) =>
       val plan = df.queryExecution.executedPlan.toString
       cached.foreach(_.unpersist())
