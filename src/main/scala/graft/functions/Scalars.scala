@@ -220,5 +220,29 @@ object Scalars {
       Some("""SELECT doc_id,
              |md5(lower(trim(text))) AS md5_norm,
              |sha256(text) AS sha256_raw
-             |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin)))
+             |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin)),
+
+    // Bitwise family: AND/OR/XOR, shifts, popcount — the bit-packing
+    // toolkit the engine's own sketches (SimHash bands, SRP buckets,
+    // Morton z-values) are built from, exercised as a declared scalar
+    // family. Spark `^`/shiftleft vs DuckDB `xor()`/`<<` spellings differ;
+    // the semantics match on BIGINT exactly.
+    "scalar_bitwise" -> Decl(
+      (s, d) => Tables(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("o_orderkey & 255").as("b_and"),
+        expr("o_orderkey | 4096").as("b_or"),
+        expr("o_orderkey ^ 123456").as("b_xor"),
+        expr("shiftleft(o_orderkey, 2)").as("b_shl"),
+        expr("shiftright(o_orderkey, 3)").as("b_shr"),
+        expr("CAST(bit_count(o_orderkey) AS INT)").as("b_cnt"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |o_orderkey & 255 AS b_and,
+             |o_orderkey | 4096 AS b_or,
+             |xor(o_orderkey, 123456) AS b_xor,
+             |o_orderkey << 2 AS b_shl,
+             |o_orderkey >> 3 AS b_shr,
+             |CAST(bit_count(o_orderkey) AS INT) AS b_cnt
+             |FROM orders ORDER BY o_orderkey""".stripMargin)))
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Decl, Tables}
 import graft.functions.{TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators beyond the SURVEY §2.11 core — the
@@ -292,6 +293,38 @@ object PipelineExt {
               |        WHEN s_fr >= s_zh THEN 'fr'
               |        ELSE 'zh' END) = lang AS is_correct
               |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Per-language character-trigram profile — the statistical signature a
+    // REAL language identifier trains on (text_langid's stopword voting is
+    // the lexicon shortcut; this is the n-gram model's feature extraction).
+    // One explode pass → (lang, gram) count → top-5 per language by a
+    // bounded window. The gram space is tiny (≤ charset³ per language), so
+    // at 100 TB the count shuffle carries pre-combined partial counts.
+    "text_ngram_profile" -> Decl(
+      (s, d) => {
+        val grams = Tables(s, d, "documents")
+          .select(col("lang"),
+                  explode(expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+                    .as("gram"))
+          .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram").asc)
+        grams.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("lang", "gram", "cnt")
+          .orderBy("lang", "gram")
+      },
+      Some("""WITH g AS (
+             |  SELECT lang,
+             |         unnest(list_transform(generate_series(1, length(text) - 2),
+             |                               i -> substr(text, i, 3))) AS gram
+             |  FROM documents),
+             |c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+             |SELECT lang, gram, cnt FROM (
+             |  SELECT lang, gram, cnt,
+             |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rn
+             |  FROM c)
+             |WHERE rn <= 5 ORDER BY lang, gram""".stripMargin)),
 
     // Quality scoring: length, type-token ratio, mean token length,
     // stopword ratio, composite score — the standard cheap filters a
