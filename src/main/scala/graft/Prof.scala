@@ -1,9 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-// Throwaway profiling harness (not part of the library surface): times each
-// named query twice in one session to split fixed cost (planning + codegen
-// compile + broadcast setup) from steady-state execution.
+// Dev profiling harness (not part of the library surface): times each named
+// query twice in one session to split fixed cost (planning + codegen
+// compile + JIT + broadcast setup) from steady-state execution — the
+// cold-warm split decides whether a slow bench line is worth optimizing
+// (most of the suite's per-query cost is one-shot codegen, not data work).
+//   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Prof <keys...>"
 object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
