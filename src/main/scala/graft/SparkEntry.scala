@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Salted.decls ++
     operators.Pipeline.decls ++
     operators.PipelineExt.decls ++
+    operators.Round4.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -208,10 +208,16 @@ object Pipeline {
             (col("cnt").cast("double") / col("dlen").cast("double")) *
             log(col("n_docs").cast("double") / col("dfreq").cast("double")), 6))
         val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-        scored.withColumn("rn", row_number().over(w))
+        val ranked = scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select("doc_id", "term", "tfidf")
           .orderBy("doc_id", "term")
+        // Release the tokenize-pass cache inside the query (same discipline
+        // as minhash/LSH): checkpoint the small ranked result, then drop tf
+        // so no cached blocks outlive the call in a long-lived session.
+        val out = ranked.localCheckpoint(true)
+        tf.unpersist()
+        out
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
              |tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),

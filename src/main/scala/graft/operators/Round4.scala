@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{Decl, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 operator keys — training-data-pipeline surface that the first
+  * three rounds left uncovered, each with a DuckDB oracle.
+  *
+  * 100 TB notes per key are inline; the common theme is that every query is
+  * either a pure per-row projection/filter (redaction, weighted sampling —
+  * runs at scan speed, no shuffle) or a *blocked/bucketed* pair generator
+  * (edit-distance dedup, bucketized range join — the pair space is bounded
+  * by a key before any quadratic work happens).
+  */
+object Round4 {
+
+  // Java∩RE2-safe patterns (SURVEY §7.3 R7): no backrefs, no lookaround.
+  private val EmailRe = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  val decls: Map[String, Decl] = Map(
+    // ------------------------------------------------------------ text
+    // PII redaction — the scrub pass every LLM training corpus runs before
+    // anything else. The fixtures' word-soup text contains no natural PII,
+    // so the input is *constructed deterministically from columns* (an
+    // email and a phone per event) and then redacted; the assertions are
+    // real because every row is guaranteed one match of each class.
+    // Pure per-row regexp projection: at 100 TB this is scan-speed,
+    // shuffle-free, and codegen'd (regexp_replace/regexp_count are native
+    // expressions with compiled-pattern caching per task).
+    "text_pii_redact" -> Decl(
+      (s, d) => {
+        val raw = concat(
+          lit("contact user"), col("user_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("event_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" re "), col("event_type"))
+        Tables.events(s, d)
+          .select(
+            col("event_id"),
+            regexp_replace(regexp_replace(raw, EmailRe, "<EMAIL>"),
+                           PhoneRe, "<PHONE>").as("redacted"),
+            (regexp_count(raw, lit(EmailRe)) +
+             regexp_count(raw, lit(PhoneRe))).as("n_redactions"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH raw AS (
+             |  SELECT event_id,
+             |  'contact user' || CAST(user_id AS VARCHAR) || '@example.com or +1-555-' ||
+             |  lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') || ' re ' || event_type AS t
+             |  FROM events)
+             |SELECT event_id,
+             |  regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+             |                 '$PhoneRe', '<PHONE>', 'g') AS redacted,
+             |  CAST(len(regexp_extract_all(t, '$EmailRe')) +
+             |       len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_redactions
+             |FROM raw ORDER BY event_id""".stripMargin)),
+
+    // ---------------------------------------------------------- dedup
+    // Edit-distance near-dup — the fuzzy-match family the MinHash/SimHash
+    // keys don't cover (they see token sets; Levenshtein sees character
+    // edits, catching typo-grade dups). Quadratic in the BLOCK, never the
+    // corpus: pairs form only within (lang, source) and the distance runs
+    // on a fixed 40-char prefix, so per-pair cost is bounded O(40²). At
+    // 100 TB the block key keeps each group executor-sized; a hotter
+    // corpus would sub-block by length band, same shape. Threshold 20 on a
+    // 40-char prefix admits only the planted near-dups (random word-soup
+    // pairs measure ≥21, probed at sf0.01/sf0.1).
+    "dedup_edit_distance" -> Decl(
+      (s, d) => {
+        val p = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+                  substring(col("text"), 1, 40).as("p"))
+        val a = p.select(col("doc_id").as("id_a"), col("lang"), col("source"),
+                         col("p").as("pa"))
+        val b = p.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+                         col("source").as("source_b"), col("p").as("pb"))
+        a.join(b, col("lang") === col("lang_b") &&
+                  col("source") === col("source_b") &&
+                  col("id_a") < col("id_b"))
+          .withColumn("dist", levenshtein(col("pa"), col("pb")))
+          .filter(col("dist") <= 20)
+          .select("id_a", "id_b", "dist")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH p AS (SELECT doc_id, lang, source, substring(text, 1, 40) AS p
+             |           FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       levenshtein(a.p, b.p) AS dist
+             |FROM p a JOIN p b
+             |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.p, b.p) <= 20
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------------------- agg
+    // Deterministic per-group mode (heavy hitter): most frequent order
+    // priority per status. Spark's native mode() is tie-nondeterministic
+    // (and sf0.001 HAS a tie in status P, probed), so both engines use the
+    // relational formulation with an explicit tie-break — count desc, then
+    // lowest value. Two bounded-key shuffles (group count + 3-partition
+    // window); at 100 TB the count is partial-aggregated map-side, so the
+    // shuffle carries one row per (status, priority), not per order.
+    "agg_mode_freq" -> Decl(
+      (s, d) => {
+        val counts = Tables(s, d, "orders")
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderstatus"),
+                  col("o_orderpriority").as("mode_priority"), col("cnt"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, mode_priority, cnt FROM (
+             |  SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt,
+             |  row_number() OVER (PARTITION BY o_orderstatus
+             |       ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+             |  FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+             |        FROM orders GROUP BY 1, 2))
+             |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // Ordered string aggregation — LISTAGG ... WITHIN GROUP, the SQL:2016
+    // surface (Spark 4 native). DISTINCT bounds the result to the 5
+    // priority values, so the aggregated string can't grow with the data;
+    // an unbounded LISTAGG at 100 TB would be a driver-sized string per
+    // group and is exactly what this formulation avoids.
+    "agg_listagg" -> Decl(
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""SELECT o_orderstatus,
+                |listagg(DISTINCT o_orderpriority, ',')
+                |  WITHIN GROUP (ORDER BY o_orderpriority) AS prios
+                |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---------------------------------------------------------- window
+    // Distribution analytics: cume_dist + nth_value over a tie-broken
+    // order (R2). nth_value uses the explicit whole-partition frame on
+    // both engines — the default running frame would make row N's value
+    // depend on its position, which is a cross-engine trap.
+    "window_distribution" -> Decl(
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+                  round(cume_dist().over(w), 6).as("cd"),
+                  nth_value(col("o_orderkey"), 2).over(whole).as("second_key"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |round(cume_dist() OVER w, 6) AS cd,
+             |nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice ASC, o_orderkey ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------ join
+    // Bucketized range join — the scale rewrite for a PURE range predicate
+    // (no equi key at all). Naive planning is a nested-loop over
+    // |orders|×|lineitem|; instead each order's 2-day window explodes into
+    // its covered day buckets (sequence → explode, exactly 3 days) and each
+    // lineitem lands in its one day bucket, turning the θ-join into an
+    // equi join on `day` + a cheap residual. Replication factor = window
+    // span / bucket width (3 here) — constant, data-independent. At
+    // 100 TB: the same rewrite with a composite (day, hash-salt) key if a
+    // single day is executor-hot. join_interval_overlap covers the
+    // easier equi-key+range case; this is the no-key case.
+    "join_range_bucketed" -> Decl(
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+          .filter(col("o_totalprice") > 490000)
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .withColumn("day", explode(sequence(
+            to_date(col("o_orderdate")),
+            to_date(col("o_orderdate") + expr("INTERVAL 2 DAYS")))))
+        val l = Tables(s, d, "lineitem")
+          .select(col("l_shipdate"), col("l_extendedprice"))
+          .withColumn("day", to_date(col("l_shipdate")))
+        o.join(l, Seq("day"))
+          .filter(col("l_shipdate") >= col("o_orderdate") &&
+                  col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 2 DAYS"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+               round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_items,
+             |round(sum(l_extendedprice), 2) AS sum_price
+             |FROM orders o JOIN lineitem l
+             |  ON l.l_shipdate >= o.o_orderdate
+             | AND l.l_shipdate < o.o_orderdate + INTERVAL 2 DAY
+             |WHERE o.o_totalprice > 490000
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    // ---------------------------------------------------------- sample
+    // Quality-weighted sampling — keep probability scales with document
+    // length (a stand-in for any per-row quality score), capped at 90%.
+    // Same no-RNG discipline as split_train_holdout (R8): a multiplicative
+    // hash ticket makes every engine and every retry agree per row. Pure
+    // scan filter: no shuffle, runs at I/O speed at any scale.
+    "sample_weighted" -> Decl(
+      (s, d) => {
+        val ticket = pmod(col("doc_id") * lit(741103597L), lit(1000L))
+        val keepBelow = least(expr("n_chars div 2"), lit(900L))
+        Tables(s, d, "documents")
+          .filter(ticket < keepBelow)
+          .select(col("doc_id"), col("n_chars"), ticket.as("ticket"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars, (doc_id * 741103597) % 1000 AS ticket
+             |FROM documents
+             |WHERE (doc_id * 741103597) % 1000 < least(n_chars // 2, 900)
+             |ORDER BY doc_id""".stripMargin)))
+}
