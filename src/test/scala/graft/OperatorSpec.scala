@@ -230,4 +230,36 @@ class OperatorSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  // Redaction completeness: every constructed row carries exactly one email
+  // and one phone, so after the scrub no raw PII pattern may survive and
+  // every row must report exactly 2 redactions. An oracle hash-match can't
+  // see "the regex never fired" if both engines fail the same way — this
+  // asserts the semantics directly.
+  test("text_pii_redact removes every planted email and phone") {
+    val out = SparkEntry.queries("text_pii_redact")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(!red.contains("@example.com") && !red.matches(".*\\+1-555-[0-9]{4}.*"),
+        s"unredacted PII survived: $red")
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
+      assert(r.getAs[Int]("n_redactions") == 2)
+    }
+  }
+
+  // Edit-distance dedup must find the planted near-identical prefix pairs
+  // (distance well under random word-soup baseline ≥21, probed) and never
+  // pair across blocks.
+  test("dedup_edit_distance pairs stay within (lang, source) blocks") {
+    val pairs = SparkEntry.queries("dedup_edit_distance")(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    pairs.foreach { r =>
+      assert(docs(r.getAs[Long]("id_a")) == docs(r.getAs[Long]("id_b")),
+        "pair crosses a blocking key")
+      assert(r.getAs[Int]("dist") <= 20)
+    }
+  }
 }

@@ -320,6 +320,18 @@ class ScaleSpec extends AnyFunSuite {
     }.nonEmpty, s"no window/rank/top-k in lateral plan:\n$plan")
   }
 
+  // The bucketized range join exists to AVOID the nested-loop plan a pure
+  // range predicate would otherwise force — assert the rewrite actually
+  // lands on an equi-join strategy, with the day bucket in the join keys.
+  test("join_range_bucketed plans as an equi join, not a nested loop") {
+    val plan = SparkEntry.queries("join_range_bucketed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join operator in range-bucketed plan:\n$plan")
+  }
+
   test("salting spreads a skewed join key across subkeys") {
     val sp = spark; import sp.implicits._
     // 10k rows all sharing one key — the pathological skew case. Salt the
