@@ -302,7 +302,13 @@ object PipelineExt {
     // at 100 TB the count shuffle carries pre-combined partial counts.
     "text_ngram_profile" -> Decl(
       (s, d) => {
+        // Explicit-N repartition before the trigram explode: the corpus is
+        // one scan partition and the interpreted HOF lambda dominates this
+        // query (1.7 s single-task at sf0.1, profiled) — and AQE's
+        // size-based coalescing would collapse a bare repartition(col) of
+        // the small doc rows right back to one partition.
         val grams = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("lang"),
                   explode(expr(
                     "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))

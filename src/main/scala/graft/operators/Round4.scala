@@ -72,15 +72,27 @@ object Round4 {
         val p = Tables(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("source"),
                   substring(col("text"), 1, 40).as("p"))
+        // Repartition the probe side BEFORE the join: the corpus parquet is
+        // one row group (one scan partition), and the small build side gets
+        // broadcast — without this the entire quadratic pair-gen +
+        // distance loop pipelines on a single core (measured: ~4.5 s with
+        // ~1-core utilization at sf0.1). The partition count must be
+        // EXPLICIT: the probe rows are only ~100 B each, so AQE's
+        // size-based coalescing folds a bare repartition(col) back into one
+        // partition — it can't see that the join fans each row out into a
+        // block's worth of pairs with an O(len²) residual per pair.
         val a = p.select(col("doc_id").as("id_a"), col("lang"), col("source"),
                          col("p").as("pa"))
+          .repartition(s.sparkContext.defaultParallelism, col("id_a"))
         val b = p.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
                          col("source").as("source_b"), col("p").as("pb"))
+        // 3-arg banded levenshtein early-exits above the threshold
+        // (returns -1) — same output, less work per pair.
         a.join(b, col("lang") === col("lang_b") &&
                   col("source") === col("source_b") &&
                   col("id_a") < col("id_b"))
-          .withColumn("dist", levenshtein(col("pa"), col("pb")))
-          .filter(col("dist") <= 20)
+          .withColumn("dist", levenshtein(col("pa"), col("pb"), 20))
+          .filter(col("dist") >= 0)
           .select("id_a", "id_b", "dist")
           .orderBy("id_a", "id_b")
       },
