@@ -37,5 +37,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, s"vec_dot takes 2 arguments, got ${children.length}")
         FloatDotProduct(children.head, children(1))
       }))
+    // generator (UDTF) surface: SELECT word_shingles(split(text,' '), 3)
+    // expands each row into its word-n-gram rows, like explode
+    e.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"word_shingles takes 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles: n must be an integer literal, got $other")
+        }
+        graft.functions.WordShingles(children.head, n)
+      }))
   }
 }

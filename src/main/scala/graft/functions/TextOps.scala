@@ -22,4 +22,13 @@ object TextOps {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
     .otherwise(array().cast("array<string>"))
+
+  /** Generator form of `shingles` — emits the n-gram ROWS directly (the
+    * `explode(shingles(...))` replacement) through the native
+    * `WordShingles` expression; row-equivalent, but one compiled loop
+    * instead of interpreted HOF lambdas + an intermediate array.
+    */
+  def shingleRows(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WordShingles(org.apache.spark.sql.graft.Bridge.expression(toks), n))
 }

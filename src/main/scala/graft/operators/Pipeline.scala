@@ -278,7 +278,7 @@ object Pipeline {
     // leaves this stage
     val ex = nearDupCorpus(s, d)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 3)).as("shingle"))
+      .select(col("doc_id"), TextOps.shingleRows(col("toks"), 3).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
       .persist()

@@ -705,7 +705,7 @@ object PipelineExt {
     val sh = docsWithTokens(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
-              explode(TextOps.shingles(col("toks"), 2)).as("gs"))
+              TextOps.shingleRows(col("toks"), 2).as("gs"))
       .select(col("doc_id"), col("lang"), col("source"), xxhash64(col("gs")).as("g"))
       .distinct()
       .persist()

@@ -248,6 +248,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  // The native shingle generator must be row-for-row identical to the HOF
+  // formulation it replaced (same order, same strings, same edge cases:
+  // short docs yield nothing) — the minhash/Jaccard oracles depend on the
+  // shingle sets being unchanged.
+  test("WordShingles generator matches the HOF shingle formulation") {
+    import graft.functions.TextOps
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    for (n <- Seq(2, 3, 7)) {
+      val hof = docs.select(col("doc_id"), explode(TextOps.shingles(col("toks"), n)).as("s"))
+      val gen = docs.select(col("doc_id"), TextOps.shingleRows(col("toks"), n).as("s"))
+      assert(gen.exceptAll(hof).isEmpty && hof.exceptAll(gen).isEmpty,
+        s"generator and HOF shingles diverge at n=$n")
+    }
+    // degenerate inputs: shorter than n, empty array, null
+    val sp = spark; import sp.implicits._
+    val edge = Seq(Some(Seq("a", "b")), Some(Seq.empty[String]), None).toDF("toks")
+    assert(edge.select(TextOps.shingleRows(col("toks"), 3)).count() == 0)
+  }
+
   // Edit-distance dedup must find the planted near-identical prefix pairs
   // (distance well under random word-soup baseline ≥21, probed) and never
   // pair across blocks.
