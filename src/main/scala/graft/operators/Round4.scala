@@ -215,6 +215,86 @@ object Round4 {
              |WHERE o.o_totalprice > 490000
              |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
 
+    // URL canonicalization dedup — the web-corpus pass that collapses crawl
+    // duplicates: case-insensitive scheme/host, trailing-slash variants,
+    // and tracking query params all map to one canonical form. URLs are
+    // constructed deterministically from event columns (scheme/host casing,
+    // an every-third-row trailing slash, a utm_ param) so each
+    // canonicalization rule provably fires. Pure per-row regexp + one
+    // bounded-key groupBy — at 100 TB the canonical form is exactly the
+    // dedup_exact hash-first shape, applied to URLs instead of text.
+    "dedup_url_canonical" -> Decl(
+      (s, d) => {
+        val url = concat(
+          lit("HTTP://Example"), pmod(col("user_id"), lit(5L)).cast("string"),
+          lit(".COM/"), col("event_type"), lit("/"),
+          pmod(col("event_id"), lit(7L)).cast("string"),
+          when(pmod(col("event_id"), lit(3L)) === 0, "/").otherwise(""),
+          lit("?utm_source=x&sid="), pmod(col("event_id"), lit(100L)).cast("string"))
+        val host = lower(regexp_extract(url, "://([^/?#]+)", 1))
+        val path = regexp_replace(regexp_extract(url, "://[^/?#]+([^?#]*)", 1), "/$", "")
+        Tables.events(s, d)
+          .select(concat(lit("https://"), host, path).as("canon_url"), col("event_id"))
+          .groupBy("canon_url")
+          .agg(count(lit(1)).as("n_dups"), min(col("event_id")).as("first_seen"))
+          .orderBy("canon_url")
+      },
+      Some("""WITH u AS (
+             |  SELECT event_id,
+             |  'HTTP://Example' || CAST(user_id % 5 AS VARCHAR) || '.COM/' || event_type ||
+             |  '/' || CAST(event_id % 7 AS VARCHAR) ||
+             |  CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END ||
+             |  '?utm_source=x&sid=' || CAST(event_id % 100 AS VARCHAR) AS url
+             |  FROM events)
+             |SELECT 'https://' || lower(regexp_extract(url, '://([^/?#]+)', 1)) ||
+             |       regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1), '/$', '')
+             |         AS canon_url,
+             |       count(*) AS n_dups, min(event_id) AS first_seen
+             |FROM u GROUP BY 1 ORDER BY canon_url""".stripMargin)),
+
+    // HTML boilerplate strip — tag removal + entity decode + whitespace
+    // collapse, the first step of any web-crawl text pipeline. The markup
+    // is constructed around the fixture text so every rule fires on every
+    // row. Scan-speed per-row regexps, shuffle-free.
+    "text_html_strip" -> Decl(
+      (s, d) => {
+        val html = concat(
+          lit("<div class=\"post\"><p>"), substring(col("text"), 1, 60),
+          lit("</p><br/>&amp; <a href=\""), col("source"), lit("\">link</a></div>"))
+        val stripped = trim(regexp_replace(
+          regexp_replace(regexp_replace(html, "<[^>]+>", " "), "&amp;", "&"),
+          " +", " "))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), stripped.as("clean_text"),
+                  regexp_count(html, lit("<[^>]+>")).as("n_tags"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |  '<div class="post"><p>' || substring(text, 1, 60) ||
+             |  '</p><br/>&amp; <a href="' || source || '">link</a></div>' AS html
+             |  FROM documents)
+             |SELECT doc_id,
+             |  trim(regexp_replace(
+             |    replace(regexp_replace(html, '<[^>]+>', ' ', 'g'), '&amp;', '&'),
+             |    ' +', ' ', 'g')) AS clean_text,
+             |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS INT) AS n_tags
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // Approximate heavy hitters — Spark 4's approx_top_k sketch (mergeable,
+    // one pass): THE 100 TB frequent-items pattern, where an exact
+    // global count would shuffle every distinct value. No DuckDB twin
+    // (sketch internals are impl-defined) — OperatorSpec bounds it against
+    // the exact top-k instead, per the approximate-ops contract.
+    "agg_approx_topk" -> Decl(
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""SELECT item AS term, count AS cnt
+                |FROM (SELECT inline(approx_top_k(l_returnflag, 3)) FROM lineitem)
+                |ORDER BY cnt DESC, term ASC""".stripMargin)
+      },
+      None),
+
     // ---------------------------------------------------------- sample
     // Quality-weighted sampling — keep probability scales with document
     // length (a stand-in for any per-row quality score), capped at 90%.

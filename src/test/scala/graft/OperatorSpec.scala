@@ -248,6 +248,20 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  // approx_top_k is a sketch (no oracle); at this cardinality (3 distinct
+  // flags) the sketch must be EXACT — items and counts equal to the true
+  // top-3 from a full groupBy.
+  test("agg_approx_topk matches the exact top-3 at fixture cardinality") {
+    val approx = SparkEntry.queries("agg_approx_topk")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag").count()
+      .orderBy(col("count").desc, col("l_returnflag").asc)
+      .limit(3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(approx.toSeq == exact.toSeq)
+  }
+
   // The native shingle generator must be row-for-row identical to the HOF
   // formulation it replaced (same order, same strings, same edge cases:
   // short docs yield nothing) — the minhash/Jaccard oracles depend on the
