@@ -295,6 +295,38 @@ object Round4 {
       },
       None),
 
+    // Mergeable quantile sketch rollup — KLL (DataSketches, Spark 4
+    // native): one pass builds a sketch per group; the global quantile
+    // comes from MERGING the group sketches, never re-scanning the data.
+    // With HLL-union (distinct counts) and approx_top_k (frequent items)
+    // this completes the mergeable-sketch trio every 100 TB profiling
+    // pipeline runs. The merge folds collect_list of per-group sketches —
+    // bounded by GROUP COUNT (3 here), not data size. Sketch internals are
+    // impl-defined → oracle-N; OperatorSpec bounds both levels against
+    // exact percentiles.
+    "agg_kll_quantile_merge" -> Decl(
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""WITH g AS (
+                |  SELECT o_orderstatus, kll_sketch_agg_double(o_totalprice) AS sk
+                |  FROM orders GROUP BY o_orderstatus),
+                |per_group AS (
+                |  SELECT o_orderstatus,
+                |         round(kll_sketch_get_quantile_double(sk, 0.5), 2) AS p50,
+                |         round(kll_sketch_get_quantile_double(sk, 0.9), 2) AS p90
+                |  FROM g),
+                |merged AS (
+                |  SELECT 'ALL' AS o_orderstatus,
+                |         round(kll_sketch_get_quantile_double(m, 0.5), 2) AS p50,
+                |         round(kll_sketch_get_quantile_double(m, 0.9), 2) AS p90
+                |  FROM (SELECT aggregate(slice(sks, 2, size(sks) - 1), sks[0],
+                |                         (acc, x) -> kll_sketch_merge_double(acc, x)) AS m
+                |        FROM (SELECT collect_list(sk) AS sks FROM g)))
+                |SELECT * FROM per_group UNION ALL SELECT * FROM merged
+                |ORDER BY o_orderstatus""".stripMargin)
+      },
+      None),
+
     // ---------------------------------------------------------- sample
     // Quality-weighted sampling — keep probability scales with document
     // length (a stand-in for any per-row quality score), capped at 90%.

@@ -262,6 +262,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(approx.toSeq == exact.toSeq)
   }
 
+  // KLL sketch quantiles (per-group AND merged-global) must stay within 5%
+  // of the exact interpolated percentiles — the bound mirrors the other
+  // sketch ops' contract.
+  test("agg_kll_quantile_merge stays within 5% of exact percentiles") {
+    val rows = SparkEntry.queries("agg_kll_quantile_merge")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val orders = Tables(spark, sf, "orders")
+    def exact(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val r = df.select(
+        expr("percentile(o_totalprice, 0.5)"), expr("percentile(o_totalprice, 0.9)")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val statuses = orders.select("o_orderstatus").distinct().collect().map(_.getString(0))
+    (statuses.map(st => st -> exact(orders.filter(col("o_orderstatus") === st))) :+
+      ("ALL" -> exact(orders))).foreach { case (k, (e50, e90)) =>
+      val (s50, s90) = rows(k)
+      assert(math.abs(s50 - e50) / e50 < 0.05, s"$k p50: sketch $s50 vs exact $e50")
+      assert(math.abs(s90 - e90) / e90 < 0.05, s"$k p90: sketch $s90 vs exact $e90")
+    }
+  }
+
   // The native shingle generator must be row-for-row identical to the HOF
   // formulation it replaced (same order, same strings, same edge cases:
   // short docs yield nothing) — the minhash/Jaccard oracles depend on the
