@@ -332,6 +332,22 @@ class ScaleSpec extends AnyFunSuite {
       s"no equi-join operator in range-bucketed plan:\n$plan")
   }
 
+  // The pre-fan-out repartitions MUST carry an explicit partition count:
+  // AQE coalesces a bare repartition(col) of small pre-expansion rows back
+  // to one partition (it sizes the shuffle, not the downstream fan-out),
+  // serializing the pair-join / trigram-explode stages (measured ~8×).
+  test("pre-fan-out repartitions pin an explicit partition count") {
+    Seq("dedup_edit_distance", "text_ngram_profile").foreach { name =>
+      val reps = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+        }
+      assert(reps.nonEmpty, s"$name lost its pre-fan-out repartition")
+      assert(reps.forall(_.optNumPartitions.nonEmpty),
+        s"$name repartition has no explicit partition count (AQE will coalesce it)")
+    }
+  }
+
   test("salting spreads a skewed join key across subkeys") {
     val sp = spark; import sp.implicits._
     // 10k rows all sharing one key — the pathological skew case. Salt the
