@@ -327,6 +327,38 @@ object Round4 {
       },
       None),
 
+    // Character-entropy quality signal — Shannon entropy of the per-doc
+    // character distribution, the classic gibberish/boilerplate filter
+    // (natural text sits in a narrow entropy band; repeated padding or
+    // random noise falls outside it). Relational shape: char explode →
+    // per-(doc, char) counts → one aggregate — two bounded-key shuffles,
+    // partial-agg'd map-side. Entropy is irrational, so the 6 dp round
+    // can't sit on a cross-engine summation boundary (unlike the rounded
+    // products text_quality_score had to guard).
+    "text_char_entropy" -> Decl(
+      (s, d) => {
+        val chars = Tables(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "")
+        val f = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        val n = f.groupBy("doc_id").agg(sum("c").as("n"))
+        f.join(n, "doc_id")
+          .groupBy("doc_id")
+          .agg(round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+            .as("char_entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+             |f AS (SELECT doc_id, ch, count(*) AS c FROM c WHERE ch <> ''
+             |      GROUP BY 1, 2),
+             |n AS (SELECT doc_id, sum(c) AS n FROM f GROUP BY 1)
+             |SELECT f.doc_id,
+             |       round(-sum((c / n) * ln(c / n)), 6) AS char_entropy
+             |FROM f JOIN n USING (doc_id) GROUP BY f.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---------------------------------------------------------- sample
     // Quality-weighted sampling — keep probability scales with document
     // length (a stand-in for any per-row quality score), capped at 90%.
