@@ -10,14 +10,27 @@ object Bench {
       // Fixture tables are one parquet file each; without a minimum split
       // count every scan pipeline runs on a single core.
       .config("spark.sql.files.minPartitionNum", cpus)
+      // JVM (not ICU) case mappings: identical results on this data, and it
+      // skips CollationAwareUTF8String's ~20 s one-time static init
+      // (see Tables.apply).
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (executor threads, codegen compiler, shuffle
-    // machinery, parquet file indexes) so the first timed query isn't
-    // charged fixed startup cost.
-    spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
-      .groupBy("k").count().count()
+    // machinery, broadcast thread pool, window exec, parquet file indexes)
+    // so the first timed query isn't charged fixed startup cost — measured
+    // ~15 s of one-time machinery on whichever query runs first otherwise.
+    locally {
+      val w = spark.range(10000).selectExpr(
+        "id % 7 AS k", "id AS v", "CAST(id AS DOUBLE) AS d")
+      w.groupBy("k").count().count()
+      w.join(org.apache.spark.sql.functions.broadcast(
+          spark.range(7).selectExpr("id AS k")), "k").count()
+      w.selectExpr("row_number() OVER (PARTITION BY k ORDER BY v) AS rn")
+        .filter("rn <= 3").count()
+      w.as("a").join(w.as("b").hint("shuffle_hash"), "k").count()
+    }
     // Warmup must never kill the run — a missing table surfaces as per-query
     // -1 timings below, not as a crash before any result is emitted.
     try Tables.names.foreach(n => Tables(spark, sfDir, n).count())

@@ -376,6 +376,9 @@ object Sql {
       // difference between a broadcast and a sort-merge of a dimension.
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // JVM case mappings — skips ICU's one-time static-init stall, same
+      // results on this data (see Tables.apply).
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

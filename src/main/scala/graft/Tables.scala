@@ -28,6 +28,14 @@ object Tables {
     // lazily evict entries of stopped sessions so the cache can't pin them
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, sfDir, name), { _ =>
+      // Spark 4 routes lower()/upper() under UTF8_BINARY through ICU case
+      // mappings; CollationAwareUTF8String's static init costs tens of
+      // executor-CPU-seconds once per JVM (measured 17-32 s wall on the
+      // first lower() of a session — jstack shows every task blocked on the
+      // class-init monitor). The JVM path is identical for this engine's
+      // data (ICU and JVM case maps agree on ASCII and caseless scripts),
+      // so pin the fast path for any session the fixtures flow through.
+      spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
       if (name == "events") loadEvents(spark, sfDir)
       else spark.read.parquet(path(sfDir, name))
     })

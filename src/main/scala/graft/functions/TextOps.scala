@@ -31,4 +31,11 @@ object TextOps {
   def shingleRows(toks: Column, n: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(
       WordShingles(org.apache.spark.sql.graft.Bridge.expression(toks), n))
+
+  /** Sorted-distinct `xxhash64` hashes of the n-gram set, per row — the
+    * `explode(shingleRows) → xxhash64 → distinct` pipeline collapsed into
+    * one native expression (`ShingleHashSet`); the minhash/Jaccard dedup
+    * signature input.
+    */
+  def shingleHashes(toks: Column, n: Int): Column = SketchOps.shingleHashes(toks, n)
 }

@@ -255,55 +255,54 @@ object Pipeline {
 
   /** The LAZY minhash pair pipeline: banded-LSH candidates, exact-Jaccard
     * verified, NOT yet checkpointed — returned with the persisted
-    * intermediates so the caller controls their release. Kept separate from
+    * intermediate so the caller controls its release. Kept separate from
     * the declared query so plan-level gates (ScaleSpec's cartesian sweep)
     * inspect the full join tree rather than a post-checkpoint LogicalRDD.
     *
     * Shape notes (measured at sf0.1):
-    *  - repartition first: the corpus parquet is one small file (one input
-    *    split) — without it every downstream transform runs on one core.
-    *  - explode shingles immediately and dedup relationally: building and
-    *    persisting ARRAY<STRING> columns (array_distinct) measured ~10×
-    *    slower than explode + codegen'd distinct.
-    *  - persist the two tables consumed by multiple branches; at 100 TB
-    *    these are the intermediates a pipeline materializes to storage.
-    *  - intersection counting joins on a 64-bit shingle hash (compact
-    *    shuffle keys) and broadcasts the small candidate-pair table so the
-    *    big exploded side never shuffles for the first join.
+    *  - signatures are PER-ROW (`ShingleHashSet` + `MinHashSig` native
+    *    expressions): no explode, no shuffle, no aggregation — see
+    *    functions.SketchExpressions for the relational-form comparison.
+    *  - the pre-fan-out repartition carries an EXPLICIT count (AQE's
+    *    size-based coalescing folds a bare repartition(col) of the small
+    *    doc rows back to one partition — it cannot see the downstream
+    *    fan-out; same trap as dedup_edit_distance).
+    *  - the banded self-join is co-partitioned + shuffle_hash (never a
+    *    broadcast: at corpus scale the banded-key table is as big as the
+    *    corpus, only the CANDIDATE PAIR table is bounded).
+    *  - the verify joins broadcast the deduped candidate pairs and stream
+    *    the per-doc shingle-set arrays; exact Jaccard is one
+    *    `array_intersect` over the two sorted hash sets per candidate.
     */
   private[graft] def minhashPairs(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    // hash each shingle to 64 bits AT THE SCAN: the distinct shuffles
-    // fixed (long, long) keys and every downstream consumer (signature
-    // minima, intersection counting) reuses `h` — shingle text never
-    // leaves this stage
-    val ex = nearDupCorpus(s, d)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), TextOps.shingleRows(col("toks"), 3).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .distinct()
+    val n = s.sparkContext.defaultParallelism
+    val withSh = nearDupCorpus(s, d)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), TextOps.shingleHashes(col("toks"), 3).as("hs"))
+      .filter(size(col("hs")) > 0) // <n-token docs have no shingle set
       .persist()
-    val sigs = Minhash.signatures(ex).persist()
-    val banded = Minhash.bandedKeys(sigs)
+    val banded = Minhash.bandedKeys(Minhash.signatures(withSh))
+      .repartition(n, col("band"), col("sig"))
     val cand = banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.as("b").hint("shuffle_hash"),
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
             col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val exh = ex // already (doc_id, h)
-    val inter = broadcast(cand)
-      .join(exh.select(col("doc_id").as("id_a"), col("h")), "id_a")
-      .join(exh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val sizes = sigs.select(col("doc_id"), col("set_size"))
-    val scored = inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("set_size").as("sa")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("set_size").as("sb")), "id_b")
+    val scored = broadcast(cand)
+      .join(withSh.select(col("doc_id").as("id_a"), col("hs").as("ha"))
+              .repartition(n, col("id_a")), "id_a")
+      .join(withSh.select(col("doc_id").as("id_b"), col("hs").as("hb"))
+              .hint("shuffle_hash"), "id_b")
+      .select(col("id_a"), col("id_b"),
+              size(array_intersect(col("ha"), col("hb"))).cast("bigint").as("inter"),
+              size(col("ha")).cast("bigint").as("sa"),
+              size(col("hb")).cast("bigint").as("sb"))
       .withColumn("jaccard", round(
         col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
-    (scored, Seq(ex, sigs))
+    (scored, Seq(withSh))
   }
 }

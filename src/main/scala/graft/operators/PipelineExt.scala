@@ -132,21 +132,30 @@ object PipelineExt {
                  slice(col("embedding"), lit(3), lit(62))).as("embedding"),
           col("label"))
         val all = emb.select("vec_id", "embedding", "label").unionAll(pert)
+        val n = s.sparkContext.defaultParallelism
+        // same plan discipline as sim_ann_lsh: explicit-count repartition
+        // ahead of the bucket fan-out, co-partitioned shuffle_hash
+        // self-join (the banded table is corpus-sized — never broadcast)
         val withB = all
           .select(col("vec_id"), col("label"),
                   posexplode(srpTableKeys(DedupTables, DedupBitsPerTable)).as(Seq("tbl", "bucket")))
+          .repartition(n, col("tbl"), col("bucket"))
         val cand = withB.as("a")
-          .join(withB.as("b"),
+          .join(withB.as("b").hint("shuffle_hash"),
                 col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
                 col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.label").as("label"),
                   col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
           .distinct()
         // exact-cosine verify of candidates only; broadcast the small pair
-        // table, stream the embeddings (same shape as sim_ann_lsh)
+        // table, stream the embeddings (same shape as sim_ann_lsh; the
+        // id_b side is pinned shuffle_hash so the planner can't broadcast
+        // the raw vector table)
         broadcast(cand)
-          .join(all.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
-          .join(all.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+          .join(all.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+                  .repartition(n, col("id_a")), "id_a")
+          .join(all.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+                  .hint("shuffle_hash"), "id_b")
           .withColumn("cos", round(VectorOps.cosine(col("ea"), col("eb")), 6))
           .filter(col("cos") >= 0.95)
           .select("label", "id_a", "id_b", "cos")
@@ -178,15 +187,22 @@ object PipelineExt {
     // against the exact pair set.
     "sim_ann_lsh" -> Decl(
       (s, d) => {
+        val n = s.sparkContext.defaultParallelism
         val emb = Tables(s, d, "embeddings")
         // Dedup candidate id-pairs across tables BEFORE scoring: a pair can
         // collide in up to 8 tables, and shuffling two longs is far cheaper
-        // than computing (and carrying) cosines 8×.
+        // than computing (and carrying) cosines 8×. The bucket self-join is
+        // co-partitioned shuffle_hash with an EXPLICIT partition count:
+        // the banded-key table is corpus-sized (broadcasting it is the OOM
+        // path at a billion vectors), and AQE's size-based coalescing would
+        // serialize the pair fan-out onto one core (measured 15 s
+        // single-task at sf0.1).
         val withB = emb
           .select(col("vec_id"),
                   posexplode(srpTableKeys(SrpTables, SrpBitsPerTable)).as(Seq("tbl", "bucket")))
+          .repartition(n, col("tbl"), col("bucket"))
         val pairs = withB.as("a")
-          .join(withB.as("b"),
+          .join(withB.as("b").hint("shuffle_hash"),
                 col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
                 col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
@@ -194,13 +210,23 @@ object PipelineExt {
         // Scoring join: broadcast the SMALL side — the deduped candidate
         // pairs — and stream/shuffle the embeddings table (the same shape
         // dedup_near_minhash uses). Broadcasting `emb` here would OOM at a
-        // billion vectors; the candidate-pair table is bounded by the LSH
-        // collision count.
+        // billion vectors, so the id_b join is pinned shuffle_hash (without
+        // the hint the planner broadcasts the raw table at bench scale).
+        // Norms are computed ONCE per vector, not per pair — same doubles,
+        // sqrt(dot(v,v)) either way, 1 dot per pair instead of 3.
+        val embV = emb
+          .select(col("vec_id"), col("embedding"),
+                  sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
         broadcast(pairs)
-          .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
-          .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+          .join(embV.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+                            col("nrm").as("na"))
+                  .repartition(n, col("id_a")), "id_a")
+          .join(embV.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+                            col("nrm").as("nb"))
+                  .hint("shuffle_hash"), "id_b")
           .select(col("id_a"), col("id_b"),
-                  round(VectorOps.cosine(col("ea"), col("eb")), 6).as("cos"))
+                  round(VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+                    .as("cos"))
           .filter(col("cos") >= 0.3)
           .orderBy("id_a", "id_b")
       },
@@ -656,6 +682,10 @@ object PipelineExt {
     * to the lowest cell id. */
   private[graft] def ivfAssignLazy(s: SparkSession, d: String, cent: DataFrame): DataFrame =
     Tables(s, d, "embeddings")
+      // explicit-count repartition: the corpus is one scan split and the
+      // broadcast-NL assign fans each vector out ×nlist with a cosine per
+      // row — bare AQE coalescing would run the whole pass on one core
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .crossJoin(broadcast(cent))
       .withColumn("sc", round(VectorOps.cosine(col("embedding"), col("centroid")), 6))
       .groupBy("vec_id")
@@ -668,23 +698,28 @@ object PipelineExt {
     * definition keeps both dedup families testing identical pairs).
     */
   private[graft] def simhashPairs(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val ex = Pipeline.nearDupCorpus(s, d)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    // ONE native sketch aggregate (65-long buffer) instead of 64
-    // conditional sums — same signature bits, 64× fewer aggregate
-    // evaluations per row; see functions.SimHashAgg
-    val sig = ex.groupBy("doc_id")
-      .agg(graft.functions.SimHashAgg(col("h")).as("sim"))
+    val n = s.sparkContext.defaultParallelism
+    // PER-ROW signature (native SimHashSig over the token array): a
+    // signature depends only on its own row, so the explode + shuffle +
+    // sketch-aggregate of the round-1..4 form is gone entirely — same
+    // bits (hash parity asserted in OperatorSpec), scan-speed, no shuffle.
+    // The explicit-count repartition parallelizes the one-file scan AND
+    // survives AQE coalescing into the band fan-out below.
+    val sig = Pipeline.nearDupCorpus(s, d)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), graft.functions.SketchOps.simhashSig(col("toks")).as("sim"))
       .persist()
     val banded = sig.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
                shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.v").as("v"))
+      .repartition(n, col("band"), col("v"))
+    // co-partitioned shuffle_hash self-join: at corpus scale the banded
+    // table is corpus-sized — broadcasting it is the OOM path; only the
+    // candidate pair OUTPUT is collision-bounded.
     val matched = banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.as("b").hint("shuffle_hash"),
             col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
             col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -698,16 +733,17 @@ object PipelineExt {
     * (lang, source) groups, NOT yet checkpointed — see [[ngramJaccardPairs]].
     */
   private[graft] def ngramJaccardPairsLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    // bigram text is hashed to 64 bits at the scan — the distinct and the
-    // within-(lang, source) self-join move fixed-width keys instead of
+    // bigram text is hashed to 64 bits INSIDE the row (ShingleHashSet:
+    // per-row sorted-distinct hash set, then explode) — the old global
+    // `distinct()` shuffle is gone because set-dedup is a per-document
+    // property, and the self-join below moves fixed 8-byte keys instead of
     // strings (2⁻⁶⁴ collisions are far below any Jaccard threshold; the
-    // DuckDB oracle's string-exact counts still hash-match)
+    // DuckDB oracle's string-exact counts still hash-match). Explicit-N
+    // repartition: one-file scan + AQE's coalescing vs the explode fan-out.
     val sh = docsWithTokens(s, d)
-      .repartition(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
-              TextOps.shingleRows(col("toks"), 2).as("gs"))
-      .select(col("doc_id"), col("lang"), col("source"), xxhash64(col("gs")).as("g"))
-      .distinct()
+              explode(TextOps.shingleHashes(col("toks"), 2)).as("g"))
       .persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The per-row sketch expressions (functions.SketchExpressions) claim BIT
+  * parity with the relational formulations they replaced — same hashes,
+  * same signatures, same entropy values. These tests hold that claim to
+  * the fixture corpus, so the dedup pipelines' candidate sets and recall
+  * provably did not move when the explode+shuffle stages were deleted.
+  */
+class SketchParitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def toks = Tables(spark, sf, "documents")
+    .select(col("doc_id"), functions.TextOps.tokens(col("text")).as("toks"))
+
+  test("ShingleHashSet equals sorted-distinct xxhash64 over the shingle rows") {
+    val perRow = toks
+      .select(col("doc_id"), explode(functions.TextOps.shingleHashes(col("toks"), 3)).as("h"))
+    val relational = toks
+      .select(col("doc_id"), functions.TextOps.shingleRows(col("toks"), 3).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
+    assert(perRow.exceptAll(relational).isEmpty && relational.exceptAll(perRow).isEmpty,
+      "per-row shingle hash set diverges from explode+xxhash64+distinct")
+    // sortedness (the array_intersect verify and dedup rely on set form)
+    val unsorted = toks
+      .select(functions.TextOps.shingleHashes(col("toks"), 3).as("hs"))
+      .filter(expr("hs != array_sort(hs)"))
+    assert(unsorted.count() == 0, "shingle hash arrays must be sorted")
+  }
+
+  test("MinHashSig equals the 32 min(xxhash64(seed, h)) aggregates") {
+    val hs = toks.select(col("doc_id"), functions.TextOps.shingleHashes(col("toks"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val perRow = hs.select(col("doc_id"), functions.SketchOps.minhashSig(col("hs")).as("ms"))
+    val relational = hs
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy("doc_id")
+      .agg(array((0 until operators.Minhash.NumHashes)
+        .map(i => min(xxhash64(lit(i), col("h")))): _*).as("ms"))
+    assert(perRow.exceptAll(relational).isEmpty && relational.exceptAll(perRow).isEmpty,
+      "per-row minhash signature diverges from the relational min-aggregates")
+  }
+
+  test("SimHashSig equals SimHashAgg over the exploded token hashes") {
+    val perRow = toks.select(col("doc_id"), functions.SketchOps.simhashSig(col("toks")).as("sim"))
+    val relational = toks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id")
+      .agg(functions.SimHashAgg(xxhash64(col("tok"))).as("sim"))
+    assert(perRow.exceptAll(relational).isEmpty && relational.exceptAll(perRow).isEmpty,
+      "per-row simhash diverges from the sketch aggregate")
+  }
+
+  test("CharEntropy equals the relational character-distribution entropy at 6 dp") {
+    val docs = Tables(spark, sf, "documents")
+    val perRow = docs.select(col("doc_id"),
+      round(functions.SketchOps.charEntropy(col("text")), 6).as("e"))
+    val chars = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val f = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val n = f.groupBy("doc_id").agg(sum("c").as("n"))
+    val relational = f.join(n, "doc_id").groupBy("doc_id")
+      .agg(round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6).as("e"))
+    assert(perRow.exceptAll(relational).isEmpty && relational.exceptAll(perRow).isEmpty,
+      "per-row entropy diverges from the relational form at 6 dp")
+  }
+}
