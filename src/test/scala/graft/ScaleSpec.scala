@@ -337,7 +337,11 @@ class ScaleSpec extends AnyFunSuite {
   // to one partition (it sizes the shuffle, not the downstream fan-out),
   // serializing the pair-join / trigram-explode stages (measured ~8×).
   test("pre-fan-out repartitions pin an explicit partition count") {
-    Seq("dedup_edit_distance", "text_ngram_profile").foreach { name =>
+    // round 5 extended the rule to every pair pipeline: the bucket/band
+    // self-joins and candidate-verify joins all fan small pre-expansion
+    // rows out into pair spaces AQE cannot see.
+    Seq("dedup_edit_distance", "text_ngram_profile", "sim_ann_lsh",
+        "dedup_embedding_cosine").foreach { name =>
       val reps = SparkEntry.queries(name)(spark, sf)
         .queryExecution.optimizedPlan.collect {
           case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
@@ -345,6 +349,54 @@ class ScaleSpec extends AnyFunSuite {
       assert(reps.nonEmpty, s"$name lost its pre-fan-out repartition")
       assert(reps.forall(_.optNumPartitions.nonEmpty),
         s"$name repartition has no explicit partition count (AQE will coalesce it)")
+    }
+    // the lazy pipelines persist their repartitioned input, so the
+    // repartition may sit inside the InMemoryRelation's cached plan (an
+    // explicit-count repartition surfaces there as a REPARTITION_BY_NUM
+    // shuffle) rather than in the logical plan on top of it
+    Seq("dedup_near_minhash" -> operators.Pipeline.minhashPairs(spark, sf),
+        "dedup_simhash" -> operators.PipelineExt.simhashPairs(spark, sf),
+        "dedup_ngram_jaccard" -> operators.PipelineExt.ngramJaccardPairsLazy(spark, sf))
+      .foreach { case (name, (df, cached)) =>
+        val plan = df.queryExecution.optimizedPlan
+        val reps = plan.collect {
+          case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+        }
+        val cachedPinned = plan.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            // AQE wraps the cached physical plan; collect on the wrapper
+            // sees no children, so unwrap to the input plan first
+            val phys = m.cachedPlan match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                a.inputPlan
+              case p => p
+            }
+            phys.collect {
+              case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+                  if e.shuffleOrigin ==
+                     org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM => e
+            }
+        }.flatten
+        cached.foreach(_.unpersist())
+        assert(reps.nonEmpty || cachedPinned.nonEmpty,
+          s"$name lost its pre-fan-out repartition")
+        assert(reps.forall(_.optNumPartitions.nonEmpty),
+          s"$name repartition has no explicit partition count (AQE will coalesce it)")
+      }
+  }
+
+  // Round-5 regression gate: at bench scale the planner chose to BROADCAST
+  // the raw embeddings projection into the id_b candidate-verify join (the
+  // billion-vector OOM path) — the raw-broadcast sweep above missed it
+  // because plan shapes differ at this spec's sf. The shuffle_hash pin
+  // must hold in the physical plan at every sf.
+  test("candidate-verify id_b joins are shuffled hash joins, not broadcasts") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    Seq("sim_ann_lsh", "dedup_embedding_cosine").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      val shuffled = plan.collect { case j: ShuffledHashJoinExec => j }
+      assert(shuffled.nonEmpty,
+        s"$name lost its pinned shuffle_hash verify join:\n$plan")
     }
   }
 
