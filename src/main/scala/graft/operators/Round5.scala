@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{Decl, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 operator keys — the pretraining-corpus passes the first four
+  * rounds left uncovered: eval-set decontamination, repetition-based
+  * quality scoring, context-window sequence packing, and domain-mixture
+  * rebalancing. Each is DuckDB-oracled.
+  *
+  * 100 TB notes inline; the common theme is the same as Round4: every
+  * query is either a pure per-row projection/filter (repetition ratio,
+  * rebalance keep-filter — scan speed, shuffle-free) or a broadcast-dim /
+  * bounded-key shape (decontamination joins the corpus against the SMALL
+  * benchmark gram set; packing windows within shards).
+  */
+object Round5 {
+
+  val decls: Map[String, Decl] = Map(
+    // ---------------------------------------------------- decontamination
+    // Benchmark decontamination — THE pass every pretraining corpus runs
+    // before training: drop/flag any training doc sharing a word n-gram
+    // with the held-out eval set. The fixture corpus has no natural eval
+    // set, so one is CONSTRUCTED deterministically (docs with
+    // doc_id % 100 = 7, last two tokens dropped — the same perturbation
+    // family the near-dup operators plant), which guarantees each of those
+    // originals is provably contaminated. 5-grams are hashed to 64 bits
+    // per row (ShingleHashSet — the per-row distinct set, no global
+    // dedup shuffle); the eval gram set is DISTINCT'd and broadcast, so
+    // the corpus side is one scan + one bounded per-doc count. At 100 TB
+    // the eval set is KBs-to-MBs (a benchmark suite) against TBs of
+    // corpus: broadcast-semi-join at scan speed is exactly the right
+    // asymmetry, and the output is per-contaminated-doc, not per-gram.
+    "decontaminate_ngram" -> Decl(
+      (s, d) => {
+        val docs = Pipeline.docsWithTokens(s, d).select(col("doc_id"), col("toks"))
+        val evalGrams = docs.filter(pmod(col("doc_id"), lit(100L)) === 7)
+          .select(slice(col("toks"), lit(1),
+                        greatest(size(col("toks")) - 2, lit(1))).as("toks"))
+          .select(explode(graft.functions.TextOps.shingleHashes(col("toks"), 5)).as("g"))
+          .distinct()
+        docs
+          .select(col("doc_id"),
+                  explode(graft.functions.TextOps.shingleHashes(col("toks"), 5)).as("g"))
+          .join(broadcast(evalGrams), "g")
+          // per-row ShingleHashSet is already distinct within a doc, so
+          // count(*) counts distinct shared grams
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT DISTINCT doc_id,
+             |        unnest(list_transform(generate_series(1, len(t) - 4),
+             |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+             |               t[i+3] || ' ' || t[i+4])) AS g
+             |      FROM tok WHERE len(t) >= 5),
+             |evtok AS (SELECT t[1:greatest(len(t) - 2, 1)] AS t FROM tok
+             |          WHERE doc_id % 100 = 7),
+             |evg AS (SELECT DISTINCT
+             |          unnest(list_transform(generate_series(1, len(t) - 4),
+             |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+             |                 t[i+3] || ' ' || t[i+4])) AS g
+             |        FROM evtok WHERE len(t) >= 5)
+             |SELECT doc_id, count(*) AS n_shared_grams
+             |FROM g JOIN evg USING (g)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------- text
+    // Repetition-ratio quality signal (the Gopher/RefinedWeb family):
+    // fraction of repeated tokens and repeated bigrams within a document —
+    // boilerplate and generated spam score high, natural text low. PURE
+    // per-row projection (the distinct counts come from the per-row
+    // ShingleHashSet / array_distinct), so at 100 TB this runs at scan
+    // speed with no shuffle beyond the declared output order.
+    "text_repetition_ratio" -> Decl(
+      (s, d) => {
+        val docs = Pipeline.docsWithTokens(s, d)
+        docs.select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+                           size(col("toks")), 6).as("tok_rep"),
+          when(size(col("toks")) >= 2,
+               round(lit(1.0) -
+                     size(graft.functions.TextOps.shingleHashes(col("toks"), 2))
+                       .cast("double") / (size(col("toks")) - 1), 6))
+            .otherwise(0.0).as("bigram_rep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+             |  round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS tok_rep,
+             |  CASE WHEN len(t) >= 2 THEN
+             |    round(1.0 - CAST(len(list_distinct(
+             |      list_transform(generate_series(1, len(t) - 1),
+             |                     i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
+             |          / (len(t) - 1), 6)
+             |  ELSE 0.0 END AS bigram_rep
+             |FROM tok ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------- packing
+    // Context-window sequence packing — the concat-and-chunk pass that
+    // turns a ragged document stream into fixed 2048-token training
+    // sequences: docs are concatenated in doc_id order within a shard and
+    // each doc records the sequence it starts in and its token offset
+    // there. Shards (doc_id % 8) make the window partition-parallel: at
+    // 100 TB the shard count scales with the cluster and each shard's
+    // running sum is one partition-local window, never a global sort.
+    "pack_sequences" -> Decl(
+      (s, d) => {
+        val docs = Pipeline.docsWithTokens(s, d)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+                  size(col("toks")).as("n_tokens"))
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+        docs
+          .withColumn("start", sum(col("n_tokens").cast("bigint")).over(w) -
+                               col("n_tokens"))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+                  expr("start div 2048").as("seq_id"),
+                  pmod(col("start"), lit(2048L)).as("offset"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, doc_id % 8 AS shard,
+             |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, shard, n_tokens,
+             |        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+             |             AS BIGINT) - n_tokens AS start
+             |      FROM t)
+             |SELECT doc_id, shard, n_tokens,
+             |       CAST(start // 2048 AS BIGINT) AS seq_id,
+             |       CAST(start % 2048 AS BIGINT) AS offset
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------------------------------- mixtures
+    // Domain-mixture rebalancing — flatten a skewed domain distribution
+    // toward uniform ('en' is ~44% of the corpus; the target is
+    // total/n_domains per language): each domain keeps
+    // min(1, target/actual) of its docs. The keep decision is ALL-INTEGER
+    // (ticket·n_docs·n_domains < 1000·total) so no float boundary can
+    // disagree across engines, and the ticket is the usual multiplicative
+    // hash (R8: no rand() — retries and engines agree per row). Shape:
+    // tiny per-domain stat table broadcast against the scan, keep-filter
+    // at I/O speed — the two-pass stats-then-filter every mixture
+    // rebalancer runs at corpus scale.
+    "mix_domain_rebalance" -> Decl(
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+        val stats = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val tot = docs.agg(count(lit(1)).as("total"),
+                           countDistinct(col("lang")).as("n_domains"))
+        docs.join(broadcast(stats), "lang")
+          .crossJoin(broadcast(tot))
+          .withColumn("ticket", pmod(col("doc_id") * lit(879190747L), lit(1000L)))
+          .filter(col("ticket") * col("n_docs") * col("n_domains") <
+                  lit(1000L) * col("total"))
+          .select(col("doc_id"), col("lang"), col("ticket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH stats AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+             |tot AS (SELECT count(*) AS total, count(DISTINCT lang) AS n_domains
+             |        FROM documents)
+             |SELECT doc_id, lang, (doc_id * 879190747) % 1000 AS ticket
+             |FROM documents JOIN stats USING (lang) CROSS JOIN tot
+             |WHERE ((doc_id * 879190747) % 1000) * n_docs * n_domains < 1000 * total
+             |ORDER BY doc_id""".stripMargin)))
+}
