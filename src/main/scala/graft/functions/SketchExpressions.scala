@@ -48,6 +48,10 @@ object SketchOps {
   /** Shannon entropy (nats) of the per-character distribution of a string. */
   def charEntropy(text: Column): Column =
     Bridge.column(CharEntropy(Bridge.expression(text)))
+
+  /** Membership probe against a pre-built Bloom sketch. */
+  def bloomMightContain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(c), bloom))
 }
 
 /** `ARRAY<LONG>`: the sorted DISTINCT `xxhash64` values of the space-joined
@@ -182,6 +186,36 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("simhashSig", this, classOf[SimHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `BOOLEAN`: membership probe of `child: STRING` against a pre-built
+  * Bloom filter (`org.apache.spark.util.sketch.BloomFilter`, the public
+  * sketch `DataFrame.stat.bloomFilter` returns). The filter rides the
+  * expression as a codegen reference object — the same mechanism Spark's
+  * own runtime-filter `BloomFilterMightContain` uses — so the probe stays
+  * inside whole-stage codegen and the scan it guards. Probes the string's
+  * UTF-8 bytes, matching how the builder side hashes string columns.
+  */
+case class BloomMightContain(child: Expression,
+                             bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects string, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  def compute(s: UTF8String): Boolean = bloom.mightContainBinary(s.getBytes)
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomMightContain].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -66,7 +66,76 @@ object Round5 {
              |FROM g JOIN evg USING (g)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Bloom-prefiltered EXACT decontamination — the content-hash variant
+    // of decontaminate_ngram: benchmark pages crawled verbatim (modulo
+    // case/whitespace noise, planted here as upper+trailing-space copies
+    // of the doc_id%100=7 slice) are flagged by normalized-hash equality.
+    // The scale shape is sketch-prefilter-then-verify: the eval set's
+    // Bloom filter (DataFrame.stat.bloomFilter, ~KBs for any benchmark
+    // suite) rides the corpus scan as a codegen'd probe expression
+    // (BloomMightContain) that drops ~everything BEFORE the shuffle, and
+    // the exact semi-join verify touches only Bloom survivors — so the
+    // output is EXACT (false positives die in the verify, making the
+    // query oracle-able) while the shuffle is bounded by eval-set size,
+    // not corpus size. Same pattern as Catalyst's own runtime bloom
+    // pruning (ScaleSpec gates that one), applied as a declared operator.
+    "decontaminate_bloom" -> Decl(
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val evalHashes = docs
+          .filter(pmod(col("doc_id"), lit(100L)) === 7)
+          .select(md5(lower(trim(concat(upper(col("text")), lit("  ")))))
+                    .as("h"))
+          .distinct()
+        // sketch built at construction time (one job over the tiny eval
+        // side) — the same construction-time-materialization tradeoff the
+        // pair pipelines make
+        val bloom = evalHashes.stat.bloomFilter("h", 100000L, 0.01)
+        val hashed = docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+        hashed
+          .filter(graft.functions.SketchOps.bloomMightContain(col("h"), bloom))
+          .join(evalHashes, Seq("h"), "left_semi")
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE md5(lower(trim(text))) IN (
+             |  SELECT md5(lower(trim(upper(text) || '  ')))
+             |  FROM documents WHERE doc_id % 100 = 7)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------------------------- text
+    // Unigram-LM negative log-likelihood — the perplexity-family quality
+    // filter: score every document against a reference unigram language
+    // model (here: the corpus's own term distribution; in production a
+    // held-out reference corpus). Two passes: (1) the LM table —
+    // (term, count) + total, vocabulary-bounded, so at 100 TB it
+    // broadcasts like any dimension; (2) explode tokens, broadcast-join
+    // the LM, one bounded per-doc aggregate of -avg(ln p). High NLL =
+    // out-of-distribution text (gibberish, wrong language, spam).
+    "text_unigram_nll" -> Decl(
+      (s, d) => {
+        val tf = Pipeline.docsWithTokens(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+        val lm = tf.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val tot = tf.agg(count(lit(1)).as("total"))
+        tf.join(broadcast(lm), "term")
+          .crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+               round(-avg(log(col("cnt").cast("double") /
+                             col("total").cast("double"))), 6).as("nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |lm AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+             |tot AS (SELECT count(*) AS total FROM tok)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |       round(-avg(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS nll
+             |FROM tok JOIN lm USING (term) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Repetition-ratio quality signal (the Gopher/RefinedWeb family):
     // fraction of repeated tokens and repeated bigrams within a document —
     // boilerplate and generated spam score high, natural text low. PURE
