@@ -41,6 +41,11 @@ object Round5 {
           .select(explode(graft.functions.TextOps.shingleHashes(col("toks"), 5)).as("g"))
           .distinct()
         docs
+          // explicit-count repartition: the fixture corpus is one scan
+          // split, and the gram explode + probe join would otherwise run
+          // on one core (the standard pre-fan-out discipline, see
+          // ScaleSpec's repartition gate)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
                   explode(graft.functions.TextOps.shingleHashes(col("toks"), 5)).as("g"))
           .join(broadcast(evalGrams), "g")
@@ -116,6 +121,8 @@ object Round5 {
     "text_unigram_nll" -> Decl(
       (s, d) => {
         val tf = Pipeline.docsWithTokens(s, d)
+          // pre-fan-out repartition, same discipline as decontaminate_ngram
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), explode(col("toks")).as("term"))
         val lm = tf.groupBy("term").agg(count(lit(1)).as("cnt"))
         val tot = tf.agg(count(lit(1)).as("total"))

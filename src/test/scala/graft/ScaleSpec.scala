@@ -341,7 +341,8 @@ class ScaleSpec extends AnyFunSuite {
     // self-joins and candidate-verify joins all fan small pre-expansion
     // rows out into pair spaces AQE cannot see.
     Seq("dedup_edit_distance", "text_ngram_profile", "sim_ann_lsh",
-        "dedup_embedding_cosine").foreach { name =>
+        "dedup_embedding_cosine", "decontaminate_ngram", "text_unigram_nll")
+      .foreach { name =>
       val reps = SparkEntry.queries(name)(spark, sf)
         .queryExecution.optimizedPlan.collect {
           case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
