@@ -52,6 +52,10 @@ object SketchOps {
   /** Membership probe against a pre-built Bloom sketch. */
   def bloomMightContain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     Bridge.column(BloomMightContain(Bridge.expression(c), bloom))
+
+  /** Per-row term-frequency table (term-sorted ARRAY<STRUCT<term,cnt>>). */
+  def tokenCounts(toks: Column): Column =
+    Bridge.column(TokenCounts(Bridge.expression(toks)))
 }
 
 /** `ARRAY<LONG>`: the sorted DISTINCT `xxhash64` values of the space-joined
@@ -186,6 +190,52 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("simhashSig", this, classOf[SimHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ARRAY<STRUCT<term STRING, cnt INT>>`: the term-frequency table of
+  * `child: ARRAY<STRING>` computed inside the row (sort the tokens in
+  * binary UTF-8 order, run-length encode) — the per-row form of
+  * `explode(toks) → groupBy(doc, term) → count`, with identical counts.
+  * Entries are term-sorted, so the array itself is deterministic.
+  */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_counts expects array<string>, got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+      containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = {
+    val m = v.numElements()
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = v.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(toks, java.util.Comparator.naturalOrder[UTF8String]())
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && toks(j) == toks(i)) j += 1
+      out.add(org.apache.spark.sql.catalyst.InternalRow(toks(i), j - i))
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenCounts", this, classOf[TokenCounts].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -190,34 +190,35 @@ object Pipeline {
 
     // tf-idf with top-3 terms per doc. Ranking happens on the ROUNDED score
     // (+ term tiebreak) so cross-engine float noise can't reorder the
-    // window. Three shuffles total (tf, df, window) — each on a bounded key.
+    // window. Term frequencies are a PER-ROW fold (native TokenCounts:
+    // sort + run-length inside the row — identical counts to the
+    // explode+groupBy it replaces, asserted in SketchParitySpec), so the
+    // (doc, term) shuffle, the doc-length shuffle, and the persist/
+    // checkpoint machinery are all gone: two shuffles remain (the
+    // vocabulary-bounded df aggregate, broadcast back like
+    // text_unigram_nll's LM table, and the per-doc ranking window).
     "text_tfidf_topterms" -> Decl(
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        // tf is the single tokenize+explode pass; doc lengths and document
-        // frequencies both derive from it (no re-tokenization).
         val tf = docs
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-          .persist()
-        val dl = tf.groupBy("doc_id").agg(sum("cnt").as("dlen"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"),
+                  size(TextOps.tokens(col("text"))).as("dlen"),
+                  explode(graft.functions.SketchOps.tokenCounts(
+                    TextOps.tokens(col("text")))).as("tc"))
+          .select(col("doc_id"), col("dlen"),
+                  col("tc.term").as("term"), col("tc.cnt").as("cnt"))
         val dfq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(dl, "doc_id").join(dfq, "term").crossJoin(broadcast(n))
+        val scored = tf.join(broadcast(dfq), "term").crossJoin(broadcast(n))
           .withColumn("tfidf", round(
             (col("cnt").cast("double") / col("dlen").cast("double")) *
             log(col("n_docs").cast("double") / col("dfreq").cast("double")), 6))
         val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-        val ranked = scored.withColumn("rn", row_number().over(w))
+        scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select("doc_id", "term", "tfidf")
           .orderBy("doc_id", "term")
-        // Release the tokenize-pass cache inside the query (same discipline
-        // as minhash/LSH): checkpoint the small ranked result, then drop tf
-        // so no cached blocks outlive the call in a long-lived session.
-        val out = ranked.localCheckpoint(true)
-        tf.unpersist()
-        out
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
              |tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),

@@ -63,6 +63,17 @@ class SketchParitySpec extends AnyFunSuite {
       "per-row simhash diverges from the sketch aggregate")
   }
 
+  test("TokenCounts equals explode + groupBy term counts") {
+    val perRow = toks
+      .select(col("doc_id"), explode(functions.SketchOps.tokenCounts(col("toks"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.cnt").cast("bigint").as("cnt"))
+    val relational = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    assert(perRow.exceptAll(relational).isEmpty && relational.exceptAll(perRow).isEmpty,
+      "per-row term counts diverge from explode+groupBy")
+  }
+
   test("CharEntropy equals the relational character-distribution entropy at 6 dp") {
     val docs = Tables(spark, sf, "documents")
     val perRow = docs.select(col("doc_id"),
