@@ -210,6 +210,65 @@ object Round5 {
              |       CAST(start % 2048 AS BIGINT) AS offset
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Overlapping token-window chunking — the RAG/embedding-prep pass
+    // that splits long documents into fixed windows with overlap (64
+    // tokens, stride 48): chunk s covers tokens [48s+1, 48s+64], so
+    // consecutive chunks share 16 tokens and no token is lost. Pure
+    // per-row fan-out (sequence → explode → slice), scan-parallel after
+    // the usual pre-fan-out repartition; at 100 TB this runs at scan
+    // speed and the chunk table is the input to the embedding stage.
+    "text_chunk_overlap" -> Decl(
+      (s, d) => {
+        Pipeline.docsWithTokens(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), col("toks"),
+                  explode(sequence(lit(0),
+                    expr("((size(toks) - 1) div 48) * 48").cast("int"), lit(48)))
+                    .as("start"))
+          .select(col("doc_id"),
+                  expr("start div 48").cast("bigint").as("chunk_id"),
+                  least(lit(64), size(col("toks")) - col("start")).as("chunk_tokens"),
+                  concat_ws(" ", slice(col("toks"), col("start") + 1, lit(64))).as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |c AS (SELECT doc_id, t,
+             |        unnest(generate_series(0, ((len(t) - 1) // 48) * 48, 48)) AS start
+             |      FROM tok)
+             |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+             |       CAST(least(64, len(t) - start) AS INT) AS chunk_tokens,
+             |       array_to_string(t[start + 1 : least(start + 64, len(t))], ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Int8 embedding quantization — the 4× storage/bandwidth lever every
+    // billion-vector store applies: per-vector symmetric scale
+    // (127/max|v|), values mapped with floor(x·scale + 0.5) (explicit
+    // half-up — both engines agree, unlike round()'s half-even ties on
+    // doubles). Pure per-row HOF projection at scan speed; the rounded
+    // scale rides along so consumers can dequantize.
+    "vec_quantize_int8" -> Decl(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val maxAbs = expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))")
+        emb.select(col("vec_id"), maxAbs.as("max_abs"), col("embedding"))
+          .select(col("vec_id"),
+                  round(lit(127.0) / col("max_abs"), 6).as("scale"),
+                  expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * " +
+                       "(127.0 / max_abs) + 0.5) AS INT))").as("q"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT vec_id, embedding,
+             |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+             |           (acc, x) -> greatest(acc, x)) AS max_abs
+             |  FROM embeddings)
+             |SELECT vec_id, round(127.0 / max_abs, 6) AS scale,
+             |       list_transform(embedding,
+             |         x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS INT)) AS q
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
     // --------------------------------------------------------- mixtures
     // Domain-mixture rebalancing — flatten a skewed domain distribution
     // toward uniform ('en' is ~44% of the corpus; the target is
