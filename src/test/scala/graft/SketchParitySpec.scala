@@ -74,6 +74,36 @@ class SketchParitySpec extends AnyFunSuite {
       "per-row term counts diverge from explode+groupBy")
   }
 
+  test("per-row expressions handle edge rows (empty/short inputs)") {
+    val sp = spark; import sp.implicits._
+    val edge = Seq(
+      (1L, ""), (2L, "a"), (3L, "a a a"), (4L, "x y"), (5L, "aaaa")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), functions.TextOps.tokens(col("text")).as("toks"),
+              col("text"))
+    // 3-shingles of <3 tokens → empty set; repeated tokens dedup
+    val sh = edge.select(col("doc_id"),
+      size(functions.TextOps.shingleHashes(col("toks"), 3)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sh(1L) == 0 && sh(2L) == 0 && sh(3L) == 1 && sh(4L) == 0 && sh(5L) == 0)
+    // token counts: multiplicity preserved, empty-string token counted
+    val tc = edge.filter(col("doc_id") === 3)
+      .select(explode(functions.SketchOps.tokenCounts(col("toks"))).as("tc"))
+      .select(col("tc.term"), col("tc.cnt")).collect()
+    assert(tc.length == 1 && tc.head.getString(0) == "a" && tc.head.getInt(1) == 3)
+    // entropy: null on empty text, 0.0 on single-char-class text
+    val e = edge.select(col("doc_id"),
+      functions.SketchOps.charEntropy(col("text")).as("e")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(e(1L) == null)
+    assert(e(5L) == 0.0 && (1.0 / e(5L).asInstanceOf[Double]) > 0, // +0.0, not -0.0
+      "single-class entropy must be +0.0")
+    // simhash of identical docs agrees regardless of construction path
+    val sigs = edge.filter(col("doc_id") >= 3)
+      .select(functions.SketchOps.simhashSig(col("toks"))).collect()
+    assert(sigs.distinct.length == sigs.length) // distinct docs, distinct sigs
+  }
+
   test("CharEntropy equals the relational character-distribution entropy at 6 dp") {
     val docs = Tables(spark, sf, "documents")
     val perRow = docs.select(col("doc_id"),
