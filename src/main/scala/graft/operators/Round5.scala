@@ -269,6 +269,58 @@ object Round5 {
              |         x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS INT)) AS q
              |FROM m ORDER BY vec_id""".stripMargin)),
 
+    // ------------------------------------------------------------ events
+    // Funnel-depth analysis — ordered-sequence detection (view → click →
+    // purchase) per user, the classic product-analytics pass engines ship
+    // as windowFunnel/MATCH_RECOGNIZE. Each step is "earliest qualifying
+    // event STRICTLY after the previous step's time": min-aggregate per
+    // user, then a co-partitioned join feeding the next step — three
+    // shuffles all keyed on user_id (exchange reuse collapses them at
+    // plan time), partial-agg'd map-side, no window over the raw event
+    // stream. Strict ts ordering (not event_id tie-break) keeps the
+    // cross-engine semantics trivially identical. Depth: 0 = never
+    // viewed, 3 = completed the funnel.
+    "agg_funnel_depth" -> Decl(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        ev.select("user_id").distinct()
+          .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
+          .join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+          .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+          .select(col("user_id"),
+                  (coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0)) +
+                   coalesce(col("s3"), lit(0))).as("funnel_depth"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+             |            FROM events),
+             |v AS (SELECT user_id, min(ts) AS t1 FROM ev
+             |      WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+             |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+             |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+             |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+             |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+             |SELECT u.user_id AS user_id,
+             |       CAST((CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END) +
+             |            (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) +
+             |            (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS INT)
+             |         AS funnel_depth
+             |FROM (SELECT DISTINCT user_id FROM ev) u
+             |LEFT JOIN v ON u.user_id = v.user_id
+             |LEFT JOIN c ON u.user_id = c.user_id
+             |LEFT JOIN p ON u.user_id = p.user_id
+             |ORDER BY u.user_id""".stripMargin)),
+
     // --------------------------------------------------------- mixtures
     // Domain-mixture rebalancing — flatten a skewed domain distribution
     // toward uniform ('en' is ~44% of the corpus; the target is
