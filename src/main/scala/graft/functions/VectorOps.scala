@@ -39,4 +39,10 @@ object VectorOps {
     */
   def srpBuckets(v: Column, planes: Array[Array[Float]], bitsPerTable: Int): Column =
     Bridge.column(SrpBucketKeys(Bridge.expression(v), planes, bitsPerTable))
+
+  /** Nearest-centroid cell id (max rounded cosine, ties to lowest id) as a
+    * scan-speed projection; see `CentroidAssign`.
+    */
+  def centroidAssign(v: Column, cids: Array[Int], centroids: Array[Array[Float]]): Column =
+    Bridge.column(CentroidAssign(Bridge.expression(v), cids, centroids))
 }

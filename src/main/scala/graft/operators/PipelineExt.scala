@@ -677,19 +677,27 @@ object PipelineExt {
             expr("transform(pm, p -> CAST(round(p.m, 6) AS FLOAT))").as("centroid"))
 
   /** One Lloyd assignment pass of every vector to its best cell in `cent` —
-    * LAZY (no checkpoint), so ScaleSpec's cartesian gate can inspect the
-    * broadcast-nested-loop shape the checkpointed query hides. Ties break
-    * to the lowest cell id. */
-  private[graft] def ivfAssignLazy(s: SparkSession, d: String, cent: DataFrame): DataFrame =
+    * a scan-speed projection: the (tiny, nlist-bounded) centroid table is
+    * collected and rides the native `CentroidAssign` expression as a
+    * reference object, so assignment is one compiled loop per row with no
+    * join and no aggregate (the broadcast-nested-loop + max_by form this
+    * replaces fanned every vector out ×nlist with interpreted cosines).
+    * Ties break to the lowest cell id; score rounding and cosine order are
+    * bit-compatible with the relational form (SketchParitySpec). LAZY in
+    * the sense that the returned frame is uncheckpointed; the centroid
+    * collect is the same materialization the broadcast required. */
+  private[graft] def ivfAssignLazy(s: SparkSession, d: String, cent: DataFrame): DataFrame = {
+    val rows = cent.select(col("cid"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+    val cids = rows.map(_.getInt(0))
+    val cents = rows.map(_.getSeq[Float](1).toArray)
     Tables(s, d, "embeddings")
-      // explicit-count repartition: the corpus is one scan split and the
-      // broadcast-NL assign fans each vector out ×nlist with a cosine per
-      // row — bare AQE coalescing would run the whole pass on one core
+      // explicit-count repartition: the corpus is one scan split — without
+      // it the whole per-row assign pass runs on one core
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .crossJoin(broadcast(cent))
-      .withColumn("sc", round(VectorOps.cosine(col("embedding"), col("centroid")), 6))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("sc"), -col("cid"))).as("cid"))
+      .select(col("vec_id"),
+              VectorOps.centroidAssign(col("embedding"), cids, cents).as("cid"))
+  }
 
   /** LAZY 64-bit SimHash pair pipeline (hamming ≤ 3 via 4×16-bit banding),
     * NOT yet checkpointed — returned with the persisted signature table so

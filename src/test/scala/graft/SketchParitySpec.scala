@@ -74,6 +74,25 @@ class SketchParitySpec extends AnyFunSuite {
       "per-row term counts diverge from explode+groupBy")
   }
 
+  test("CentroidAssign equals the broadcast-NL + max_by assignment") {
+    import functions.VectorOps
+    val emb = Tables(spark, sf, "embeddings")
+    val cent = operators.PipelineExt.ivfCentroidOf(
+      emb.join(broadcast(operators.PipelineExt.ivfLabelSeed(spark, sf)), "label")
+        .select(col("cid"), col("embedding")))
+    val relational = emb
+      .crossJoin(broadcast(cent))
+      .withColumn("sc", round(VectorOps.cosine(col("embedding"), col("centroid")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("sc"), -col("cid"))).as("cid"))
+    val rows = cent.select(col("cid"), col("centroid")).collect().sortBy(_.getInt(0))
+    val perRow = emb.select(col("vec_id"),
+      VectorOps.centroidAssign(col("embedding"),
+        rows.map(_.getInt(0)), rows.map(_.getSeq[Float](1).toArray)).as("cid"))
+    assert(perRow.exceptAll(relational).isEmpty && relational.exceptAll(perRow).isEmpty,
+      "per-row centroid assignment diverges from the BNL + max_by form")
+  }
+
   test("per-row expressions handle edge rows (empty/short inputs)") {
     val sp = spark; import sp.implicits._
     val edge = Seq(
