@@ -269,6 +269,104 @@ object Round5 {
              |         x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS INT)) AS q
              |FROM m ORDER BY vec_id""".stripMargin)),
 
+    // ----------------------------------------------------- sources/sinks
+    // Plain-text-lines source — spark.read.text, the rawest corpus entry
+    // path (one line per document, the way web-scale text dumps actually
+    // arrive). Roundtrip: write the corpus as a text file, read it back,
+    // recover the per-length distribution; the oracle derives the same
+    // distribution from the documents table (length(text) = n_chars is a
+    // fixture invariant).
+    "source_text_lines" -> Decl(
+      (s, d) => {
+        val dir = Tables.scratchDir("graft_textsrc").toString
+        Tables(s, d, "documents").select(col("text"))
+          .write.mode("overwrite").text(dir)
+        s.read.text(dir)
+          .groupBy(length(col("value")).as("len"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("len")
+      },
+      Some("""SELECT n_chars AS len, count(*) AS n_docs FROM documents
+             |GROUP BY n_chars ORDER BY len""".stripMargin)),
+
+    // Binary-file source — spark.read.format("binaryFile"), the ingestion
+    // path for opaque media blobs (images/audio): each file surfaces as
+    // (path, modificationTime, length, content BINARY). A bounded slice of
+    // the corpus (doc_id < 200, so the file count is constant at every sf)
+    // is materialized as one .bin file per doc, then read back
+    // distributed; filename → doc_id, plus byte-level metadata the later
+    // multimodal stages consume. The write side is driver-local by design
+    // (blobs normally ALREADY exist on storage; the query under test is
+    // the distributed read).
+    "source_binaryfile" -> Decl(
+      (s, d) => {
+        val dir = Tables.scratchDir("graft_binsrc")
+        Tables(s, d, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              dir.resolve(f"d${r.getLong(0)}%06d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        s.read.format("binaryFile").load(dir.toString)
+          .select(
+            regexp_extract(col("path"), "d(\\d+)\\.bin$", 1).cast("bigint").as("doc_id"),
+            col("length").as("n_bytes"),
+            ascii(substring(decode(col("content"), "UTF-8"), 1, 1)).cast("int")
+              .as("head_byte"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // Schema-evolution read — two parquet batches with different column
+    // sets (the v1 writer knew `lang`, the v2 writer added `source`)
+    // merged at read time with mergeSchema: the union schema surfaces with
+    // NULLs where a batch lacked the column. This is how a long-lived
+    // 100 TB table absorbs writer upgrades without rewriting history.
+    "source_schema_merge" -> Decl(
+      (s, d) => {
+        val dir = Tables.scratchDir("graft_evolve").toString
+        val docs = Tables(s, d, "documents")
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$dir/batch=v1")
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .write.mode("overwrite").parquet(s"$dir/batch=v2")
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               count(col("source")).as("n_with_source"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |count(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_with_source
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Columnar-codec sink — the same parquet roundtrip under zstd (the
+    // 100 TB at-rest default: ~30% smaller than snappy at similar scan
+    // speed). The data contract is codec-independent; what this key pins
+    // is that the engine reads back what it wrote under a non-default
+    // codec bit-for-bit.
+    "sink_zstd_roundtrip" -> Decl(
+      (s, d) => {
+        val dir = Tables.scratchDir("graft_zstd").toString
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("overwrite").option("compression", "zstd").parquet(dir)
+        s.read.parquet(dir)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // ------------------------------------------------------------ events
     // Funnel-depth analysis — ordered-sequence detection (view → click →
     // purchase) per user, the classic product-analytics pass engines ship
