@@ -51,5 +51,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.WordShingles(children.head, n)
       }))
+    // round-5 per-row sketch surface, same expressions the dedup/quality
+    // pipelines run — from SQL: shingle_hashes(arr, n), minhash_sig(hs),
+    // simhash_sig(arr), char_entropy(s), token_counts(arr)
+    e.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[graft.functions.ShingleHashSet].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"shingle_hashes takes 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes: n must be an integer literal, got $other")
+        }
+        graft.functions.ShingleHashSet(children.head, n)
+      }))
+    def inject1(name: String, clazz: Class[_], mk: Expression => Expression): Unit =
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, s"$name takes 1 argument, got ${children.length}")
+          mk(children.head)
+        }))
+    inject1("minhash_sig", classOf[graft.functions.MinHashSig], graft.functions.MinHashSig(_))
+    inject1("simhash_sig", classOf[graft.functions.SimHashSig], graft.functions.SimHashSig(_))
+    inject1("char_entropy", classOf[graft.functions.CharEntropy], graft.functions.CharEntropy(_))
+    inject1("token_counts", classOf[graft.functions.TokenCounts], graft.functions.TokenCounts(_))
   }
 }

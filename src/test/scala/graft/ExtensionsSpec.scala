@@ -61,5 +61,17 @@ class ExtensionsSpec extends AnyFunSuite {
         |  FROM orders) WHERE rn <= 5""".stripMargin)
     assert(!global.queryExecution.executedPlan.toString.contains("TopKPerKey"))
     assert(global.collect().length == 5)
+
+    // --- round-5 per-row sketch surface from plain SQL
+    val sk = spark.sql(
+      """SELECT size(shingle_hashes(split('a b c d', ' '), 2)) AS n_shingles,
+        |       size(minhash_sig(shingle_hashes(split('a b c d', ' '), 2))) AS sig_len,
+        |       simhash_sig(split('a b c', ' ')) AS sim,
+        |       round(char_entropy('aabb'), 6) AS ent,
+        |       size(token_counts(split('a b a', ' '))) AS n_terms""".stripMargin)
+      .collect()(0)
+    assert(sk.getInt(0) == 3 && sk.getInt(1) == 32)
+    assert(sk.getDouble(3) == math.rint(-2 * 0.5 * math.log(0.5) * 1e6) / 1e6)
+    assert(sk.getInt(4) == 2)
   }
 }
