@@ -269,6 +269,62 @@ object Round5 {
              |         x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS INT)) AS q
              |FROM m ORDER BY vec_id""".stripMargin)),
 
+    // -------------------------------------------------------- predicates
+    // IN (subquery) — a distinct Catalyst decorrelation path from the
+    // EXISTS key (predicate_exists_subq): InSubquery rewrites to a left
+    // SEMI join on the subquery output. Same scalable shape as any semi
+    // join: the subquery side aggregates/dedups before the join.
+    "predicate_in_subq" -> Decl(
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""SELECT o_orderkey, o_totalprice
+                |FROM orders
+                |WHERE o_custkey IN (SELECT c_custkey FROM customer
+                |                    WHERE c_acctbal > 9000)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer
+             |                    WHERE c_acctbal > 9000)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // NOT IN (subquery) — the classic three-valued-logic trap: if the
+    // subquery produces ANY null, NOT IN yields no rows at all, so a
+    // nullable subquery forces Spark into a null-aware anti join (the
+    // per-row null-check formulation). Here the subquery key is provably
+    // non-null, so the planner degrades NOT IN to a PLAIN broadcast anti
+    // join (condition: none — verified in the physical plan) — which is
+    // the point at scale: keep NOT IN subquery sides null-free, or the
+    // engine pays the null-aware row-by-row check.
+    "predicate_not_in_subq" -> Decl(
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""SELECT c_custkey, c_acctbal
+                |FROM customer
+                |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                |                        WHERE o_totalprice > 400000)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+             |                        WHERE o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Boolean aggregates — bool_and/bool_or (ANY/EVERY), the predicate
+    // summarization surface; partial-agg'd like any other aggregate.
+    "agg_bool_any_every" -> Decl(
+      (s, d) => Tables(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+             bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |bool_and(o_totalprice > 1000) AS all_over_1k,
+             |bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+             |count(*) AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // ----------------------------------------------------- sources/sinks
     // Plain-text-lines source — spark.read.text, the rawest corpus entry
     // path (one line per document, the way web-scale text dumps actually
