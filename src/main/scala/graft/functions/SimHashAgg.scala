@@ -15,6 +15,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * element-wise), so the operator keeps the one-scalar-shuffle shape while
   * doing 64× fewer aggregate-function evaluations per row.
   *
+  * Since round 5 the dedup pipeline computes signatures per ROW
+  * (`SimHashSig` over the token array — no explode, no shuffle); this
+  * aggregate remains the sketch-aggregation surface for inputs that
+  * genuinely arrive as one-hash-per-row streams (where no per-row array
+  * exists), and SketchParitySpec holds the two bit-equal.
+  *
   * Bit i of the result is set iff MORE tokens have bit i set than clear
   * (ties clear) — identical to the `sum(when(bit, 1).otherwise(-1)) > 0`
   * formulation it replaces: votes = 2·setCount − n > 0 ⟺ 2·setCount > n.

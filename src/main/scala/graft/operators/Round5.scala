@@ -5,15 +5,20 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 operator keys — the pretraining-corpus passes the first four
-  * rounds left uncovered: eval-set decontamination, repetition-based
-  * quality scoring, context-window sequence packing, and domain-mixture
-  * rebalancing. Each is DuckDB-oracled.
+  * rounds left uncovered (eval-set decontamination by n-gram and by
+  * Bloom-prefiltered content hash, repetition/NLL quality scoring,
+  * context-window sequence packing, overlapping chunking, int8 embedding
+  * quantization, domain-mixture rebalancing, funnel analysis) plus the
+  * source/sink variants (text lines, binaryFile, mergeSchema evolution,
+  * zstd) and the IN / null-free NOT IN subquery predicate paths. Each is
+  * DuckDB-oracled.
   *
   * 100 TB notes inline; the common theme is the same as Round4: every
   * query is either a pure per-row projection/filter (repetition ratio,
-  * rebalance keep-filter — scan speed, shuffle-free) or a broadcast-dim /
-  * bounded-key shape (decontamination joins the corpus against the SMALL
-  * benchmark gram set; packing windows within shards).
+  * quantization, rebalance keep-filter — scan speed, shuffle-free) or a
+  * broadcast-dim / bounded-key shape (decontamination joins the corpus
+  * against the SMALL benchmark gram/hash set; packing windows within
+  * shards; the LM and per-domain stat tables broadcast like dimensions).
   */
 object Round5 {
 
