@@ -57,15 +57,23 @@ object Bench {
       spark.catalog.clearCache() // drop per-query persisted intermediates
       elapsed
     }
+    // The shared VM host time-slices unpredictably: identical suite runs
+    // have swung 3× (scan-and-count queries reading 10 s+ under ambient
+    // load). Re-time anything over 1 s and keep the BEST of the two — a
+    // steady-state measurement that a noisy first slice can't distort,
+    // while the sub-second majority (and the noise floor they define)
+    // run once. Failures (-1) are never retried into a pass, and the
+    // total retry spend is capped so a pathologically slow host can at
+    // worst add ~2 minutes, not double the run.
+    var retryBudget = 120.0
     val results = selected.map { case (name, fn) =>
-      // The shared VM host time-slices unpredictably: identical suite runs
-      // have swung 3× (scan-and-count queries reading 10 s+ under ambient
-      // load). Re-time anything over 1 s and keep the BEST of the two — a
-      // steady-state measurement that a noisy first slice can't distort,
-      // while the sub-second majority (and the noise floor they define)
-      // run once. Failures (-1) are never retried into a pass.
       val t1 = timeOnce(name, fn)
-      val best = if (t1 > 1.0) math.min(t1, timeOnce(name, fn)) else t1
+      val best =
+        if (t1 > 1.0 && retryBudget > 0) {
+          val t2 = timeOnce(name, fn)
+          retryBudget -= t2
+          math.min(t1, t2)
+        } else t1
       name -> best
     }
     // Emit the JSON as the sole, short line on stdout: logs silenced first
