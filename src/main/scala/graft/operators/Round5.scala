@@ -274,6 +274,49 @@ object Round5 {
              |         x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS INT)) AS q
              |FROM m ORDER BY vec_id""".stripMargin)),
 
+    // ------------------------------------------------------------- stats
+    // Higher-moment statistics (skewness, excess kurtosis) from ONE pass
+    // of power sums — the distributed-moments formulation: each partition
+    // partial-aggregates (n, Σx, Σx², Σx³, Σx⁴), the shuffle carries five
+    // scalars per group, and the moments assemble after the merge. The
+    // built-in skewness()/kurtosis() are avoided on PURPOSE: their
+    // bias-correction conventions differ across engines, while the raw
+    // population moments below are pinned by explicit arithmetic that
+    // both engines execute identically (6-dp round absorbs the
+    // summation-order float noise).
+    "agg_skew_kurtosis" -> Decl(
+      (s, d) => {
+        val x = col("o_totalprice").cast("double")
+        Tables(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum(x).as("s1"), sum(x * x).as("s2"),
+               sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+          .select(col("o_orderstatus"),
+                  col("n").cast("bigint").as("n_rows"),
+                  expr("""round((s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3)) /
+                         |      pow(s2/n - pow(s1/n, 2), 1.5), 6)""".stripMargin)
+                    .as("skewness"),
+                  expr("""round((s4/n - 4*(s1/n)*(s3/n) + 6*pow(s1/n,2)*(s2/n)
+                         |       - 3*pow(s1/n, 4)) /
+                         |      pow(s2/n - pow(s1/n, 2), 2) - 3, 6)""".stripMargin)
+                    .as("excess_kurtosis"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n,
+             |         sum(o_totalprice) AS s1,
+             |         sum(o_totalprice * o_totalprice) AS s2,
+             |         sum(o_totalprice * o_totalprice * o_totalprice) AS s3,
+             |         sum(o_totalprice * o_totalprice * o_totalprice * o_totalprice) AS s4
+             |  FROM orders GROUP BY o_orderstatus)
+             |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows,
+             |  round((s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3)) /
+             |        pow(s2/n - pow(s1/n, 2), 1.5), 6) AS skewness,
+             |  round((s4/n - 4*(s1/n)*(s3/n) + 6*pow(s1/n,2)*(s2/n) - 3*pow(s1/n, 4)) /
+             |        pow(s2/n - pow(s1/n, 2), 2) - 3, 6) AS excess_kurtosis
+             |FROM m ORDER BY o_orderstatus""".stripMargin)),
+
     // -------------------------------------------------------- predicates
     // IN (subquery) — a distinct Catalyst decorrelation path from the
     // EXISTS key (predicate_exists_subq): InSubquery rewrites to a left
