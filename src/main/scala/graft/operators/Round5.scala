@@ -274,6 +274,32 @@ object Round5 {
              |         x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS INT)) AS q
              |FROM m ORDER BY vec_id""".stripMargin)),
 
+    // ------------------------------------------------------------ window
+    // Time-interval RANGE frame — a trailing 30-day window over the date
+    // ordering (window_range_frame covers the NUMERIC range case; this is
+    // the calendar-interval one every time-series rollup needs). RANGE
+    // frames include ties (all same-date peers) identically in both
+    // engines, and DATE arithmetic has no sub-second representation trap.
+    // Partitioned by priority, so the sort is per-key, never global.
+    "window_range_interval" -> Decl(
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""SELECT o_orderkey, o_orderpriority, o_orderdate,
+                |  count(*) OVER w AS n_trailing_30d,
+                |  round(sum(o_totalprice) OVER w, 2) AS sum_trailing_30d
+                |FROM orders
+                |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                |             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_orderdate,
+             |  count(*) OVER w AS n_trailing_30d,
+             |  round(sum(o_totalprice) OVER w, 2) AS sum_trailing_30d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+             |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ------------------------------------------------------------- stats
     // Higher-moment statistics (skewness, excess kurtosis) from ONE pass
     // of power sums — the distributed-moments formulation: each partition
