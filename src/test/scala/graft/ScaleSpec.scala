@@ -391,6 +391,25 @@ class ScaleSpec extends AnyFunSuite {
   // billion-vector OOM path) — the raw-broadcast sweep above missed it
   // because plan shapes differ at this spec's sf. The shuffle_hash pin
   // must hold in the physical plan at every sf.
+  // The Bloom prefilter must ride the corpus SCAN (a Filter below the
+  // verify join), not run after it — the sketch-prefilter-then-verify
+  // shape is the whole point of decontaminate_bloom at corpus scale.
+  test("bloom decontamination probes the scan before the verify join") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = SparkEntry.queries("decontaminate_bloom")(spark, sf)
+      .queryExecution.sparkPlan
+    val join = plan.collectFirst { case j: BaseJoinExec => j }
+    assert(join.nonEmpty, s"no verify join in:\n$plan")
+    val probeBelowJoin = join.get.find {
+      case f: FilterExec =>
+        f.condition.find(_.isInstanceOf[functions.BloomMightContain]).nonEmpty
+      case _ => false
+    }
+    assert(probeBelowJoin.nonEmpty,
+      s"bloom probe is not a pre-join scan filter in:\n$plan")
+  }
+
   test("candidate-verify id_b joins are shuffled hash joins, not broadcasts") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     Seq("sim_ann_lsh", "dedup_embedding_cosine").foreach { name =>
