@@ -74,4 +74,44 @@ object SketchProps extends Properties("sketches") {
         .hashUTF8String(UTF8String.fromString(w), 42L)
       sig == h
     }
+
+  private val vec = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 10.0f))
+  private def floatArray(v: Seq[Float]): ArrayData =
+    new GenericArrayData(v.toArray[Any])
+
+  // CentroidAssign invariants: a vector containing one of the centroids
+  // assigns to that centroid's cell (cosine 1.0 beats everything except an
+  // exact tie, which breaks to the lowest cid — also covered); dimension
+  // mismatch is null, never a silent prefix assignment
+  property("a centroid assigns to its own cell (ties to lowest cid)") =
+    Prop.forAll(Gen.listOfN(3, vec.suchThat(_.exists(_ != 0f))), Gen.chooseNum(0, 2)) {
+      (cents, pick) =>
+        val distinct = cents.map(_.toArray)
+        val e = functions.CentroidAssign(null, Array(10, 20, 30), distinct.toArray)
+        val got = e.compute(floatArray(cents(pick)))
+        // the picked centroid scores cosine 1.0; any centroid that is a
+        // positive scalar multiple ties and the LOWEST cid must win
+        val tied = cents.zipWithIndex.filter { case (c, _) =>
+          val a = cents(pick); val dot = a.zip(c).map { case (x, y) => x.toDouble * y }.sum
+          val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+          val nc = math.sqrt(c.map(x => x.toDouble * x).sum)
+          math.abs(dot / (na * nc) - 1.0) < 1e-7
+        }.map(p => (p._2 + 1) * 10)
+        got == tied.min
+    }
+
+  property("centroid assignment rejects dimension mismatch with null") =
+    Prop.forAll(vec) { v =>
+      val e = functions.CentroidAssign(null, Array(1), Array(Array.fill(16)(1.0f)))
+      e.compute(floatArray(v)) == null
+    }
+
+  // Bloom probe has NO false negatives: everything put in is found
+  property("bloom probe never misses an inserted key") =
+    Prop.forAll(Gen.nonEmptyListOf(word)) { ws =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(10000, 0.01)
+      ws.foreach(w => bf.putBinary(w.getBytes("UTF-8")))
+      val e = functions.BloomMightContain(null, bf)
+      ws.forall(w => e.compute(UTF8String.fromString(w)))
+    }
 }
