@@ -274,6 +274,54 @@ object Round5 {
              |         x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS INT)) AS q
              |FROM m ORDER BY vec_id""".stripMargin)),
 
+    // -------------------------------------------------------------- join
+    // Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the join
+    // semantics where NULL keys MATCH each other instead of vanishing:
+    // required whenever a nullable dimension key must still group its
+    // unknowns together (e.g. joining records by possibly-missing
+    // attribution). Nulls are planted deterministically on the 25-row
+    // nation dim so the bounded self-join provably exercises the
+    // null-matches-null row. Plans as a hash join (null-safe equality is
+    // a valid hash key: null hashes like any value), not a nested loop.
+    "join_null_safe_eq" -> Decl(
+      (s, d) => {
+        val n = Tables(s, d, "nation")
+          .select(col("n_nationkey"),
+                  when(pmod(col("n_nationkey"), lit(5L)) === 0, lit(null))
+                    .otherwise(col("n_regionkey")).as("rk"))
+        n.as("a").join(n.as("b"), col("a.rk") <=> col("b.rk"))
+          .select(col("a.n_nationkey").as("nk_a"), col("b.n_nationkey").as("nk_b"),
+                  col("a.rk").as("rk"))
+          .orderBy("nk_a", "nk_b")
+      },
+      Some("""WITH n AS (SELECT n_nationkey,
+             |  CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END AS rk
+             |  FROM nation)
+             |SELECT a.n_nationkey AS nk_a, b.n_nationkey AS nk_b, a.rk AS rk
+             |FROM n a JOIN n b ON a.rk IS NOT DISTINCT FROM b.rk
+             |ORDER BY nk_a, nk_b""".stripMargin)),
+
+    // ------------------------------------------------------------ scalar
+    // Error-safe arithmetic — try_divide/try_add (the ANSI-mode escape
+    // hatch): divide-by-zero and overflow yield NULL instead of failing
+    // the job, which at 100 TB is the difference between one bad row and
+    // a dead 6-hour pipeline. Zero denominators are planted via pmod so
+    // every run provably exercises the null path.
+    "scalar_try_arith" -> Decl(
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+                pmod(col("o_orderkey"), lit(10L)).as("den"),
+                round(try_divide(col("o_totalprice"),
+                                 pmod(col("o_orderkey"), lit(10L))), 6).as("safe_div"),
+                try_add(col("o_orderkey"), lit(Long.MaxValue)).as("safe_add"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderkey % 10 AS den,
+             |CASE WHEN o_orderkey % 10 = 0 THEN NULL
+             |     ELSE round(o_totalprice / (o_orderkey % 10), 6) END AS safe_div,
+             |CASE WHEN o_orderkey <= 0 THEN o_orderkey + 9223372036854775807
+             |     ELSE NULL END AS safe_add
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // ------------------------------------------------------------ window
     // Time-interval RANGE frame — a trailing 30-day window over the date
     // ordering (window_range_frame covers the NUMERIC range case; this is
