@@ -348,6 +348,59 @@ object Round5 {
              |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Grouping diagnostics — grouping()/grouping_id() over a rollup: the
+    // SQL surface that tells subtotal rows apart from genuine NULL group
+    // keys (agg_rollup covers the rollup itself; this covers the
+    // disambiguation every BI layer on top of it needs).
+    "agg_grouping_id" -> Decl(
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                |  count(*) AS n
+                |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+                |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+             |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+             |  count(*) AS n
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // ------------------------------------------------------------ window
+    // Forward fill — last_value(... IGNORE NULLS) over a running frame:
+    // THE gap-filling pattern for sparse time series (carry the last
+    // known reading forward). Nulls are planted deterministically
+    // (every third event's value) so the fill provably fires; rows
+    // before any non-null value stay NULL. Per-user partitions keep the
+    // window sort partition-local at any scale.
+    "window_forward_fill" -> Decl(
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""WITH e AS (
+                |  SELECT event_id, user_id,
+                |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE round(value, 6) END AS v
+                |  FROM events)
+                |SELECT event_id, user_id, v,
+                |  last_value(v) IGNORE NULLS OVER (
+                |    PARTITION BY user_id ORDER BY event_id
+                |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+                |FROM e ORDER BY event_id""".stripMargin)
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id,
+             |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE round(value, 6) END AS v
+             |  FROM events)
+             |SELECT event_id, user_id, v,
+             |  last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+             |FROM e ORDER BY event_id""".stripMargin)),
+
     // ------------------------------------------------------------- stats
     // Higher-moment statistics (skewness, excess kurtosis) from ONE pass
     // of power sums — the distributed-moments formulation: each partition
