@@ -70,9 +70,16 @@ object Bench {
       val t1 = timeOnce(name, fn)
       val best =
         if (t1 > 1.0 && retryBudget > 0) {
+          // Charge the retry's expected cost (~t1) up front so one
+          // pathologically slow retry can't blow far past the budget,
+          // then settle to the actual spend once known.
+          retryBudget -= t1
           val t2 = timeOnce(name, fn)
-          retryBudget -= t2
-          math.min(t1, t2)
+          retryBudget += t1 - math.max(t2, 0.0)
+          // A failed retry (-1) must not mask a successful first run —
+          // failures are never retried INTO a pass, and a pass is never
+          // retried into a failure.
+          if (t2 >= 0) math.min(t1, t2) else t1
         } else t1
       name -> best
     }
@@ -83,10 +90,13 @@ object Bench {
     // The capture window is a 2000-char stdout TAIL (BENCH_r02.json:
     // "tail" is exactly 2000 chars and the 114-entry line overflowed it, so
     // "parsed" came back null two rounds running). The whole line must
-    // therefore fit in <2000 chars: report per-query timings slowest-first
-    // and stop adding entries at a 1800-char budget. `value` still sums
-    // EVERY query, and `nq`/`reported` make the truncation explicit; the
-    // omitted entries are the sub-0.1 s noise floor.
+    // therefore fit in <2000 chars MINUS anything that prints after it:
+    // round 5 proved sbt itself can append a ~400-char GC [warn] at exit,
+    // which pushed an 1800-char line's head out of the window ("parsed"
+    // null again). Budget the per-query entries at 1300 chars so line +
+    // shutdown chatter always fit. `value` still sums EVERY query, and
+    // `nq`/`reported` make the truncation explicit; the omitted entries
+    // are the sub-0.1 s noise floor.
     def r(v: Double): Double = math.rint(v * 1000) / 1000
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qs = new StringBuilder
@@ -97,7 +107,7 @@ object Bench {
       if (v < 0) Double.NegativeInfinity else -v
     }.foreach { case (k, v) =>
       val entry = "\"" + k + "\":" + r(v)
-      if (qs.length + entry.length + 1 <= 1800) {
+      if (qs.length + entry.length + 1 <= 1300) {
         if (reported > 0) qs.append(',')
         qs.append(entry)
         reported += 1

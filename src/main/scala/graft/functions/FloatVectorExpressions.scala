@@ -94,7 +94,8 @@ case class CentroidAssign(child: Expression, cids: Array[Int],
                           centroids: Array[Array[Float]])
     extends UnaryExpression {
   require(cids.length == centroids.length, "one cell id per centroid")
-  private val dim = centroids.headOption.map(_.length).getOrElse(0)
+  require(centroids.nonEmpty, "centroid_assign needs at least one centroid")
+  private val dim = centroids.head.length
   require(centroids.forall(_.length == dim), "all centroids must share one dimension")
 
   private val cnorms: Array[Double] = centroids.map { c =>
@@ -125,20 +126,29 @@ case class CentroidAssign(child: Expression, cids: Array[Int],
     vn = math.sqrt(vn)
     var bestCid = Int.MaxValue
     var bestSc = Double.NegativeInfinity
+    var fired = false
     var j = 0
     while (j < centroids.length) {
       val c = centroids(j)
       var dot = 0.0
       i = 0
       while (i < dim) { dot += x(i) * c(i).toDouble; i += 1 }
-      val sc = java.math.BigDecimal.valueOf(dot / (vn * cnorms(j)))
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      if (sc > bestSc || (sc == bestSc && cids(j) < bestCid)) {
-        bestSc = sc; bestCid = cids(j)
+      val raw = dot / (vn * cnorms(j))
+      // a zero-norm input (or zero centroid) scores NaN against every
+      // centroid; skip it BEFORE the decimal round (BigDecimal.valueOf
+      // rejects NaN outright)
+      if (!raw.isNaN) {
+        val sc = java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (sc > bestSc || (sc == bestSc && cids(j) < bestCid)) {
+          fired = true; bestSc = sc; bestCid = cids(j)
+        }
       }
       j += 1
     }
-    bestCid
+    // every score NaN (zero-norm input): no nearest centroid exists — NULL,
+    // never the Int.MaxValue the comparison seed would leak
+    if (!fired) null else bestCid
   }
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])

@@ -56,6 +56,28 @@ object SketchOps {
   /** Per-row term-frequency table (term-sorted ARRAY<STRUCT<term,cnt>>). */
   def tokenCounts(toks: Column): Column =
     Bridge.column(TokenCounts(Bridge.expression(toks)))
+
+  /** Null elements are legal in any SQL-supplied array (split()'s declared
+    * element type is nullable); every sketch here skips them, matching the
+    * relational explode form where a null token/hash row falls out of the
+    * aggregate. Returns the input untouched when it has no nulls — the
+    * common case pays one scan, no copy.
+    */
+  private[functions] def dropNullElements(v: ArrayData, et: DataType): ArrayData = {
+    val m = v.numElements()
+    var nulls = 0
+    var i = 0
+    while (i < m) { if (v.isNullAt(i)) nulls += 1; i += 1 }
+    if (nulls == 0) return v
+    val out = new Array[Any](m - nulls)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (!v.isNullAt(i)) { out(w) = v.get(i, et); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `ARRAY<LONG>`: the sorted DISTINCT `xxhash64` values of the space-joined
@@ -74,7 +96,12 @@ case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
 
   private val space = UTF8String.fromString(" ")
 
-  def compute(v: ArrayData): ArrayData = {
+  def compute(v0: ArrayData): ArrayData = {
+    // SQL-exposed: the input array may carry null elements (split()'s
+    // declared type allows them even though it never produces one). Skip
+    // them — the generator formulation's null token hashes to a null row
+    // the downstream distinct/aggregate drops.
+    val v = SketchOps.dropNullElements(v0, StringType)
     val m = v.numElements()
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
     val hs = new Array[Long](m - n + 1)
@@ -111,6 +138,11 @@ case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
   * shingle-hash set): element i is `min over h of xxhash64(i, h)` — the
   * same two-child seed-42 fold as the `min(xxhash64(lit(i), col("h")))`
   * aggregate it replaces, with the int-literal prefix hash precomputed.
+  *
+  * An EMPTY hash set (after null elements are skipped) yields NULL, not
+  * the sentinel minima: the relational form emits no row for a sub-n-token
+  * doc, and two such docs must not band-collide as perfect near-dups
+  * through the SQL-exposed `minhash_sig`.
   */
 case class MinHashSig(child: Expression) extends UnaryExpression {
   import MinHashSig.NumHashes
@@ -121,29 +153,39 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
       s"minhash_sig expects array<long>, got $other")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
 
-  def compute(v: ArrayData): ArrayData = {
+  def compute(v: ArrayData): Any = {
     val mins = Array.fill(NumHashes)(Long.MaxValue)
     val m = v.numElements()
+    var seen = false
     var j = 0
     while (j < m) {
-      val h = v.getLong(j)
-      var i = 0
-      while (i < NumHashes) {
-        val hv = XXH64.hashLong(h, MinHashSig.seeds(i))
-        if (hv < mins(i)) mins(i) = hv
-        i += 1
+      if (!v.isNullAt(j)) {
+        seen = true
+        val h = v.getLong(j)
+        var i = 0
+        while (i < NumHashes) {
+          val hv = XXH64.hashLong(h, MinHashSig.seeds(i))
+          if (hv < mins(i)) mins(i) = hv
+          i += 1
+        }
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    if (!seen) null else new GenericArrayData(mins)
   }
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |Object r = $ref.compute($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+       """.stripMargin)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -170,7 +212,11 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
   }
   override def dataType: DataType = LongType
 
-  def compute(v: ArrayData): Long = {
+  def compute(v0: ArrayData): Long = {
+    // skip null tokens (and exclude them from the majority denominator),
+    // matching the exploded SimHashAgg form where a null token row's null
+    // hash drops out of the vote
+    val v = SketchOps.dropNullElements(v0, StringType)
     val counts = new Array[Int](64)
     val m = v.numElements()
     var j = 0
@@ -215,7 +261,10 @@ case class TokenCounts(child: Expression) extends UnaryExpression {
         org.apache.spark.sql.types.IntegerType, nullable = false))),
       containsNull = false)
 
-  def compute(v: ArrayData): ArrayData = {
+  def compute(v0: ArrayData): ArrayData = {
+    // null tokens would NPE the natural-order sort; skip them like the
+    // explode form, whose null term rows fall out of the groupBy count
+    val v = SketchOps.dropNullElements(v0, StringType)
     val m = v.numElements()
     val toks = new Array[UTF8String](m)
     var i = 0

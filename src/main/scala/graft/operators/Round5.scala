@@ -250,7 +250,12 @@ object Round5 {
     // (127/max|v|), values mapped with floor(x·scale + 0.5) (explicit
     // half-up — both engines agree, unlike round()'s half-even ties on
     // doubles). Pure per-row HOF projection at scan speed; the rounded
-    // scale rides along so consumers can dequantize.
+    // scale rides along so consumers can dequantize. The quantized vector
+    // is emitted as a SCALAR fingerprint (md5 over the comma-joined
+    // values + element sum), not the raw array: round 5 proved the
+    // driver's compare cannot sort/hash list columns (pandas
+    // `unhashable type: numpy.ndarray`), and the md5 pins every element
+    // and its order just as hard.
     "vec_quantize_int8" -> Decl(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
@@ -261,6 +266,10 @@ object Round5 {
                   round(lit(127.0) / col("max_abs"), 6).as("scale"),
                   expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * " +
                        "(127.0 / max_abs) + 0.5) AS INT))").as("q"))
+          .select(col("vec_id"), col("scale"),
+                  expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+                  md5(expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')"))
+                    .as("q_md5"))
           .orderBy("vec_id")
       },
       Some("""WITH m AS (
@@ -268,11 +277,15 @@ object Round5 {
              |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              |           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
              |           (acc, x) -> greatest(acc, x)) AS max_abs
-             |  FROM embeddings)
-             |SELECT vec_id, round(127.0 / max_abs, 6) AS scale,
-             |       list_transform(embedding,
-             |         x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS INT)) AS q
-             |FROM m ORDER BY vec_id""".stripMargin)),
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, round(127.0 / max_abs, 6) AS scale,
+             |         list_transform(embedding,
+             |           x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS INT)) AS q
+             |  FROM m)
+             |SELECT vec_id, scale, CAST(list_sum(q) AS BIGINT) AS q_sum,
+             |       md5(array_to_string(q, ',')) AS q_md5
+             |FROM q ORDER BY vec_id""".stripMargin)),
 
     // -------------------------------------------------------------- join
     // Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the join

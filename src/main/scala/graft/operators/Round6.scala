@@ -1,0 +1,311 @@
+package graft.operators
+
+import graft.{Decl, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 operator keys — the incremental/analytic passes on top of the
+  * round-1..5 surface: snapshot-incremental dedup (the "don't re-dedup
+  * 100 TB for a 1 TB delta" shape), information-theoretic mixture
+  * diagnostics, time-series gap-fill over a generated spine, a bigram-LM
+  * quality score (the two-gram step past text_unigram_nll), frameless
+  * window z-score outlier detection, the LEFT OUTER stream-stream join
+  * (the state-expiry semantics the inner interval join doesn't cover),
+  * and one-pass distributed PCA via a Gram-matrix Aggregator.
+  *
+  * 100 TB notes inline; the recurring theme: per-key bounded aggregates
+  * and broadcast-sized stats tables everywhere, and the two genuinely
+  * corpus-sized joins (incremental dedup's anti join, the bigram-LM join)
+  * pinned to shuffle joins on their key — never a broadcast of an
+  * unbounded side.
+  */
+object Round6 {
+
+  val decls: Map[String, Decl] = Map(
+    // ------------------------------------------------------------- dedup
+    // Snapshot-incremental dedup — the production shape of every corpus
+    // refresh: the BASE snapshot is already deduped (its hash index
+    // exists); only the incoming DELTA batch is grouped within itself
+    // (keep the lowest delta id per content hash) and then anti-joined
+    // against the base index. The fixture corpus has no natural dups, so
+    // the delta is CONSTRUCTED (same planting family as dedup_exact):
+    // case/whitespace-noised copies of the doc_id%5 slice (provably
+    // base-duplicates), genuinely new docs from the doc_id%7 slice, and a
+    // second copy of the %14 slice (provably within-delta dups). Survivors
+    // = the new docs, one per hash. At 100 TB the base side never
+    // re-scans its text — the index is (hash) only — and the anti join is
+    // pinned to a shuffle join on the hash (a planner-chosen broadcast of
+    // the base index is the OOM anti-pattern; the delta is the small
+    // side, the base never is).
+    "dedup_incremental" -> Decl(
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val base = docs.select(md5(lower(trim(col("text")))).as("h"))
+        val delta = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+            .select((col("doc_id") + 2000000L).as("delta_id"),
+                    concat(upper(col("text")), lit(" ")).as("text"))
+          .unionAll(docs.filter(pmod(col("doc_id"), lit(7L)) === 0)
+            .select((col("doc_id") + 3000000L).as("delta_id"),
+                    concat(col("text"), lit(" batch2")).as("text")))
+          .unionAll(docs.filter(pmod(col("doc_id"), lit(14L)) === 0)
+            .select((col("doc_id") + 4000000L).as("delta_id"),
+                    concat(col("text"), lit(" batch2")).as("text")))
+        delta
+          .select(col("delta_id"), md5(lower(trim(col("text")))).as("h"))
+          .groupBy("h")
+          .agg(min("delta_id").as("delta_id"), count(lit(1)).as("n_in_delta"))
+          .join(base.distinct().hint("shuffle_hash"), Seq("h"), "left_anti")
+          .select(col("delta_id"), col("h"), col("n_in_delta"))
+          .orderBy("delta_id")
+      },
+      Some("""WITH base AS (SELECT md5(lower(trim(text))) AS h FROM documents),
+             |delta AS (
+             |  SELECT doc_id + 2000000 AS delta_id, upper(text) || ' ' AS text
+             |  FROM documents WHERE doc_id % 5 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 3000000, text || ' batch2'
+             |  FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 4000000, text || ' batch2'
+             |  FROM documents WHERE doc_id % 14 = 0),
+             |canon AS (
+             |  SELECT md5(lower(trim(text))) AS h, min(delta_id) AS delta_id,
+             |         count(*) AS n_in_delta
+             |  FROM delta GROUP BY 1)
+             |SELECT delta_id, h, n_in_delta FROM canon c
+             |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.h = c.h)
+             |ORDER BY delta_id""".stripMargin)),
+
+    // ------------------------------------------------------------- stats
+    // Mixture diagnostics — marginal entropies of the lang and source
+    // distributions and their mutual information (nats): THE summary
+    // numbers a corpus-mixture dashboard shows (how skewed is each axis,
+    // how correlated are they). One bounded-key groupBy over the corpus;
+    // everything downstream is |langs|×|sources| rows of pure arithmetic,
+    // identical in both engines (6-dp round absorbs summation-order float
+    // noise per SURVEY §7.3).
+    "agg_mutual_info" -> Decl(
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""WITH j AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS c
+                |           FROM documents GROUP BY lang, source),
+                |l AS (SELECT lang, sum(c) AS cl FROM j GROUP BY lang),
+                |s2 AS (SELECT source, sum(c) AS cs FROM j GROUP BY source),
+                |t AS (SELECT sum(c) AS n FROM j)
+                |SELECT CAST((SELECT n FROM t) AS BIGINT) AS n_docs,
+                |  (SELECT round(-sum((cl/n)*ln(cl/n)), 6) FROM l CROSS JOIN t) AS h_lang,
+                |  (SELECT round(-sum((cs/n)*ln(cs/n)), 6) FROM s2 CROSS JOIN t) AS h_source,
+                |  (SELECT round(sum((c/n)*ln((c*n)/(cl*cs))), 6)
+                |   FROM j JOIN l USING (lang) JOIN s2 USING (source) CROSS JOIN t) AS mi_nats""".stripMargin)
+      },
+      Some("""WITH j AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS c
+             |           FROM documents GROUP BY lang, source),
+             |l AS (SELECT lang, sum(c) AS cl FROM j GROUP BY lang),
+             |s2 AS (SELECT source, sum(c) AS cs FROM j GROUP BY source),
+             |t AS (SELECT sum(c) AS n FROM j)
+             |SELECT CAST((SELECT n FROM t) AS BIGINT) AS n_docs,
+             |  (SELECT round(-sum((cl/n)*ln(cl/n)), 6) FROM l CROSS JOIN t) AS h_lang,
+             |  (SELECT round(-sum((cs/n)*ln(cs/n)), 6) FROM s2 CROSS JOIN t) AS h_source,
+             |  (SELECT round(sum((c/n)*ln((c*n)/(cl*cs))), 6)
+             |   FROM j JOIN l USING (lang) JOIN s2 USING (source) CROSS JOIN t) AS mi_nats""".stripMargin)),
+
+    // ------------------------------------------------------- time series
+    // Gap-filled hourly resample — the regularization pass every
+    // time-series rollup needs: bucket events to the hour per type,
+    // GENERATE the complete hour spine (sequence + explode, so missing
+    // hours exist as rows), left-join the observed aggregates, and
+    // forward-fill the gaps with the last observed hourly average.
+    // ~215 of the 3600 (type, hour) cells are empty at sf0.01, so the
+    // fill provably fires. Scale shape: the observed aggregate is one
+    // bounded (type, hour) shuffle; the spine is |types|×|hours| rows —
+    // calendar-bounded, broadcast; the fill window sorts per type, never
+    // globally.
+    "ts_gapfill_interp" -> Decl(
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("value"))
+        // Exact integer-micros mean, NOT round(avg(value), 6): the fixture
+        // values have fixed decimal structure, so hourly means land exactly
+        // ON 5e-7 boundaries where Spark's repr-HALF_UP and DuckDB's scaled
+        // half-away round() disagree (hit at sf0.1). Summing half-up micros
+        // as BIGINT is order-independent and exact; the half-up mean and
+        // the /1e6 are the same IEEE ops on both engines — no round() left.
+        val hourly = e.groupBy("event_type", "h")
+          .agg(sum(floor(col("value") * 1000000.0 + 0.5).cast("bigint")).as("sm"),
+               count(lit(1)).as("n_events"))
+          .select(col("event_type"), col("h"), col("n_events"),
+                  (floor(col("sm").cast("double") / col("n_events") + 0.5).cast("bigint") /
+                   lit(1000000.0)).as("v_avg"))
+        val spine = e.agg(min("h").as("h0"), max("h").as("h1"))
+          .select(explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("h"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.select("event_type").distinct()
+          .crossJoin(broadcast(spine))
+          .join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+                  coalesce(col("n_events"), lit(0L)).as("n_events"),
+                  col("v_avg"),
+                  last("v_avg", ignoreNulls = true).over(w).as("v_filled"))
+          .orderBy("event_type", "h")
+      },
+      Some("""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
+             |hourly AS (SELECT event_type, h,
+             |             CAST(floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+             |                              AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+             |               / 1000000.0 AS v_avg,
+             |             count(*) AS n_events
+             |           FROM e GROUP BY event_type, h),
+             |spine AS (SELECT unnest(generate_series((SELECT min(h) FROM e),
+             |                                        (SELECT max(h) FROM e),
+             |                                        INTERVAL 1 HOUR)) AS h),
+             |types AS (SELECT DISTINCT event_type FROM e)
+             |SELECT t.event_type AS event_type, s.h AS h,
+             |       coalesce(hh.n_events, 0) AS n_events, hh.v_avg AS v_avg,
+             |       last_value(hh.v_avg IGNORE NULLS) OVER (
+             |         PARTITION BY t.event_type ORDER BY s.h
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+             |FROM types t CROSS JOIN spine s
+             |LEFT JOIN hourly hh ON hh.event_type = t.event_type AND hh.h = s.h
+             |ORDER BY event_type, h""".stripMargin)),
+
+    // -------------------------------------------------------------- text
+    // Bigram-LM negative log-likelihood — the two-gram step past
+    // text_unigram_nll: score each document under an add-one-smoothed
+    // bigram model of the corpus, p(w2|w1) = (c(w1 w2)+1)/(c(w1 ·)+V).
+    // Unlike the unigram LM (vocabulary-bounded, broadcastable), the
+    // bigram table grows with the corpus — so the doc-bigram ⋈ LM join
+    // stays a SHUFFLE join keyed on the bigram, with map-side partial
+    // counts; only V (one scalar) broadcasts.
+    "text_bigram_nll" -> Decl(
+      (s, d) => {
+        val toks = Pipeline.docsWithTokens(s, d).select(col("doc_id"), col("toks"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        val bi = toks.filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> struct(element_at(toks, i) AS w1,
+              |              concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS bg))"""
+              .stripMargin)).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+        val cbg = bi.groupBy("bg").agg(count(lit(1)).as("cbg"))
+        val cw1 = bi.groupBy("w1").agg(count(lit(1)).as("cw1"))
+        val v = toks.select(explode(col("toks")).as("w"))
+          .agg(countDistinct("w").cast("double").as("v"))
+        bi.join(cbg.hint("shuffle_hash"), "bg")
+          .join(cw1.hint("shuffle_hash"), "w1")
+          .crossJoin(broadcast(v))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+               round(-avg(log((col("cbg") + lit(1.0)) / (col("cw1") + col("v")))), 6)
+                 .as("bigram_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |b AS (SELECT doc_id,
+             |        unnest(list_transform(generate_series(1, len(t)-1), i -> t[i])) AS w1,
+             |        unnest(list_transform(generate_series(1, len(t)-1),
+             |                              i -> t[i] || ' ' || t[i+1])) AS bg
+             |      FROM tok WHERE len(t) >= 2),
+             |cbg AS (SELECT bg, count(*) AS cbg FROM b GROUP BY bg),
+             |cw1 AS (SELECT w1, count(*) AS cw1 FROM b GROUP BY w1),
+             |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+             |      FROM (SELECT unnest(t) AS w FROM tok))
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |       round(-avg(ln((cbg + 1.0)/(cw1 + v))), 6) AS bigram_nll
+             |FROM b JOIN cbg USING (bg) JOIN cw1 USING (w1) CROSS JOIN v
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------ window
+    // Frameless-window z-score outliers — per-type standardization using
+    // whole-partition window aggregates (no ORDER BY, no frame: every row
+    // sees its group's mean/stddev without a join), then keep |z| > 2.
+    // Complements the ordered windows (§2.5): this is the OTHER window
+    // shape, and the one-pass way to standardize without materializing a
+    // stats table. Population stddev — both engines share the definition.
+    "window_zscore_outlier" -> Decl(
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), round(col("value"), 6).as("v"),
+                  round((col("value") - avg(col("value")).over(w)) /
+                        stddev_pop(col("value")).over(w), 6).as("z"))
+          .filter(abs(col("z")) > 2)
+          .orderBy("event_id")
+      },
+      Some("""WITH z AS (
+             |  SELECT event_id, event_type, round(value, 6) AS v,
+             |         round((value - avg(value) OVER (PARTITION BY event_type)) /
+             |               stddev_pop(value) OVER (PARTITION BY event_type), 6) AS z
+             |  FROM events)
+             |SELECT event_id, event_type, v, z FROM z
+             |WHERE abs(z) > 2 ORDER BY event_id""".stripMargin)),
+
+    // --------------------------------------------------------- streaming
+    // Stream-stream LEFT OUTER interval join, batch twin: every click,
+    // paired with the same user's errors in the following 60 minutes —
+    // and clicks with NO such error survive with NULL error columns. The
+    // outer side is what the inner join (stream_stream_join) can't
+    // express, and in streaming form it's the semantics watermark-driven
+    // state expiry exists FOR: a left row emits its null match only once
+    // the watermark proves no right row can still arrive (live twin in
+    // StreamingSpec). NULLS FIRST pinned on both engines (Spark's ASC
+    // default; DuckDB's is NULLS LAST).
+    "stream_stream_outer" -> Decl(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id").as("uid"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+        clicks.join(errors,
+            col("user_id") === col("uid") &&
+            col("error_ts") >= col("click_ts") &&
+            col("error_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"),
+            "left_outer")
+          .select(col("user_id"), col("click_id"), col("error_id"),
+                  (col("error_ts").cast("long") - col("click_ts").cast("long")).as("gap_s"))
+          .orderBy(col("user_id"), col("click_id"), col("error_id").asc_nulls_first)
+      },
+      Some("""SELECT c.user_id AS user_id, c.event_id AS click_id, e.event_id AS error_id,
+             |  date_diff('second', CAST(c.ts AS TIMESTAMP), CAST(e.ts AS TIMESTAMP)) AS gap_s
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+             |  ON c.user_id = e.user_id
+             | AND CAST(e.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+             | AND CAST(e.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '60 minutes'
+             |ORDER BY user_id, click_id, error_id NULLS FIRST""".stripMargin)),
+
+    // ----------------------------------------------------------- vectors
+    // One-pass distributed PCA (top principal component) — the embedding
+    // whitening/compression step ANN and PQ indexes run at corpus scale:
+    // a single Aggregator pass folds every vector into (n, Σx, Σxxᵀ)
+    // (d + d(d+1)/2 doubles of state, ~17 KB at d=64 — the shuffle
+    // carries ONE state per partition), the driver assembles the exact
+    // covariance and power-iterates a 64×64 matrix. No oracle (DuckDB
+    // has no eigen solver): OperatorSpec asserts the eigen residual
+    // ‖Cv − λv‖ ≈ 0 and that no coordinate axis beats the component's
+    // Rayleigh quotient. Deterministic: fixed start vector, fixed
+    // iteration count, sign pinned (R8).
+    "vec_pca_topcomponent" -> Decl(
+      (s, d) => {
+        val dim = 64
+        val gramUdf = udaf(new graft.functions.VectorGramAgg(dim))
+        val row = Tables(s, d, "embeddings")
+          .agg(gramUdf(col("embedding")).as("g"))
+          .select(col("g.n"), col("g.s"), col("g.g"))
+          .head()
+        val gram = graft.functions.GramState(
+          row.getLong(0), row.getSeq[Double](1).toArray, row.getSeq[Double](2).toArray)
+        val cov = graft.functions.VectorGramAgg.covariance(gram, dim)
+        val (vec, lambda) = graft.functions.VectorGramAgg.topEigen(cov)
+        val trace = (0 until dim).map(i => cov(i)(i)).sum
+        import s.implicits._
+        vec.zipWithIndex.toSeq
+          .map { case (wgt, i) =>
+            (i, math.rint(wgt * 1e6) / 1e6, math.rint(lambda / trace * 1e6) / 1e6) }
+          .toDF("dim", "weight", "var_share")
+          .orderBy("dim")
+      },
+      None))
+}

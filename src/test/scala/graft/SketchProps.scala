@@ -33,10 +33,35 @@ object SketchProps extends Properties("sketches") {
       val a = utf8Array(ws); val b = utf8Array(ws)
       val ha = functions.ShingleHashSet(null, 2).compute(a)
       val hb = functions.ShingleHashSet(null, 2).compute(b)
-      val sa = functions.MinHashSig(null).compute(ha)
-      val sb = functions.MinHashSig(null).compute(hb)
-      sa.toLongArray.sameElements(sb.toLongArray) &&
+      val sa = functions.MinHashSig(null).compute(ha).asInstanceOf[ArrayData]
+      val sb = functions.MinHashSig(null).compute(hb).asInstanceOf[ArrayData]
+      // sub-n-token docs have NO signature (null, round-6 semantics) —
+      // identical inputs must then be identically null
+      val sigEq =
+        if (sa == null || sb == null) sa == null && sb == null
+        else sa.toLongArray.sameElements(sb.toLongArray)
+      sigEq &&
         functions.SimHashSig(null).compute(a) == functions.SimHashSig(null).compute(b)
+    }
+
+  // SQL-exposed edge semantics (ADVICE round 5): an empty hash set has NO
+  // minhash signature (null, never the sentinel minima that would band-
+  // collide every short doc), and null elements drop out of every sketch
+  // exactly like the exploded form's null rows
+  property("minhash of empty set is null; null elements are skipped") =
+    Prop.forAll(words) { ws =>
+      val empty = functions.MinHashSig(null)
+        .compute(new GenericArrayData(Array.emptyLongArray))
+      val withNulls = new GenericArrayData(
+        (ws.map(w => UTF8String.fromString(w): Any) :+ (null: Any)).toArray)
+      val tcA = functions.TokenCounts(null).compute(withNulls)
+      val tcB = functions.TokenCounts(null).compute(utf8Array(ws))
+      empty == null &&
+        tcA.numElements() == tcB.numElements() &&
+        functions.SimHashSig(null).compute(withNulls) ==
+          functions.SimHashSig(null).compute(utf8Array(ws)) &&
+        functions.MinHashSig(null)
+          .compute(new GenericArrayData(Array[Any](null, null))) == null
     }
 
   // Shingle hash sets are sorted, distinct, and have the right cardinality

@@ -70,6 +70,20 @@ def decimal_cols(rows, cols):
             break
     return sorted(bad)
 
+def list_cols(rows, cols):
+    """Column names holding list/array values: the driver's compare sorts
+    rows with pandas, which dies on numpy arrays (round 5,
+    vec_quantize_int8: `unhashable type: numpy.ndarray`). Emit a scalar
+    fingerprint (md5 of the joined elements) instead."""
+    bad = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                bad.add(cols[i])
+        if len(bad) == len(cols):
+            break
+    return sorted(bad)
+
 def main(sf, out):
     con = duckdb.connect()
     for t in TABLES:
@@ -103,6 +117,13 @@ def main(sf, out):
             print(f"FAIL {name}: hash-risky DECIMAL output column(s) {risky} — "
                   f"values may match but the driver's hash encodes DECIMAL "
                   f"differently per engine; emit string/double instead")
+            n_bad += 1
+            continue
+        listy = sorted(set(list_cols(drows, dcols)) | set(list_cols(srows, scols)))
+        if listy:
+            print(f"FAIL {name}: list/array output column(s) {listy} — the "
+                  f"driver's pandas row sort crashes on array cells; emit a "
+                  f"scalar fingerprint (md5 of joined elements) instead")
             n_bad += 1
             continue
         dperm = sorted(range(len(dcols)), key=lambda i: dcols[i])
