@@ -317,4 +317,39 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getAs[Int]("dist") <= 20)
     }
   }
+
+  // vec_pca_topcomponent has no oracle (no eigen solver in DuckDB): assert
+  // the eigen invariants directly against an exact driver-side covariance
+  // recomputation — the returned direction is unit-norm, (numerically) an
+  // eigenvector (‖Cv − λv‖ ≈ 0 with λ its Rayleigh quotient), and no
+  // coordinate axis captures more variance than it.
+  test("vec_pca_topcomponent is the dominant covariance direction") {
+    val dim = 64
+    val v = new Array[Double](dim)
+    SparkEntry.queries("vec_pca_topcomponent")(spark, sf).collect()
+      .foreach(r => v(r.getAs[Int]("dim")) = r.getAs[Double]("weight"))
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4, s"component not unit-norm: $nrm")
+    // exact covariance, recomputed independently of the Aggregator path
+    val rows = Tables(spark, sf, "embeddings")
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = rows.length.toDouble
+    val mean = Array.tabulate(dim)(i => rows.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      rows.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / n)
+    def quadForm(x: Array[Double]): Double = {
+      val cx = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i)(j) * x(j)).sum)
+      (0 until dim).map(i => x(i) * cx(i)).sum / x.map(a => a * a).sum
+    }
+    val lambda = quadForm(v)
+    val cv = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+    val residual = math.sqrt((0 until dim).map(i => {
+      val d = cv(i) - lambda * v(i); d * d
+    }).sum)
+    assert(residual / lambda < 1e-2, s"not an eigenvector: residual=$residual λ=$lambda")
+    (0 until dim).foreach { i =>
+      assert(cov(i)(i) <= lambda + 1e-9,
+        s"axis $i variance ${cov(i)(i)} beats the component's λ=$lambda")
+    }
+  }
 }

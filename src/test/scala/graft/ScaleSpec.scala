@@ -420,6 +420,25 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  // Round-6: the incremental-dedup anti join must shuffle on the hash, not
+  // broadcast the base index — at 100 TB the BASE snapshot is the unbounded
+  // side (the delta is small), so a planner-chosen broadcast of base is the
+  // same OOM anti-pattern the verify-join gate above pins against. The
+  // bigram-LM join is corpus-sized on BOTH sides; same rule.
+  test("incremental dedup and bigram-LM joins shuffle, never broadcast the big side") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    Seq("dedup_incremental", "text_bigram_nll").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      val shuffled = plan.collect { case j: ShuffledHashJoinExec => j }
+      assert(shuffled.nonEmpty, s"$name lost its pinned shuffle joins:\n$plan")
+      val bhjOnCorpus = plan.collect {
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(bhjOnCorpus.isEmpty,
+        s"$name broadcast a corpus-sized join side:\n$plan")
+    }
+  }
+
   test("salting spreads a skewed join key across subkeys") {
     val sp = spark; import sp.implicits._
     // 10k rows all sharing one key — the pathological skew case. Salt the

@@ -227,6 +227,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(1L)) // only user 1's (signup, purchase) pair joins
   }
 
+  test("stream-stream LEFT OUTER join emits the null match after watermark expiry") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val clicks = MemoryStream[Ev]; val errors = MemoryStream[Ev]
+    val cDf = clicks.toDF.select(col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val eDf = errors.toDF.select(col("user_id").as("eu"), col("ts").as("ets"))
+      .withWatermark("ets", "10 minutes")
+    val joined = cDf.join(eDf,
+      col("cu") === col("eu") && col("ets") >= col("cts") &&
+      col("ets") <= col("cts") + expr("INTERVAL 60 MINUTES"), "left_outer")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("sso").start()
+    clicks.addData(Ev(ts(0), 1, "click", 0),  // error at +5 → matched pair
+                   Ev(ts(0), 2, "click", 0))  // no error ever → null match
+    errors.addData(Ev(ts(5), 1, "error", 0))
+    q.processAllAvailable()
+    // the unmatched left row may only emit once the watermark PROVES no
+    // error can still arrive inside its 60-minute window: advance both
+    // streams far past it, then flush
+    clicks.addData(Ev(ts(300), 9, "click", 0))
+    errors.addData(Ev(ts(300), 9, "error", 0))
+    q.processAllAvailable(); q.stop()
+    val rows = sp.table("sso").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_ => r.getLong(2))))
+    assert(rows.contains((1L, Some(1L))), s"matched pair missing: ${rows.toSeq}")
+    assert(rows.contains((2L, None)), s"watermark-expired null match missing: ${rows.toSeq}")
+  }
+
   test("session windows merge while gap <= 10 min and split when gap > 10 min") {
     val sp = spark; import sp.implicits._
     val data = Seq(
