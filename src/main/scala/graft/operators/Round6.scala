@@ -276,6 +276,130 @@ object Round6 {
              | AND CAST(e.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '60 minutes'
              |ORDER BY user_id, click_id, error_id NULLS FIRST""".stripMargin)),
 
+    // -------------------------------------------------------------- join
+    // Nearest-event as-of join — the attribution variant of join_asof:
+    // each click pairs with the same user's temporally CLOSEST signup,
+    // before or after (join_asof covers the backward-only case). Ties
+    // break to the lowest signup id via a composite integer min_by key
+    // (seconds·1e7 + id — the agg_argminmax discipline: one BIGINT, no
+    // float, no nondeterministic tie). Shape: equi join on user_id with
+    // per-user-bounded fan-out, then a partial-agg'd min_by — both
+    // stages shuffle on user/click keys only, never on time.
+    "join_asof_nearest" -> Decl(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val c = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+        val sg = e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("sts"))
+        c.join(sg, "user_id")
+          .withColumn("diff_s", abs(col("sts").cast("long") - col("cts").cast("long")))
+          .groupBy("click_id", "user_id")
+          .agg(min_by(col("signup_id"),
+                      col("diff_s") * 10000000L + col("signup_id")).as("nearest_signup_id"),
+               min("diff_s").as("diff_s"))
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+             |           FROM events WHERE event_type = 'click'),
+             |s AS (SELECT event_id AS signup_id, user_id, ts AS sts
+             |      FROM events WHERE event_type = 'signup')
+             |SELECT c.click_id AS click_id, c.user_id AS user_id,
+             |  arg_min(s.signup_id,
+             |          abs(date_diff('second', sts, cts)) * 10000000 + s.signup_id)
+             |    AS nearest_signup_id,
+             |  min(abs(date_diff('second', sts, cts))) AS diff_s
+             |FROM c JOIN s USING (user_id)
+             |GROUP BY c.click_id, c.user_id
+             |ORDER BY click_id""".stripMargin)),
+
+    // ------------------------------------------------------------ scalar
+    // URL parsing family — parse_url PROTOCOL/HOST/PATH/QUERY-param, the
+    // crawl-metadata toolkit next to dedup_url_canonical. The URLs are
+    // CONSTRUCTED deterministically from columns, so the oracle is the
+    // GROUND TRUTH (rebuild each part from the same columns) rather than
+    // a second regex engine — any parse_url deviation surfaces as a
+    // value mismatch. Pure per-row projection, scan speed.
+    "scalar_url_parse" -> Decl(
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""WITH u AS (
+                |  SELECT doc_id,
+                |    concat('https://', source, '.example.com/', lang, '/doc/',
+                |           CAST(doc_id AS STRING), '?ref=', CAST(doc_id % 7 AS STRING),
+                |           '&utm=x') AS url
+                |  FROM documents)
+                |SELECT doc_id, url,
+                |  parse_url(url, 'PROTOCOL') AS proto,
+                |  parse_url(url, 'HOST') AS host,
+                |  parse_url(url, 'PATH') AS path,
+                |  parse_url(url, 'QUERY', 'ref') AS ref
+                |FROM u ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+             |  'https://' || source || '.example.com/' || lang || '/doc/' ||
+             |    CAST(doc_id AS VARCHAR) || '?ref=' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    '&utm=x' AS url,
+             |  'https' AS proto,
+             |  source || '.example.com' AS host,
+             |  '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+             |  CAST(doc_id % 7 AS VARCHAR) AS ref
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------- stats
+    // Cohort retention — the product-analytics matrix (first-purchase
+    // week × activity week × distinct active users): cohort assignment
+    // is one per-user min, activity is one bounded (cohort, week)
+    // aggregate; both shuffles key on user_id and the output scales with
+    // weeks², never with events. Purchase-sliced so the cohorts actually
+    // decay (full-stream cohorts collapse into week 1 at this density).
+    "agg_cohort_retention" -> Decl(
+      (s, d) => {
+        val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        val fw = p.groupBy("user_id")
+          .agg(date_trunc("week", min("ts")).cast("date").as("cohort"))
+        p.join(fw, "user_id")
+          .select(col("cohort"), date_trunc("week", col("ts")).cast("date").as("wk"),
+                  col("user_id"))
+          .groupBy("cohort", "wk")
+          .agg(countDistinct("user_id").as("n_active"), count(lit(1)).as("n_purchases"))
+          .orderBy("cohort", "wk")
+      },
+      Some("""WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+             |fw AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+             |       FROM p GROUP BY user_id)
+             |SELECT cohort, CAST(date_trunc('week', p.ts) AS DATE) AS wk,
+             |       count(DISTINCT p.user_id) AS n_active, count(*) AS n_purchases
+             |FROM p JOIN fw USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort, wk""".stripMargin)),
+
+    // Count-min-sketch heavy hitters — the frequency twin of the
+    // HLL/KLL/top-k mergeable-sketch trio: per-partition CMS states
+    // merge in one aggregate (state is eps×conf-bounded, ~56 KB here,
+    // independent of row count), then the exact top keys are probed
+    // against the sketch. The exact counts ride along so the
+    // overestimate bound (CMS never undercounts; over by ≤ εN w.p.
+    // 1−δ) is visible in the output and asserted in OperatorSpec.
+    // Oracle-N: DuckDB has no CMS.
+    "agg_cms_heavyhitter" -> Decl(
+      (s, d) => {
+        val keys = Tables(s, d, "lineitem").select(col("l_suppkey"))
+        val top = keys.groupBy("l_suppkey").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(desc("exact_cnt"), col("l_suppkey")).limit(5).collect()
+        val bytes = keys
+          .agg(count_min_sketch(col("l_suppkey"), lit(0.001), lit(0.99), lit(42)).as("cms"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        import s.implicits._
+        top.toSeq
+          .map(r => (r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
+          .toDF("l_suppkey", "exact_cnt", "cms_estimate")
+          .orderBy(desc("exact_cnt"), col("l_suppkey"))
+      },
+      None),
+
     // ----------------------------------------------------------- vectors
     // One-pass distributed PCA (top principal component) — the embedding
     // whitening/compression step ANN and PQ indexes run at corpus scale:

@@ -318,6 +318,20 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  // agg_cms_heavyhitter has no oracle (no CMS in DuckDB): the sketch's
+  // contract is one-sided — estimates NEVER undercount, and overcount by
+  // at most εN (ε=0.001) with probability 1−δ. Both exact counts ride in
+  // the output, so the bound is a direct row check.
+  test("agg_cms_heavyhitter estimates within the CMS overcount bound") {
+    val n = Tables(spark, sf, "lineitem").count()
+    SparkEntry.queries("agg_cms_heavyhitter")(spark, sf).collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt"); val est = r.getAs[Long]("cms_estimate")
+      assert(est >= exact, s"CMS undercounted key ${r.get(0)}: $est < $exact")
+      assert(est <= exact + math.ceil(0.001 * n).toLong,
+        s"CMS overcount beyond εN for key ${r.get(0)}: $est vs $exact (n=$n)")
+    }
+  }
+
   // vec_pca_topcomponent has no oracle (no eigen solver in DuckDB): assert
   // the eigen invariants directly against an exact driver-side covariance
   // recomputation — the returned direction is unit-norm, (numerically) an
