@@ -21,7 +21,85 @@ import org.apache.spark.sql.functions._
   */
 object Round6 {
 
+  /** Unrolled 10-iteration PageRank over a deterministic synthetic link
+    * graph, as ONE SQL text both engines run verbatim (dialect-free by
+    * construction): node = doc, out-degree 1 + doc_id%3, edge k → node
+    * (doc_id·7 + k) mod n. Every node has ≥1 in-link (the k=1 edges are a
+    * bijection), so no dangling-mass term is needed and total rank mass
+    * stays exactly 1 (the oracle's mean-normalized ranks sum to n).
+    * Unrolling instead of a driver loop keeps the oracle expressible and
+    * the plan ONE optimizable DAG — Catalyst reuses the edge exchange
+    * across iterations; the iterative/checkpointing form of the same
+    * computation is dedup_connected_components' territory.
+    */
+  private def pagerankSql: String = {
+    val b = new StringBuilder(
+      """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM documents),
+        |e AS (SELECT doc_id AS src, 1 + doc_id % 3 AS outdeg,
+        |             (doc_id * 7 + t.k) % (SELECT ni FROM nn) AS dst
+        |      FROM documents, (VALUES (1), (2), (3)) t(k) WHERE t.k <= 1 + doc_id % 3),
+        |pr0 AS (SELECT doc_id, 1.0/(SELECT n FROM nn) AS r FROM documents)""".stripMargin)
+    (1 to 10).foreach { i =>
+      b.append(s""",
+        |pr$i AS (SELECT e.dst AS doc_id,
+        |             0.15/(SELECT n FROM nn) + 0.85 * sum(p.r / e.outdeg) AS r
+        |         FROM pr${i - 1} p JOIN e ON p.doc_id = e.src GROUP BY e.dst)""".stripMargin)
+    }
+    b.append("""
+      |SELECT doc_id, round(r * (SELECT n FROM nn), 6) AS rank_norm
+      |FROM pr10 ORDER BY doc_id""".stripMargin)
+    b.toString
+  }
+
   val decls: Map[String, Decl] = Map(
+    // ------------------------------------------------------------- graph
+    // PageRank — web-graph quality scoring (the crawl-prioritization
+    // signal next to the text quality filters). Each iteration is ONE
+    // shuffle keyed on the destination node with map-side partial sums;
+    // the edge table's exchange is planned once and reused across all 10
+    // iterations. At 100 TB the graph is edge-partitioned by src and the
+    // per-iteration state is one (node, rank) table — rank mass is
+    // conserved by construction, asserted in OperatorSpec.
+    "graph_pagerank" -> Decl(
+      (s, d) => { Tables.views(s, d); s.sql(pagerankSql) },
+      Some(pagerankSql)),
+
+    // CCNet-style perplexity bucketing — split each language's docs into
+    // head/middle/tail thirds by unigram-LM NLL (the standard
+    // quality-tier assignment for pretraining corpora). The LM scoring
+    // pass is text_unigram_nll's (vocabulary-bounded broadcast); the
+    // tier assignment is one ntile window per language with the doc id
+    // as the deterministic tie-break (R2).
+    "text_perplexity_bucket" -> Decl(
+      (s, d) => {
+        val tf = Pipeline.docsWithTokens(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
+        val lm = tf.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val tot = tf.agg(count(lit(1)).as("total"))
+        val nll = tf.join(broadcast(lm), "term")
+          .crossJoin(broadcast(tot))
+          .groupBy("doc_id", "lang")
+          .agg(round(-avg(log(col("cnt").cast("double") /
+                            col("total").cast("double"))), 6).as("nll"))
+        nll.select(col("doc_id"), col("lang"), col("nll"),
+                   ntile(3).over(Window.partitionBy("lang")
+                     .orderBy(col("nll"), col("doc_id"))).as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |lm AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+             |tot AS (SELECT count(*) AS total FROM tok),
+             |nll AS (SELECT doc_id, lang,
+             |          round(-avg(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS nll
+             |        FROM tok JOIN lm USING (term) CROSS JOIN tot
+             |        GROUP BY doc_id, lang)
+             |SELECT doc_id, lang, nll,
+             |       CAST(ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS INT)
+             |         AS bucket
+             |FROM nll ORDER BY doc_id""".stripMargin)),
     // ------------------------------------------------------------- dedup
     // Snapshot-incremental dedup — the production shape of every corpus
     // refresh: the BASE snapshot is already deduped (its hash index

@@ -318,6 +318,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  // PageRank invariants beyond the oracle hash: rank mass is conserved
+  // exactly (mean-normalized ranks sum to n — no dangling leakage by
+  // graph construction) and every rank stays above the teleport floor.
+  test("graph_pagerank conserves rank mass and respects the teleport floor") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+    val n = rows.length.toDouble
+    val mass = rows.map(_.getAs[Double]("rank_norm")).sum
+    assert(math.abs(mass - n) < 1e-2 * n, s"rank mass $mass != $n")
+    rows.foreach(r => assert(r.getAs[Double]("rank_norm") >= 0.15 - 1e-6,
+      s"rank below teleport floor: ${r.getAs[Double]("rank_norm")}"))
+  }
+
   // agg_cms_heavyhitter has no oracle (no CMS in DuckDB): the sketch's
   // contract is one-sided — estimates NEVER undercount, and overcount by
   // at most εN (ε=0.001) with probability 1−δ. Both exact counts ride in
