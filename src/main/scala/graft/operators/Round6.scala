@@ -21,24 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object Round6 {
 
-  /** Unrolled 10-iteration PageRank over a deterministic synthetic link
-    * graph, as ONE SQL text both engines run verbatim (dialect-free by
-    * construction): node = doc, out-degree 1 + doc_id%3, edge k → node
-    * (doc_id·7 + k) mod n. Every node has ≥1 in-link (the k=1 edges are a
-    * bijection), so no dangling-mass term is needed and total rank mass
-    * stays exactly 1 (the oracle's mean-normalized ranks sum to n).
-    * Unrolling instead of a driver loop keeps the oracle expressible and
-    * the plan ONE optimizable DAG — Catalyst reuses the edge exchange
-    * across iterations; the iterative/checkpointing form of the same
-    * computation is dedup_connected_components' territory.
+  /** The DuckDB oracle for graph_pagerank: the same 10 PageRank iterations
+    * UNROLLED as chained CTEs (one per iteration), which keeps the full
+    * fixpoint trajectory SQL-expressible and hash-checkable. Graph: node =
+    * doc, out-degree 1 + doc_id%3, edge k → node (doc_id·7 + k) mod n.
+    * Every node has ≥1 in-link (the k=1 edges are a bijection), so no
+    * dangling-mass term is needed and total rank mass stays exactly 1
+    * (the mean-normalized ranks sum to n).
     */
-  private def pagerankSql: String = {
+  private def pagerankOracleSql: String = {
     val b = new StringBuilder(
       """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM documents),
         |e AS (SELECT doc_id AS src, 1 + doc_id % 3 AS outdeg,
-        |             (doc_id * 7 + t.k) % (SELECT ni FROM nn) AS dst
-        |      FROM documents, (VALUES (1), (2), (3)) t(k) WHERE t.k <= 1 + doc_id % 3),
-        |pr0 AS (SELECT doc_id, 1.0/(SELECT n FROM nn) AS r FROM documents)""".stripMargin)
+        |             (doc_id * 7 + t.k) % nn.ni AS dst
+        |      FROM documents CROSS JOIN nn, (VALUES (1), (2), (3)) t(k)
+        |      WHERE t.k <= 1 + doc_id % 3),
+        |pr0 AS (SELECT doc_id, 1.0/nn.n AS r FROM documents CROSS JOIN nn)""".stripMargin)
     (1 to 10).foreach { i =>
       b.append(s""",
         |pr$i AS (SELECT e.dst AS doc_id,
@@ -46,23 +44,55 @@ object Round6 {
         |         FROM pr${i - 1} p JOIN e ON p.doc_id = e.src GROUP BY e.dst)""".stripMargin)
     }
     b.append("""
-      |SELECT doc_id, round(r * (SELECT n FROM nn), 6) AS rank_norm
-      |FROM pr10 ORDER BY doc_id""".stripMargin)
+      |SELECT pr10.doc_id AS doc_id, round(pr10.r * nn.n, 6) AS rank_norm
+      |FROM pr10 CROSS JOIN nn ORDER BY doc_id""".stripMargin)
     b.toString
   }
 
   val decls: Map[String, Decl] = Map(
     // ------------------------------------------------------------- graph
     // PageRank — web-graph quality scoring (the crawl-prioritization
-    // signal next to the text quality filters). Each iteration is ONE
-    // shuffle keyed on the destination node with map-side partial sums;
-    // the edge table's exchange is planned once and reused across all 10
-    // iterations. At 100 TB the graph is edge-partitioned by src and the
-    // per-iteration state is one (node, rank) table — rank mass is
-    // conserved by construction, asserted in OperatorSpec.
+    // signal next to the text quality filters). The Spark side is the
+    // shape PageRank takes at a billion edges: the edge table is derived
+    // ONCE, explicitly hash-partitioned on src, and persisted — every
+    // iteration's join then reads the cached partitioning and only the
+    // small (node, rank) table moves, one dst-keyed partial-agg shuffle
+    // per iteration. (The single-SQL unrolled form was tried first and
+    // REPLANS the edge derivation all 10 times — per-CTE-instance
+    // expression ids defeat exchange reuse: 0 ReusedExchange, 62
+    // Exchange.) Rank state is localCheckpoint'ed at the loop midpoint,
+    // the dedup_connected_components lineage discipline. Rank mass
+    // conservation and the teleport floor are asserted in OperatorSpec;
+    // the DuckDB oracle hashes the identical unrolled trajectory.
     "graph_pagerank" -> Decl(
-      (s, d) => { Tables.views(s, d); s.sql(pagerankSql) },
-      Some(pagerankSql)),
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"))
+        val nRows = docs.count()
+        val n = nRows.toDouble
+        val e = docs
+          .select(col("doc_id").as("src"),
+                  (lit(1L) + pmod(col("doc_id"), lit(3L))).cast("double").as("outdeg"))
+          .select(col("src"), col("outdeg"),
+                  explode(sequence(lit(1), (lit(1L) + pmod(col("src"), lit(3L))).cast("int")))
+                    .as("k"))
+          .select(col("src"), col("outdeg"),
+                  pmod(col("src") * 7 + col("k"), lit(nRows)).as("dst"))
+          .repartition(s.sparkContext.defaultParallelism, col("src"))
+          .persist()
+        var pr = docs.select(col("doc_id"), lit(1.0 / n).as("r"))
+        (1 to 10).foreach { i =>
+          pr = pr.join(e, pr("doc_id") === e("src"))
+            .groupBy(col("dst"))
+            .agg((lit(0.15 / n) + lit(0.85) * sum(col("r") / col("outdeg"))).as("r"))
+            .withColumnRenamed("dst", "doc_id")
+          // truncate lineage mid-loop so the plan never deepens past ~5
+          // iterations of join+agg (the CC loop hygiene)
+          if (i == 5) pr = pr.localCheckpoint()
+        }
+        pr.select(col("doc_id"), round(col("r") * n, 6).as("rank_norm"))
+          .orderBy("doc_id")
+      },
+      Some(pagerankOracleSql)),
 
     // CCNet-style perplexity bucketing — split each language's docs into
     // head/middle/tail thirds by unigram-LM NLL (the standard
