@@ -184,6 +184,51 @@ object Round6 {
              |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.h = c.h)
              |ORDER BY delta_id""".stripMargin)),
 
+    // Incremental NEAR-dup — the LSH twin of dedup_incremental, and the
+    // pass production corpora actually run on every refresh: the BASE
+    // corpus's banded LSH keys are the stored index (derived here,
+    // bucketed by (band, sig) — the layout they'd persist in); the DELTA
+    // batch (the planted perturbed twins, provably near-dups of base
+    // docs) computes per-row signatures and probes the index. Candidates
+    // are delta×base band collisions only — never delta×delta, never
+    // base×base, and the base's TEXT is touched only for candidate
+    // verification. Verify joins follow the minhashPairs discipline:
+    // broadcast the small candidate-pair table, shuffle-join the shingle
+    // sets. Oracle-N (LSH family); recall vs the planted pairs asserted
+    // in OperatorSpec.
+    "dedup_near_incremental" -> Decl(
+      (s, d) => {
+        val n = s.sparkContext.defaultParallelism
+        val withSh = Pipeline.nearDupCorpus(s, d)
+          .repartition(n, col("doc_id"))
+          .select(col("doc_id"),
+                  graft.functions.TextOps.shingleHashes(col("toks"), 3).as("hs"))
+          .filter(size(col("hs")) > 0)
+          .persist()
+        val base = withSh.filter(col("doc_id") < 1000000L)
+        val delta = withSh.filter(col("doc_id") >= 1000000L)
+        val baseIndex = Minhash.bandedKeys(Minhash.signatures(base))
+          .repartition(n, col("band"), col("sig"))
+        val cand = Minhash.bandedKeys(Minhash.signatures(delta)).as("q")
+          .join(baseIndex.as("x").hint("shuffle_hash"),
+                col("q.band") === col("x.band") && col("q.sig") === col("x.sig"))
+          .select(col("q.doc_id").as("delta_id"), col("x.doc_id").as("base_id"))
+          .distinct()
+        broadcast(cand)
+          .join(withSh.select(col("doc_id").as("delta_id"), col("hs").as("hq"))
+                  .repartition(n, col("delta_id")), "delta_id")
+          .join(withSh.select(col("doc_id").as("base_id"), col("hs").as("hx"))
+                  .hint("shuffle_hash"), "base_id")
+          .select(col("delta_id"), col("base_id"),
+                  round(size(array_intersect(col("hq"), col("hx"))).cast("double") /
+                        (size(col("hq")) + size(col("hx")) -
+                         size(array_intersect(col("hq"), col("hx")))).cast("double"), 6)
+                    .as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("delta_id", "base_id")
+      },
+      None),
+
     // ------------------------------------------------------------- stats
     // Mixture diagnostics — marginal entropies of the lang and source
     // distributions and their mutual information (nats): THE summary

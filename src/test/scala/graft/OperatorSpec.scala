@@ -85,6 +85,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) >= 0.5)) // precision: verification filter held
   }
 
+  test("incremental near-dedup recovers planted delta-vs-base pairs, no base-base pairs") {
+    val rows = SparkEntry.queries("dedup_near_incremental")(spark, sf).collect()
+    val planted = rows.count(r => r.getLong(0) == r.getLong(1) + 1000000L)
+    assert(planted >= 490, s"recall too low: $planted/500 planted pairs found")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1000000L && r.getLong(1) < 1000000L,
+        s"pair is not delta-vs-base: (${r.getLong(0)}, ${r.getLong(1)})")
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
   test("simhash near-dedup finds planted near-dups within hamming radius") {
     val rows = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
     val planted = rows.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
