@@ -229,6 +229,34 @@ object Round6 {
       },
       None),
 
+    // ------------------------------------------------------------ source
+    // XML source roundtrip — Spark 4 folded the spark-xml datasource into
+    // core, making XML a first-class format next to the
+    // csv/json/orc/text/binaryFile keys: write a bounded slice as
+    // element-per-row XML, read it back DISTRIBUTED with an explicit
+    // schema (inference on a feed you control is a silent-drift trap),
+    // aggregate. The oracle runs the same aggregate over the original
+    // table — equality proves the markup roundtrip lost nothing,
+    // including full double precision through the text form.
+    "source_xml_roundtrip" -> Decl(
+      (s, d) => {
+        val dir = Tables.scratchDir("graft_xmlsrc").toString
+        Tables(s, d, "orders")
+          .filter(col("o_orderkey") < 1000)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("overwrite").option("rowTag", "order").format("xml").save(dir)
+        s.read
+          .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+          .option("rowTag", "order").format("xml").load(dir)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders WHERE o_orderkey < 1000
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // ------------------------------------------------------------- stats
     // Mixture diagnostics — marginal entropies of the lang and source
     // distributions and their mutual information (nats): THE summary
