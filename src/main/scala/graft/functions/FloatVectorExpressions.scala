@@ -155,11 +155,14 @@ case class CentroidAssign(child: Expression, cids: Array[Int],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centroidAssign", this, classOf[CentroidAssign].getName)
+    // freshName: see MinHashSig — fixed-name locals collide when two
+    // instances compile into one whole-stage function
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |Object r = $ref.compute($c);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((Integer) r).intValue(); }
+         |Object $r = $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Integer) $r).intValue(); }
        """.stripMargin)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -180,11 +180,15 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    // freshName: a fixed-name local would collide when two instances of
+    // this expression compile into one whole-stage function (non-nullable
+    // children inline the snippet without a brace scope)
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |Object r = $ref.compute($c);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+         |Object $r = $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
        """.stripMargin)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -142,14 +142,22 @@ object Pipeline {
              |ORDER BY cos DESC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin)),
 
     // All pairs ≥ τ within a label: equi key (label) + residual cosine —
-    // hash join on label, never a global cross product. Skewed labels would
-    // be salted at scale.
+    // never a global cross product, and SALTED: label is a structural
+    // low-cardinality key (a handful of values over the whole corpus), so
+    // an unsalted hash join on it piles each label's entire pair space
+    // onto one task no matter how many executors exist. Salted.join
+    // spreads every label over 8 subkeys — the exact all-pairs semantics
+    // (and the oracle) are unchanged, only the placement is. τ=0.30 is
+    // too low for an SRP prefilter to hold recall (per-bit collision
+    // ≈0.6 at 72°), so this key keeps the exact form; the bounded-
+    // candidate variants live in sim_ann_lsh / dedup_embedding_cosine.
     "sim_pair_threshold" -> Decl(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-        val b = emb.select(col("label").as("lb"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-        a.join(b, col("label") === col("lb") && col("id_a") < col("id_b"))
+        val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+        Salted.join(a, b, Seq("label"), salts = 8)
+          .filter(col("id_a") < col("id_b"))
           .withColumn("cos", round(VectorOps.cosine(col("ea"), col("eb")), 6))
           .filter(col("cos") >= 0.30)
           .select("label", "id_a", "id_b", "cos")

@@ -101,11 +101,15 @@ object PipelineExt {
              |         unnest(list_transform(generate_series(1, len(t) - 1),
              |                               i -> t[i] || ' ' || t[i + 1])) AS g
              |  FROM tok WHERE len(t) >= 2)),
-             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |df AS (SELECT lang, source, g, count(*) AS df
+             |       FROM sh GROUP BY 1, 2, 3),
+             |kept AS (SELECT sh.doc_id, sh.lang, sh.source, sh.g
+             |         FROM sh JOIN df USING (lang, source, g) WHERE df <= 32),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
              |inter AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
-             |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
-             |                     AND a.g = b.g AND a.doc_id < b.doc_id
+             |  FROM kept a JOIN kept b ON a.lang = b.lang AND a.source = b.source
+             |                         AND a.g = b.g AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2)
              |SELECT id_a, id_b,
              |       round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
@@ -567,11 +571,15 @@ object PipelineExt {
              |         unnest(list_transform(generate_series(1, len(t) - 1),
              |                               i -> t[i] || ' ' || t[i + 1])) AS g
              |  FROM tok WHERE len(t) >= 2)),
-             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |df AS (SELECT lang, source, g, count(*) AS df
+             |       FROM sh GROUP BY 1, 2, 3),
+             |kept AS (SELECT sh.doc_id, sh.lang, sh.source, sh.g
+             |         FROM sh JOIN df USING (lang, source, g) WHERE df <= 32),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
              |inter AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
-             |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
-             |                     AND a.g = b.g AND a.doc_id < b.doc_id
+             |  FROM kept a JOIN kept b ON a.lang = b.lang AND a.source = b.source
+             |                         AND a.g = b.g AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2),
              |pairs AS (
              |  SELECT id_a, id_b FROM inter
@@ -737,6 +745,19 @@ object PipelineExt {
     (matched, Seq(sig))
   }
 
+  /** Document-frequency cap for Jaccard shingles: a shingle shared by k
+    * docs within one (lang, source) group fans out to k² rows in the
+    * inverted-index self-join, and real corpora have stopword bigrams
+    * ("of the") with k in the millions — the one genuine 100 TB killer in
+    * this pipeline. Shingles with df > cap carry no near-dup signal (they
+    * are corpus-common, not document-specific), so BOTH engines compute
+    * Jaccard on the df ≤ cap shingle universe: sizes, intersections, and
+    * the threshold all use the same filtered set, keeping the oracle an
+    * exact mirror at any scale. 32 is a fixture no-op (max df at sf0.01 is
+    * 5) but bounds the worst per-shingle fan-out at 32² rows.
+    */
+  private[graft] val MaxShingleDf = 32
+
   /** LAZY bigram-Jaccard near-dup pairs (id_a < id_b, jaccard ≥ 0.2) within
     * (lang, source) groups, NOT yet checkpointed — see [[ngramJaccardPairs]].
     */
@@ -747,11 +768,28 @@ object PipelineExt {
     // property, and the self-join below moves fixed 8-byte keys instead of
     // strings (2⁻⁶⁴ collisions are far below any Jaccard threshold; the
     // DuckDB oracle's string-exact counts still hash-match). Explicit-N
-    // repartition: one-file scan + AQE's coalescing vs the explode fan-out.
-    val sh = docsWithTokens(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    // repartition BEFORE the explode (one-file scan + AQE coalescing vs
+    // the fan-out — the measured ~8× serialization trap), then ONE
+    // layout exchange on the shingle key that the df aggregate, the
+    // df-cap join, and the inverted-index self-join below all reuse
+    // (co-partitioned shuffle_hash, no re-shuffle between them).
+    val n = s.sparkContext.defaultParallelism
+    val shAll = docsWithTokens(s, d)
+      .repartition(n, col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
               explode(TextOps.shingleHashes(col("toks"), 2)).as("g"))
+      .repartition(n, col("lang"), col("source"), col("g"))
+      .persist()
+    // df cap BEFORE the self-join — this is what bounds the pair fan-out.
+    // The df table is corpus-sized (one row per distinct shingle), so it
+    // must never broadcast: co-partitioned shuffle_hash on the same key.
+    val dfOk = shAll.groupBy("lang", "source", "g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select("lang", "source", "g")
+    val sh = shAll
+      .join(dfOk.hint("shuffle_hash"), Seq("lang", "source", "g"))
+      .select("doc_id", "lang", "source", "g")
       .persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
@@ -767,7 +805,7 @@ object PipelineExt {
         round(col("n").cast("double") / (col("sa") + col("sb") - col("n")).cast("double"), 6))
       .filter(col("jaccard") >= 0.2)
       .select("id_a", "id_b", "jaccard")
-    (out, Seq(sh))
+    (out, Seq(shAll, sh))
   }
 
   /** Bigram-Jaccard near-dup pairs, eagerly checkpointed (the tiny pair

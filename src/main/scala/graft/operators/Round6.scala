@@ -24,16 +24,20 @@ object Round6 {
   /** The DuckDB oracle for graph_pagerank: the same 10 PageRank iterations
     * UNROLLED as chained CTEs (one per iteration), which keeps the full
     * fixpoint trajectory SQL-expressible and hash-checkable. Graph: node =
-    * doc, out-degree 1 + doc_id%3, edge k → node (doc_id·7 + k) mod n.
-    * Every node has ≥1 in-link (the k=1 edges are a bijection), so no
-    * dangling-mass term is needed and total rank mass stays exactly 1
-    * (the mean-normalized ranks sum to n).
+    * doc, out-degree 1 + doc_id%3; the k=1 edge is the cyclic shift
+    * (doc_id + 1) mod n — a bijection for EVERY n, not just n coprime to
+    * the stride (dst = (doc_id·7+k) mod n alone only covers residues
+    * 1..3 mod 7 when 7 | n) — and the k∈{2,3} edges are (doc_id·7+k)
+    * mod n. Every node therefore has ≥1 in-link, so no dangling-mass
+    * term is needed and total rank mass stays exactly 1 (the
+    * mean-normalized ranks sum to n).
     */
   private def pagerankOracleSql: String = {
     val b = new StringBuilder(
       """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM documents),
         |e AS (SELECT doc_id AS src, 1 + doc_id % 3 AS outdeg,
-        |             (doc_id * 7 + t.k) % nn.ni AS dst
+        |             CASE WHEN t.k = 1 THEN (doc_id + 1) % nn.ni
+        |                  ELSE (doc_id * 7 + t.k) % nn.ni END AS dst
         |      FROM documents CROSS JOIN nn, (VALUES (1), (2), (3)) t(k)
         |      WHERE t.k <= 1 + doc_id % 3),
         |pr0 AS (SELECT doc_id, 1.0/nn.n AS r FROM documents CROSS JOIN nn)""".stripMargin)
@@ -76,7 +80,8 @@ object Round6 {
                   explode(sequence(lit(1), (lit(1L) + pmod(col("src"), lit(3L))).cast("int")))
                     .as("k"))
           .select(col("src"), col("outdeg"),
-                  pmod(col("src") * 7 + col("k"), lit(nRows)).as("dst"))
+                  when(col("k") === 1, pmod(col("src") + 1, lit(nRows)))
+                    .otherwise(pmod(col("src") * 7 + col("k"), lit(nRows))).as("dst"))
           .repartition(s.sparkContext.defaultParallelism, col("src"))
           .persist()
         var pr = docs.select(col("doc_id"), lit(1.0 / n).as("r"))
@@ -97,9 +102,21 @@ object Round6 {
     // CCNet-style perplexity bucketing — split each language's docs into
     // head/middle/tail thirds by unigram-LM NLL (the standard
     // quality-tier assignment for pretraining corpora). The LM scoring
-    // pass is text_unigram_nll's (vocabulary-bounded broadcast); the
-    // tier assignment is one ntile window per language with the doc id
-    // as the deterministic tie-break (R2).
+    // pass is text_unigram_nll's (vocabulary-bounded broadcast). Tier
+    // assignment is NOT an ntile window: `ntile(3) over (partition by
+    // lang ...)` funnels every doc of a language through ONE task, and
+    // language is the most skewed key in any corpus. Instead the
+    // per-lang tertile THRESHOLDS are computed as an aggregate (one row
+    // per language — exact interpolated percentile here; swap in
+    // approx_percentile at 100 TB), broadcast back, and buckets assigned
+    // by comparison — scan-parallel, same tiers. The thresholds are
+    // ROUNDED to the same 6-decimal grid as the NLL values: the engines'
+    // interpolation formulas differ by an ulp on tied inputs (DuckDB's
+    // (1-f)·a + f·b form returned 3.4015459999999997 for a tie AT
+    // 3.401546, flipping `nll > t` for the tied docs at sf0.1), while
+    // the exact-math threshold is never closer than (b-a)/6 ≥ 1.67e-7
+    // to a rounding boundary — so the 6-dp round absorbs the ulp noise
+    // identically on both sides.
     "text_perplexity_bucket" -> Decl(
       (s, d) => {
         val tf = Pipeline.docsWithTokens(s, d)
@@ -112,9 +129,13 @@ object Round6 {
           .groupBy("doc_id", "lang")
           .agg(round(-avg(log(col("cnt").cast("double") /
                             col("total").cast("double"))), 6).as("nll"))
-        nll.select(col("doc_id"), col("lang"), col("nll"),
-                   ntile(3).over(Window.partitionBy("lang")
-                     .orderBy(col("nll"), col("doc_id"))).as("bucket"))
+        val th = nll.groupBy("lang")
+          .agg(round(percentile(col("nll"), lit(1.0 / 3)), 6).as("t1"),
+               round(percentile(col("nll"), lit(2.0 / 3)), 6).as("t2"))
+        nll.join(broadcast(th), "lang")
+          .select(col("doc_id"), col("lang"), col("nll"),
+                  (lit(1) + when(col("nll") > col("t1"), 1).otherwise(0)
+                          + when(col("nll") > col("t2"), 1).otherwise(0)).as("bucket"))
           .orderBy("doc_id")
       },
       Some("""WITH tok AS (
@@ -125,11 +146,15 @@ object Round6 {
              |nll AS (SELECT doc_id, lang,
              |          round(-avg(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS nll
              |        FROM tok JOIN lm USING (term) CROSS JOIN tot
-             |        GROUP BY doc_id, lang)
-             |SELECT doc_id, lang, nll,
-             |       CAST(ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS INT)
+             |        GROUP BY doc_id, lang),
+             |th AS (SELECT lang,
+             |         round(quantile_cont(nll, CAST(1 AS DOUBLE) / 3), 6) AS t1,
+             |         round(quantile_cont(nll, CAST(2 AS DOUBLE) / 3), 6) AS t2
+             |       FROM nll GROUP BY lang)
+             |SELECT doc_id, nll.lang AS lang, nll,
+             |       CAST(1 + CAST(nll > t1 AS INT) + CAST(nll > t2 AS INT) AS INT)
              |         AS bucket
-             |FROM nll ORDER BY doc_id""".stripMargin)),
+             |FROM nll JOIN th ON nll.lang = th.lang ORDER BY doc_id""".stripMargin)),
     // ------------------------------------------------------------- dedup
     // Snapshot-incremental dedup — the production shape of every corpus
     // refresh: the BASE snapshot is already deduped (its hash index
@@ -398,27 +423,36 @@ object Round6 {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------ window
-    // Frameless-window z-score outliers — per-type standardization using
-    // whole-partition window aggregates (no ORDER BY, no frame: every row
-    // sees its group's mean/stddev without a join), then keep |z| > 2.
-    // Complements the ordered windows (§2.5): this is the OTHER window
-    // shape, and the one-pass way to standardize without materializing a
-    // stats table. Population stddev — both engines share the definition.
+    // Per-type z-score outliers — per-type standardization, then keep
+    // |z| > 2. NOT a window: event_type has a handful of values, so a
+    // whole-partition window funnels each type's entire history through
+    // ONE task — the classic low-cardinality-window scale killer. The
+    // stats table is one row per type (KB-sized at any corpus scale), so
+    // aggregate it, broadcast it back, and standardize at scan speed.
+    // Zero-variance types are dropped EXPLICITLY (sigma > 0) in both
+    // engines — without the guard Spark's x/0 → NULL filters the row but
+    // DuckDB's IEEE x/0 → ±inf keeps it, an engine mismatch.
+    // Population stddev — both engines share the definition.
     "window_zscore_outlier" -> Decl(
       (s, d) => {
-        val w = Window.partitionBy("event_type")
-        Tables.events(s, d)
+        val ev = Tables.events(s, d)
+        val stats = ev.groupBy("event_type")
+          .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
+          .filter(col("sigma") > 0)
+        ev.join(broadcast(stats), "event_type")
           .select(col("event_id"), col("event_type"), round(col("value"), 6).as("v"),
-                  round((col("value") - avg(col("value")).over(w)) /
-                        stddev_pop(col("value")).over(w), 6).as("z"))
+                  round((col("value") - col("mu")) / col("sigma"), 6).as("z"))
           .filter(abs(col("z")) > 2)
           .orderBy("event_id")
       },
-      Some("""WITH z AS (
-             |  SELECT event_id, event_type, round(value, 6) AS v,
-             |         round((value - avg(value) OVER (PARTITION BY event_type)) /
-             |               stddev_pop(value) OVER (PARTITION BY event_type), 6) AS z
-             |  FROM events)
+      Some("""WITH st AS (
+             |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+             |  FROM events GROUP BY event_type),
+             |z AS (
+             |  SELECT event_id, e.event_type, round(value, 6) AS v,
+             |         round((value - mu) / sigma, 6) AS z
+             |  FROM events e JOIN st ON e.event_type = st.event_type
+             |  WHERE sigma > 0)
              |SELECT event_id, event_type, v, z FROM z
              |WHERE abs(z) > 2 ORDER BY event_id""".stripMargin)),
 
@@ -461,9 +495,10 @@ object Round6 {
     // Nearest-event as-of join — the attribution variant of join_asof:
     // each click pairs with the same user's temporally CLOSEST signup,
     // before or after (join_asof covers the backward-only case). Ties
-    // break to the lowest signup id via a composite integer min_by key
-    // (seconds·1e7 + id — the agg_argminmax discipline: one BIGINT, no
-    // float, no nondeterministic tie). Shape: equi join on user_id with
+    // break to the lowest signup id via min over a STRUCT — struct
+    // ordering is lexicographic (diff first, id second) in both engines,
+    // so no arithmetic encoding (a seconds·1e7 + id BIGINT aliases once
+    // ids pass 1e7) and no nondeterministic tie. Shape: equi join on user_id with
     // per-user-bounded fan-out, then a partial-agg'd min_by — both
     // stages shuffle on user/click keys only, never on time.
     "join_asof_nearest" -> Decl(
@@ -476,8 +511,8 @@ object Round6 {
         c.join(sg, "user_id")
           .withColumn("diff_s", abs(col("sts").cast("long") - col("cts").cast("long")))
           .groupBy("click_id", "user_id")
-          .agg(min_by(col("signup_id"),
-                      col("diff_s") * 10000000L + col("signup_id")).as("nearest_signup_id"),
+          .agg(min(struct(col("diff_s"), col("signup_id")))
+                 .getField("signup_id").as("nearest_signup_id"),
                min("diff_s").as("diff_s"))
           .orderBy("click_id")
       },
@@ -486,8 +521,7 @@ object Round6 {
              |s AS (SELECT event_id AS signup_id, user_id, ts AS sts
              |      FROM events WHERE event_type = 'signup')
              |SELECT c.click_id AS click_id, c.user_id AS user_id,
-             |  arg_min(s.signup_id,
-             |          abs(date_diff('second', sts, cts)) * 10000000 + s.signup_id)
+             |  (min({'d': abs(date_diff('second', sts, cts)), 'i': s.signup_id})).i
              |    AS nearest_signup_id,
              |  min(abs(date_diff('second', sts, cts))) AS diff_s
              |FROM c JOIN s USING (user_id)

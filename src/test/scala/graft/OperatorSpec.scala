@@ -389,4 +389,32 @@ class OperatorSpec extends AnyFunSuite {
         s"axis $i variance ${cov(i)(i)} beats the component's λ=$lambda")
     }
   }
+
+  // Golden BPE encodings, hand-traced through the ranked merge list: the
+  // fully-merged vocabulary words collapse to 1 token, partially-covered
+  // words stop at their exact merge frontier, and out-of-vocab text falls
+  // back toward characters. The declared key's DuckDB oracle re-runs the
+  // same algorithm as a replace chain, so this pins the NATIVE fold (and
+  // the whole-stage codegen path via a 2-column projection) independently.
+  test("BPE token counts match hand-traced golden encodings") {
+    import graft.functions.BpeOps
+    val golden = Seq(
+      "scan" -> 1, "customer" -> 1, "column" -> 1, "batch" -> 1,
+      "join" -> 1, "hash" -> 1, "row" -> 1, "small" -> 1, "filter" -> 1,
+      "part" -> 2, "merge" -> 2, "slow" -> 2, "dup" -> 3,
+      "the" -> 3, "order" -> 3, "query" -> 4, "group" -> 5,
+      "zzz" -> 3,        // out-of-vocab: stays at characters
+      "" -> 0)
+    golden.foreach { case (w, n) =>
+      assert(BpeOps.countWord(w) == n, s"countWord($w) = ${BpeOps.countWord(w)}, want $n")
+    }
+    assert(BpeOps.countWord("scanscan") == 2,  // merges apply within one word
+      s"countWord(scanscan) = ${BpeOps.countWord("scanscan")}")
+    // text sum = word sum; empty splits contribute nothing
+    val sp = spark; import sp.implicits._
+    val got = Seq("scan  the query", "").toDF("text")
+      .select(BpeOps.bpeTokenCount(col("text")).as("n"), length(col("text")).as("len"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1 + 3 + 4, 0), s"got $got")
+  }
 }

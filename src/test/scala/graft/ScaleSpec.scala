@@ -288,6 +288,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(fanOut.get.length == 2, s"expected (event_type, __salt) keys, got ${fanOut.get}")
   }
 
+  // Round-7: the within-label all-pairs cosine join is label-keyed, and
+  // label is a structural hot key — the self-join must carry the salt in
+  // its physical join keys so each label's quadratic pair space spreads
+  // over the salt fan-out instead of one straggler task.
+  test("sim_pair_threshold self-join is salted on (label, __salt)") {
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val plan = SparkEntry.queries("sim_pair_threshold")(spark, sf)
+      .queryExecution.sparkPlan
+    val shuffleJoins = plan.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+    }
+    val salted = shuffleJoins.find(_.exists(_.toString.contains("__salt")))
+    assert(salted.isDefined, s"pair self-join lost its salt key:\n$plan")
+  }
+
   // The sampling/split operators must stay pure scan-side work — a
   // shuffle or window sneaking in would turn an I/O-speed filter into a
   // cluster-wide exchange at 100 TB.
@@ -363,20 +379,28 @@ class ScaleSpec extends AnyFunSuite {
         val reps = plan.collect {
           case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
         }
+        // pipelines may stack caches (round 7: the df-capped shingle set is
+        // cached on top of the cached raw explode), so the pinned exchange
+        // can sit arbitrarily deep — recurse through nested cache layers
+        def pinnedIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[Any] = {
+          // AQE wraps the cached physical plan; collect on the wrapper
+          // sees no children, so unwrap to the input plan first
+          val phys = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.inputPlan
+            case x => x
+          }
+          phys.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+                if e.shuffleOrigin ==
+                   org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM => Seq(e)
+            case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              pinnedIn(t.relation.cachedPlan)
+          }.flatten
+        }
         val cachedPinned = plan.collect {
           case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-            // AQE wraps the cached physical plan; collect on the wrapper
-            // sees no children, so unwrap to the input plan first
-            val phys = m.cachedPlan match {
-              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-                a.inputPlan
-              case p => p
-            }
-            phys.collect {
-              case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-                  if e.shuffleOrigin ==
-                     org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM => e
-            }
+            pinnedIn(m.cachedPlan)
         }.flatten
         cached.foreach(_.unpersist())
         assert(reps.nonEmpty || cachedPinned.nonEmpty,
@@ -437,6 +461,78 @@ class ScaleSpec extends AnyFunSuite {
       assert(bhjOnCorpus.isEmpty,
         s"$name broadcast a corpus-sized join side:\n$plan")
     }
+  }
+
+  // Round-7: the ngram-Jaccard inverted index must cap shingle document
+  // frequency BEFORE its self-join — a shingle shared by k docs fans out
+  // to k² pair rows, and real corpora have stopword bigrams with k in the
+  // millions. The kept-shingle cache sits under the self-join, so the df
+  // aggregate + `df <= 32` filter must appear inside a cached plan (proof
+  // the cap is upstream of the pair fan-out, not applied to its output).
+  test("ngram-Jaccard caps shingle document frequency upstream of the self-join") {
+    val (pairs, cached) = operators.PipelineExt.ngramJaccardPairsLazy(spark, sf)
+    val plan = pairs.queryExecution.optimizedPlan
+    val cachedPlans = plan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        val phys = m.cachedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.inputPlan
+          case p => p
+        }
+        phys.toString
+    }
+    cached.foreach(_.unpersist())
+    assert(cachedPlans.exists(p => p.contains("df#") && p.contains("<= 32")),
+      s"df ≤ ${operators.PipelineExt.MaxShingleDf} cap is not upstream of " +
+        s"the pair self-join; cached plans:\n${cachedPlans.mkString("\n---\n")}")
+  }
+
+  // Round-7: the zscore and perplexity tiers used to run whole-partition
+  // windows over event_type / lang — a handful of partitions, each one
+  // funneling its entire history through one task. Both are rewritten as
+  // aggregate → broadcast-join → scan-parallel comparison; a Window
+  // reappearing in either plan is the regression this gate pins against.
+  test("zscore and perplexity-bucket plans contain no window operator") {
+    Seq("window_zscore_outlier", "text_perplexity_bucket").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.isEmpty, s"$name plans a whole-partition Window again:\n$plan")
+    }
+  }
+
+  // Declared-window-semantics allowlist (note-gate): partitioning a window
+  // by a bounded-cardinality enum column (order status, market segment,
+  // event type, language, ...) sends ~1/cardinality of the corpus through
+  // a single task. The keys allowed below DECLARE exactly that §2.5 window
+  // shape as their semantics (rank/ntile/cume_dist/range-frame demos over
+  // 5-value keys — the scale-parallel formulation of the same answers is
+  // the aggregate→broadcast-join pattern used by window_zscore_outlier and
+  // text_perplexity_bucket), and ts_gapfill_interp's window runs over the
+  // BOUNDED time-spine, not the corpus. Any query outside the allowlist
+  // sweeping a window over one of these keys is an undeclared scale killer
+  // and fails here. A window whose CHILD contains an Aggregate is exempt:
+  // its input is one row per group key (bounded by key cardinality, e.g.
+  // the per-(status,priority) mode counts), not one row per corpus row.
+  test("low-cardinality window partitioning is limited to declared §2.5 keys") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lowCard = Set("o_orderstatus", "o_orderpriority", "c_mktsegment",
+                      "l_returnflag", "l_linestatus", "event_type", "lang",
+                      "source", "label", "n_name", "r_name")
+    val allowed = Set("window_distribution", "window_ntile_firstlast",
+                      "window_rank_dense", "window_range_frame",
+                      "window_range_interval", "ts_gapfill_interp")
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val corpusWindows = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+          w.partitionSpec.flatMap(_.references.map(_.name))
+      }.flatten
+      if (corpusWindows.exists(lowCard.contains) && !allowed.contains(name)) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"undeclared low-cardinality window partitioning in: $offenders")
   }
 
   test("salting spreads a skewed join key across subkeys") {

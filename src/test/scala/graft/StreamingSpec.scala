@@ -256,6 +256,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((2L, None)), s"watermark-expired null match missing: ${rows.toSeq}")
   }
 
+  // The streaming property a production pipeline actually depends on:
+  // stop a stateful query mid-stream, restart it from its checkpoint, and
+  // the resumed query (a) recovers the open-window state accumulated
+  // before the stop and (b) emits every closed window EXACTLY once into a
+  // fault-tolerant (file) sink — no loss, no replay duplicates.
+  test("windowed agg restarts from its checkpoint with exactly-once file-sink output") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val chk = Tables.scratchDir("graft_stream_chk").toString
+    val out = Tables.scratchDir("graft_stream_out").toString
+    val mem = MemoryStream[Ev]
+    def agg = mem.toDF
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("n"))
+    def start() = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", chk)
+      .format("parquet").option("path", out).start()
+    // run 1: hour-0 window accumulates 2 rows, watermark at 20 min — the
+    // window is still OPEN (nothing emitted) when the query stops
+    val q1 = start()
+    mem.addData(Ev(ts(0), 1, "click", 1.0), Ev(ts(30), 1, "click", 1.0))
+    q1.processAllAvailable(); q1.stop()
+    // run 2: restart from the checkpoint. The recovered state must still
+    // hold hour-0's count=2; advancing the watermark to 190 then 290
+    // closes the hour-0 and hour-3 windows in the resumed query
+    val q2 = start()
+    mem.addData(Ev(ts(200), 2, "view", 1.0))
+    q2.processAllAvailable()
+    mem.addData(Ev(ts(300), 3, "view", 1.0))
+    q2.processAllAvailable(); q2.stop()
+    val rows = sp.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+    // exactly-once: each closed window appears ONCE with the full
+    // pre-restart count recovered; the still-open hour-5 window is absent
+    val expect = Seq((hourStart(0).getTime, 2L), (hourStart(200).getTime, 1L))
+    assert(rows.sorted == expect.sorted, s"resumed output wrong: $rows")
+  }
+
   test("session windows merge while gap <= 10 min and split when gap > 10 min") {
     val sp = spark; import sp.implicits._
     val data = Seq(
