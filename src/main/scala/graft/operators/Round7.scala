@@ -4,10 +4,108 @@ import graft.{Decl, Tables}
 import graft.functions.BpeOps
 import org.apache.spark.sql.functions._
 
-/** Round-7 additions: real subword tokenization. */
+/** Round-7 additions: real subword tokenization, C4-style cross-document
+  * span dedup, and the scan-parallel (broadcast-threshold) formulation of
+  * low-cardinality window analytics. */
 object Round7 {
 
   val decls: Map[String, Decl] = Map(
+    // C4-style cross-document span dedup — the repeated-span removal pass
+    // (C4 deduped exact three-sentence spans corpus-wide) that complements
+    // the whole-document dedup family: per doc, how many of its
+    // non-overlapping 16-token spans also appear VERBATIM in another
+    // document. Spans hash to md5 inside the row (text never shuffles);
+    // one hash-keyed shuffle counts span occurrences, and "shared with
+    // another doc" is the exact min(doc)≠max(doc) probe — no
+    // count-distinct expand. The per-doc totals reuse the doc_id
+    // partitioning the explode inherits. The corpus's natural near-dups
+    // make this live without planting (60 cross-doc spans at sf0.01).
+    "dedup_span_cross" -> Decl(
+      (s, d) => {
+        val n = s.sparkContext.defaultParallelism
+        val spans = Pipeline.docsWithTokens(s, d)
+          .repartition(n, col("doc_id"))
+          .select(col("doc_id"),
+                  explode(expr(
+                    """transform(sequence(0, greatest(size(toks) - 16, 0), 16),
+                      |st -> CASE WHEN st + 16 <= size(toks)
+                      |       THEN md5(concat_ws(' ', slice(toks, st + 1, 16))) END)"""
+                      .stripMargin)).as("h"))
+          .filter(col("h").isNotNull)
+          .persist()
+        val dup = spans.repartition(n, col("h"))
+          .groupBy("h")
+          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+          .filter(col("mn") =!= col("mx"))
+          .select("h")
+        val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+        val dups = spans.join(dup.hint("shuffle_hash"), Seq("h"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
+        totals.join(dups, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+                  coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+                  round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
+                        col("n_spans"), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sp AS (SELECT doc_id, md5(array_to_string(t[st + 1 : st + 16], ' ')) AS h
+             |       FROM (SELECT doc_id, t,
+             |               unnest(generate_series(0, greatest(len(t) - 16, 0), 16)) AS st
+             |             FROM tok)
+             |       WHERE st + 16 <= len(t)),
+             |dup AS (SELECT h FROM sp GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+             |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+             |dd AS (SELECT doc_id, count(*) AS dup_spans
+             |       FROM sp SEMI JOIN dup USING (h) GROUP BY doc_id)
+             |SELECT doc_id, n_spans, coalesce(dup_spans, 0) AS dup_spans,
+             |       round(CAST(coalesce(dup_spans, 0) AS DOUBLE) / n_spans, 6) AS dup_frac
+             |FROM tot LEFT JOIN dd USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // The scan-parallel twin of window_ntile_firstlast: per-segment
+    // quartile assignment and extremes WITHOUT a window. The §2.5 key
+    // declares the window semantics over a 5-value demo key (allowlisted
+    // in ScaleSpec); this is the formulation that survives 100 TB — the
+    // per-segment thresholds and extreme-struct minima are ONE tiny
+    // aggregate row per segment, broadcast back, buckets assigned by
+    // comparison at scan speed. Thresholds round to the 6-dp grid (the
+    // text_perplexity_bucket rule: quantile-interpolation ulp noise on
+    // tied inputs must not flip a comparison); extremes tie-break through
+    // lexicographic struct min/max exactly like join_asof_nearest.
+    "window_quartile_broadcast" -> Decl(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val th = c.groupBy("c_mktsegment").agg(
+          round(percentile(col("c_acctbal"), lit(0.25)), 6).as("q1"),
+          round(percentile(col("c_acctbal"), lit(0.5)), 6).as("q2"),
+          round(percentile(col("c_acctbal"), lit(0.75)), 6).as("q3"),
+          min(struct(col("c_acctbal"), col("c_custkey")))
+            .getField("c_custkey").as("poorest"),
+          max(struct(col("c_acctbal"), col("c_custkey")))
+            .getField("c_custkey").as("richest"))
+        c.join(broadcast(th), "c_mktsegment")
+          .select(col("c_custkey"), col("c_mktsegment"),
+                  (lit(1) + when(col("c_acctbal") > col("q1"), 1).otherwise(0)
+                          + when(col("c_acctbal") > col("q2"), 1).otherwise(0)
+                          + when(col("c_acctbal") > col("q3"), 1).otherwise(0))
+                    .as("quartile"),
+                  col("poorest"), col("richest"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH th AS (
+             |  SELECT c_mktsegment,
+             |         round(quantile_cont(c_acctbal, 0.25), 6) AS q1,
+             |         round(quantile_cont(c_acctbal, 0.5), 6) AS q2,
+             |         round(quantile_cont(c_acctbal, 0.75), 6) AS q3,
+             |         (min({'b': c_acctbal, 'k': c_custkey})).k AS poorest,
+             |         (max({'b': c_acctbal, 'k': c_custkey})).k AS richest
+             |  FROM customer GROUP BY c_mktsegment)
+             |SELECT c_custkey, c.c_mktsegment AS c_mktsegment,
+             |       CAST(1 + CAST(c_acctbal > q1 AS INT) + CAST(c_acctbal > q2 AS INT)
+             |              + CAST(c_acctbal > q3 AS INT) AS INT) AS quartile,
+             |       poorest, richest
+             |FROM customer c JOIN th ON c.c_mktsegment = th.c_mktsegment
+             |ORDER BY c_custkey""".stripMargin)),
     // Real BPE token counting — the budget number of every training-data
     // pipeline (the regex run-length proxy in text_token_count is the
     // cheap approximation; this is the algorithm). Per-row native

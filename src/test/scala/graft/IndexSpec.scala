@@ -52,6 +52,16 @@ class IndexSpec extends AnyFunSuite {
       assert(pairs.contains((id + 1000000L, id)),
         s"planted near-dup ${id + 1000000L} -> $id not found; got $pairs")
     }
+    // the index directories ARE catalog tables: GraftCatalog.restore
+    // re-registers them from the warehouse layout alone, so the index
+    // survives a session restart with no metastore (the same mechanism
+    // the SQL session's CTAS tables ride)
+    val (restored, _) = GraftCatalog.restore(spark, wh)
+    assert(restored.toSet == Set("lsh_bands", "lsh_features"),
+      s"restore found $restored")
+    assert(spark.table("lsh_bands").count() > 0)
+    spark.sql("DROP TABLE IF EXISTS lsh_bands")
+    spark.sql("DROP TABLE IF EXISTS lsh_features")
   }
 
   test("IVF index probe prunes to NProbe cells and overlaps brute-force top-k") {
