@@ -33,15 +33,21 @@ object Round7 {
                       .stripMargin)).as("h"))
           .filter(col("h").isNotNull)
           .persist()
-        val dup = spans.repartition(n, col("h"))
+        // ONE h-keyed exchange feeds both the occurrence aggregate and the
+        // semi-join probe side (reused exchange); the final per-doc join is
+        // pinned shuffle_hash — both sides are corpus-sized row-per-doc
+        // tables co-partitioned on doc_id, and a planner-chosen broadcast
+        // of either is the unbounded-side OOM anti-pattern.
+        val spansByH = spans.repartition(n, col("h"))
+        val dup = spansByH
           .groupBy("h")
           .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
           .filter(col("mn") =!= col("mx"))
           .select("h")
         val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-        val dups = spans.join(dup.hint("shuffle_hash"), Seq("h"), "left_semi")
+        val dups = spansByH.join(dup.hint("shuffle_hash"), Seq("h"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
-        totals.join(dups, Seq("doc_id"), "left")
+        totals.join(dups.hint("shuffle_hash"), Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_spans"),
                   coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
                   round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
