@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Decl, Tables}
 import graft.functions.BpeOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 additions: real subword tokenization, C4-style cross-document
@@ -67,6 +68,92 @@ object Round7 {
              |SELECT doc_id, n_spans, coalesce(dup_spans, 0) AS dup_spans,
              |       round(CAST(coalesce(dup_spans, 0) AS DOUBLE) / n_spans, 6) AS dup_frac
              |FROM tot LEFT JOIN dd USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // The C4-style composite KEEP/DROP decision — the terminal step every
+    // training-data pipeline runs: each document gets one verdict and the
+    // FIRST triggering drop reason by fixed priority (duplicate > short >
+    // repetitive > ok). Exact-dup canonicalization is the dedup_exact
+    // family (md5 of normalized text, lowest id is canonical; noisy
+    // planted copies make the signal live); short/repetitive are pure
+    // per-row token stats. One hash-keyed shuffle total — the
+    // canonical-id table is corpus-sized, so its join is pinned
+    // shuffle_hash, and every other signal rides the scan.
+    "pipeline_keep_decision" -> Decl(
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val noisy = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+                  concat(upper(col("text")), lit("  ")).as("text"))
+        val feats = docs.unionAll(noisy)
+          .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
+                  split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("h"), size(col("toks")).as("n_toks"),
+                  (size(array_distinct(col("toks"))).cast("double") /
+                   size(col("toks"))).as("ttr"))
+        val canon = feats.groupBy("h").agg(min("doc_id").as("canon_id"))
+        feats.join(canon.hint("shuffle_hash"), "h")
+          .select(col("doc_id"),
+                  when(col("doc_id") =!= col("canon_id"), "duplicate")
+                    .when(col("n_toks") < 20, "short")
+                    .when(col("ttr") < 0.35, "repetitive")
+                    .otherwise("ok").as("reason"))
+          .withColumn("keep", col("reason") === "ok")
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, upper(text) || '  ' FROM documents
+             |  WHERE doc_id % 10 = 3),
+             |f AS (SELECT doc_id, md5(lower(trim(text))) AS h,
+             |        len(string_split(text, ' ')) AS n_toks,
+             |        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |          / len(string_split(text, ' ')) AS ttr
+             |      FROM corpus),
+             |canon AS (SELECT h, min(doc_id) AS canon_id FROM f GROUP BY h),
+             |r AS (SELECT doc_id,
+             |        CASE WHEN doc_id <> canon_id THEN 'duplicate'
+             |             WHEN n_toks < 20 THEN 'short'
+             |             WHEN ttr < 0.35 THEN 'repetitive'
+             |             ELSE 'ok' END AS reason
+             |      FROM f JOIN canon USING (h))
+             |SELECT doc_id, reason, reason = 'ok' AS keep
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // As-of join WITH TOLERANCE — the variant every time-series asof API
+    // exposes (pandas merge_asof's `tolerance`, kdb's wj): each purchase
+    // takes the latest preceding click only if it is within 1 hour,
+    // else NULL. Same scalable shape as join_asof (union + one ordered
+    // window per user — never a per-row range probe); the tolerance is a
+    // post-window comparison, so the plan is identical to the untoleranced
+    // form. Oracle mirrors with a range-bounded LEFT JOIN + max().
+    "join_asof_tolerance" -> Decl(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+                  col("ts").as("click_ts"), lit(null).cast("long").as("purchase_id"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("kind"),
+                  lit(null).cast("timestamp").as("click_ts"),
+                  col("event_id").as("purchase_id"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.canon(
+          clicks.unionAll(purch)
+            .withColumn("lc", last("click_ts", ignoreNulls = true).over(w))
+            .filter(col("kind") === 1)
+            .select(col("purchase_id").as("event_id"), col("user_id"),
+                    when(col("ts").cast("long") - col("lc").cast("long") <= 3600,
+                         col("lc")).as("click_ts_1h")))
+      },
+      Some("""SELECT p.event_id, p.user_id, CAST(max(c.ts) AS TIMESTAMP) AS click_ts_1h
+             |FROM events p LEFT JOIN events c
+             |ON c.user_id = p.user_id AND c.event_type = 'click'
+             |AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+             |AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '1 hour'
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.event_id, p.user_id ORDER BY ALL NULLS FIRST""".stripMargin)),
 
     // The scan-parallel twin of window_ntile_firstlast: per-segment
     // quartile assignment and extremes WITHOUT a window. The §2.5 key
