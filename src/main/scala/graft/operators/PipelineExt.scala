@@ -762,6 +762,21 @@ object PipelineExt {
     * (lang, source) groups, NOT yet checkpointed — see [[ngramJaccardPairs]].
     */
   private[graft] def ngramJaccardPairsLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val (base, cached) = ngramIntersectionsLazy(s, d)
+    val out = base
+      .withColumn("jaccard",
+        round(col("n").cast("double") / (col("sa") + col("sb") - col("n")).cast("double"), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select("id_a", "id_b", "jaccard")
+    (out, cached)
+  }
+
+  /** LAZY df-capped shingle-intersection table — (id_a < id_b, n, sa, sb)
+    * within (lang, source) groups: the shared pair-generation core that
+    * both similarity metrics finalize from (Jaccard: n/(sa+sb-n);
+    * containment: n/min(sa,sb)).
+    */
+  private[graft] def ngramIntersectionsLazy(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     // bigram text is hashed to 64 bits INSIDE the row (ShingleHashSet:
     // per-row sorted-distinct hash set, then explode) — the old global
     // `distinct()` shuffle is gone because set-dedup is a per-document
@@ -801,10 +816,7 @@ object PipelineExt {
     val out = inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sa")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sb")), "id_b")
-      .withColumn("jaccard",
-        round(col("n").cast("double") / (col("sa") + col("sb") - col("n")).cast("double"), 6))
-      .filter(col("jaccard") >= 0.2)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "n", "sa", "sb")
     (out, Seq(shAll, sh))
   }
 

@@ -69,6 +69,51 @@ object Round7 {
              |       round(CAST(coalesce(dup_spans, 0) AS DOUBLE) / n_spans, 6) AS dup_frac
              |FROM tot LEFT JOIN dd USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Shingle CONTAINMENT dedup — the asymmetric similarity Jaccard
+    // misses: a short document wholly embedded in a longer one scores
+    // n/min(sa,sb) ≈ 1 but a low Jaccard (the union is dominated by the
+    // longer doc), and sub-document duplication is exactly what
+    // quote-heavy / boilerplate corpora exhibit. Shares the df-capped
+    // inverted-index intersection core with dedup_ngram_jaccard
+    // (ngramIntersectionsLazy — one shingle-key exchange, pair space
+    // bounded by the df ≤ 32 cap), so the only new work is the
+    // containment finalizer. Both metrics over the SAME pair universe
+    // keeps the two keys' oracles one CTE apart.
+    "dedup_containment" -> Decl(
+      (s, d) => {
+        val (base, cached) = PipelineExt.ngramIntersectionsLazy(s, d)
+        val out = base
+          .withColumn("containment",
+            round(col("n").cast("double") / least(col("sa"), col("sb")).cast("double"), 6))
+          .filter(col("containment") >= 0.8)
+          .select("id_a", "id_b", "containment")
+          .localCheckpoint(true)
+        cached.foreach(_.unpersist())
+        out.orderBy("id_a", "id_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, lang, source, g FROM (
+             |  SELECT doc_id, lang, source,
+             |         unnest(list_transform(generate_series(1, len(t) - 1),
+             |                               i -> t[i] || ' ' || t[i + 1])) AS g
+             |  FROM tok WHERE len(t) >= 2)),
+             |df AS (SELECT lang, source, g, count(*) AS df
+             |       FROM sh GROUP BY 1, 2, 3),
+             |kept AS (SELECT sh.doc_id, sh.lang, sh.source, sh.g
+             |         FROM sh JOIN df USING (lang, source, g) WHERE df <= 32),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+             |  FROM kept a JOIN kept b ON a.lang = b.lang AND a.source = b.source
+             |                         AND a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(n AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+             |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             |           JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE round(CAST(n AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // The C4-style composite KEEP/DROP decision — the terminal step every
     // training-data pipeline runs: each document gets one verdict and the
     // FIRST triggering drop reason by fixed priority (duplicate > short >

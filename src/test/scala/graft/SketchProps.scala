@@ -139,4 +139,26 @@ object SketchProps extends Properties("sketches") {
       val e = functions.BloomMightContain(null, bf)
       ws.forall(w => e.compute(UTF8String.fromString(w)))
     }
+
+  // BPE invariants (round 7): merging only ever SHRINKS the symbol count,
+  // never below one symbol per word and never above one per character —
+  // and a text's count is exactly the sum of its words' counts (the fold
+  // never crosses whitespace).
+  property("BPE word count within [1, word length]") =
+    Prop.forAll(word) { w =>
+      val n = functions.BpeOps.countWord(w)
+      n >= 1 && n <= w.length
+    }
+
+  property("BPE text count is the sum of word counts") =
+    Prop.forAll(words) { ws =>
+      val t = ws.mkString(" ")
+      functions.BpeOps.countText(UTF8String.fromString(t)) ==
+        ws.map(functions.BpeOps.countWord).sum
+    }
+
+  // (Concatenation is NOT subadditive — probed: "at"+"colu" counts 3 > 1+1,
+  // because the cross-boundary (at,c) merge outranks and blocks the
+  // (c,o)(co,lu) chain. Greedy ranked BPE only guarantees the two
+  // invariants above.)
 }
