@@ -67,11 +67,14 @@ object AnnIndex {
     val n = s.sparkContext.defaultParallelism
     val bands = s.read.parquet(s"$warehouse/lsh_bands")
     val feats = s.read.parquet(s"$warehouse/lsh_features")
+    // NOT persisted: the probe is a library API whose result the caller
+    // consumes lazily, so a cache here would leak into their session; the
+    // delta is the small side and its shingle projection recomputes at
+    // scan speed for the two consumers below
     val dsh = delta
       .select(col("doc_id").as("delta_id"), TextOps.shingleHashes(col("toks"), 3).as("hq"))
       .filter(size(col("hq")) > 0)
       .repartition(n, col("delta_id"))
-      .persist()
     val qKeys = Minhash.bandedKeys(
       Minhash.signatures(dsh.select(col("delta_id").as("doc_id"), col("hq").as("hs"))))
     val cand = qKeys.as("q")
