@@ -78,5 +78,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject1("simhash_sig", classOf[graft.functions.SimHashSig], graft.functions.SimHashSig(_))
     inject1("char_entropy", classOf[graft.functions.CharEntropy], graft.functions.CharEntropy(_))
     inject1("token_counts", classOf[graft.functions.TokenCounts], graft.functions.TokenCounts(_))
+    // round-7: real BPE token budget from SQL — bpe_token_count(text)
+    inject1("bpe_token_count", classOf[graft.functions.BpeTokenCount],
+            graft.functions.BpeTokenCount(_))
   }
 }

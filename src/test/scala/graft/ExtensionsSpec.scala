@@ -73,5 +73,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sk.getInt(0) == 3 && sk.getInt(1) == 32)
     assert(sk.getDouble(3) == math.rint(-2 * 0.5 * math.log(0.5) * 1e6) / 1e6)
     assert(sk.getInt(4) == 2)
+
+    // --- round-7 BPE token budget from plain SQL (golden: scan=1, the=3)
+    val bpe = spark.sql("SELECT bpe_token_count('scan the') AS n").collect()(0)
+    assert(bpe.getInt(0) == 4, s"bpe_token_count('scan the') = ${bpe.getInt(0)}")
   }
 }
