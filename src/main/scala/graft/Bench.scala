@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,22 +64,35 @@ object Bench {
     // while the sub-second majority (and the noise floor they define)
     // run once. Failures (-1) are never retried into a pass, and the
     // total retry spend is capped so a pathologically slow host can at
-    // worst add ~2 minutes, not double the run.
-    var retryBudget = 120.0
+    // worst add ~3 minutes, not double the run. When the two timings
+    // STILL disagree >2× the host was noisy during one of them and we
+    // can't tell which — a third timing settles it (min of three), so a
+    // recorded 3 s `join_inner_hash` artifact needs the host to stall
+    // the same trivial plan three separate times.
+    var retryBudget = 180.0
+    def retime(name: String, fn: (SparkSession, String) => DataFrame,
+               prior: Double): Double = {
+      // Charge the retry's expected cost (~prior) up front so one
+      // pathologically slow retry can't blow far past the budget, then
+      // settle to the actual spend once known.
+      retryBudget -= prior
+      val t = timeOnce(name, fn)
+      retryBudget += prior - math.max(t, 0.0)
+      t
+    }
     val results = selected.map { case (name, fn) =>
       val t1 = timeOnce(name, fn)
       val best =
         if (t1 > 1.0 && retryBudget > 0) {
-          // Charge the retry's expected cost (~t1) up front so one
-          // pathologically slow retry can't blow far past the budget,
-          // then settle to the actual spend once known.
-          retryBudget -= t1
-          val t2 = timeOnce(name, fn)
-          retryBudget += t1 - math.max(t2, 0.0)
+          val t2 = retime(name, fn, t1)
           // A failed retry (-1) must not mask a successful first run —
           // failures are never retried INTO a pass, and a pass is never
           // retried into a failure.
-          if (t2 >= 0) math.min(t1, t2) else t1
+          if (t2 < 0) t1
+          else if (math.max(t1, t2) > 2 * math.min(t1, t2) && retryBudget > 0) {
+            val t3 = retime(name, fn, math.min(t1, t2))
+            if (t3 >= 0) math.min(math.min(t1, t2), t3) else math.min(t1, t2)
+          } else math.min(t1, t2)
         } else t1
       name -> best
     }

@@ -6,11 +6,104 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 additions: real subword tokenization, C4-style cross-document
-  * span dedup, and the scan-parallel (broadcast-threshold) formulation of
-  * low-cardinality window analytics. */
+  * span dedup, the scan-parallel (broadcast-threshold) formulation of
+  * low-cardinality window analytics, and dangling-mass PageRank. */
 object Round7 {
 
+  /** DuckDB oracle for graph_pagerank_dangling: the same 10 iterations
+    * unrolled as chained CTEs, each computing the dangling mass of the
+    * previous rank vector and redistributing it uniformly. Nodes with
+    * doc_id % 4 = 0 have NO out-edges by construction, so unlike
+    * graph_pagerank's bijective graph the dangling term is load-bearing:
+    * without it 0.85·dm of rank mass leaks per iteration and the
+    * mass-conservation assertion fails.
+    */
+  private def pagerankDanglingOracleSql: String = {
+    val b = new StringBuilder(
+      """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM documents),
+        |e AS (SELECT doc_id AS src, 1 + doc_id % 2 AS outdeg,
+        |             (doc_id * 3 + t.k) % nn.ni AS dst
+        |      FROM documents CROSS JOIN nn, (VALUES (1), (2)) t(k)
+        |      WHERE doc_id % 4 <> 0 AND t.k <= 1 + doc_id % 2),
+        |pr0 AS (SELECT doc_id, 1.0/nn.n AS r FROM documents CROSS JOIN nn)""".stripMargin)
+    (1 to 10).foreach { i =>
+      b.append(s""",
+        |d$i AS (SELECT sum(r) AS dm FROM pr${i - 1} WHERE doc_id % 4 = 0),
+        |pr$i AS (SELECT nd.doc_id,
+        |             0.15/(SELECT n FROM nn)
+        |               + 0.85 * (coalesce(s.acc, 0) + d$i.dm/(SELECT n FROM nn)) AS r
+        |         FROM documents nd
+        |         LEFT JOIN (SELECT e.dst, sum(p.r / e.outdeg) AS acc
+        |                    FROM pr${i - 1} p JOIN e ON p.doc_id = e.src
+        |                    GROUP BY e.dst) s ON nd.doc_id = s.dst
+        |         CROSS JOIN d$i)""".stripMargin)
+    }
+    b.append("""
+      |SELECT pr10.doc_id AS doc_id, round(pr10.r * nn.n, 6) AS rank_norm
+      |FROM pr10 CROSS JOIN nn ORDER BY doc_id""".stripMargin)
+    b.toString
+  }
+
   val decls: Map[String, Decl] = Map(
+    // PageRank with DANGLING-NODE mass redistribution — graph_pagerank on
+    // an arbitrary edge table. The §2 key's constructed graph guarantees
+    // every node an out-edge, so it never exercises the term real link
+    // graphs hit immediately (a crawl frontier is FULL of pages with no
+    // outlinks yet); here 25% of nodes are sinks and each iteration
+    // gathers their rank with one tiny aggregate (a 1-row broadcast, the
+    // decontaminate/threshold pattern) and folds it into the teleport
+    // floor. Same scale shape as graph_pagerank: edges derived once,
+    // hash-partitioned on src, persisted; one dst-keyed shuffle per
+    // iteration; rank state checkpointed at the loop midpoint. The
+    // no-in-link case is covered too (nodes re-enter via LEFT join from
+    // the node table, not from the edge aggregate).
+    "graph_pagerank_dangling" -> Decl(
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"))
+        val nRows = docs.count()
+        val n = nRows.toDouble
+        val nodes = docs.select(col("doc_id").as("nid"))
+        val e = docs
+          .filter(pmod(col("doc_id"), lit(4L)) =!= 0)
+          .select(col("doc_id").as("src"),
+                  (lit(1L) + pmod(col("doc_id"), lit(2L))).cast("double").as("outdeg"))
+          .select(col("src"), col("outdeg"),
+                  explode(sequence(lit(1), (lit(1L) + pmod(col("src"), lit(2L))).cast("int")))
+                    .as("k"))
+          .select(col("src"), col("outdeg"),
+                  pmod(col("src") * 3 + col("k"), lit(nRows)).as("dst"))
+          .repartition(s.sparkContext.defaultParallelism, col("src"))
+          .persist()
+        var pr = docs.select(col("doc_id"), lit(1.0 / n).as("r"))
+        (1 to 10).foreach { i =>
+          val dm = pr.filter(pmod(col("doc_id"), lit(4L)) === 0)
+            .agg(sum(col("r")).as("dm"))
+          val inl = pr.join(e, pr("doc_id") === e("src"))
+            .groupBy(col("dst"))
+            .agg(sum(col("r") / col("outdeg")).as("acc"))
+          val prev = pr
+          // Unlike graph_pagerank, each step reads pr TWICE (dangling
+          // aggregate + in-link propagation), so untruncated lineage
+          // DOUBLES per iteration — a mid-loop checkpoint still left
+          // 16 MiB task binaries by iteration 10. Truncate every step
+          // (the rank state is one row per node, KBs at bench scale) and
+          // drop the superseded generation's storage once the new one is
+          // materialized.
+          pr = nodes.join(inl, col("nid") === col("dst"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("nid").as("doc_id"),
+                    (lit(0.15 / n) + lit(0.85) *
+                      (coalesce(col("acc"), lit(0.0)) + col("dm") / n)).as("r"))
+            .localCheckpoint()
+          if (i > 1) prev.unpersist()
+        }
+        // every generation is materialized, so the edges are dead weight
+        e.unpersist()
+        pr.select(col("doc_id"), round(col("r") * n, 6).as("rank_norm"))
+          .orderBy("doc_id")
+      },
+      Some(pagerankDanglingOracleSql)),
+
     // C4-style cross-document span dedup — the repeated-span removal pass
     // (C4 deduped exact three-sentence spans corpus-wide) that complements
     // the whole-document dedup family: per doc, how many of its
@@ -113,6 +206,45 @@ object Round7 {
              |           JOIN sizes sb ON sb.doc_id = id_b
              |WHERE round(CAST(n AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Temperature-flattened domain resampling — the XLM-R/mT5 mixing rule
+    // (sample domain i ∝ n_i^α, α<1 upweights low-resource domains)
+    // next to mix_domain_rebalance's uniform-share special case. α=1/2
+    // here, and the whole keep decision is INTEGER-exact across engines:
+    // the weight is floor(sqrt(n_i)) — IEEE sqrt is correctly rounded,
+    // so sqrt of an exact integer count is bit-identical everywhere —
+    // and the keep test multiplies integers only (ticket·Z·n_i <
+    // 1000·total·w_i), so there is no float boundary to disagree on, no
+    // RNG, and re-running yields the same corpus (the property a
+    // training-data pipeline needs for reproducible mixes). Oversampled
+    // small domains cap at keep-all structurally (ticket ≤ 999). Scan
+    // shape: per-domain stats are one tiny aggregate, broadcast back;
+    // the decision rides the scan.
+    "mix_temperature_sample" -> Decl(
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+        val stats = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", floor(sqrt(col("n_docs"))))
+        val z = stats.agg(sum(col("w")).as("z"))
+        val tot = docs.agg(count(lit(1)).as("total"))
+        docs.join(broadcast(stats), "lang")
+          .crossJoin(broadcast(z))
+          .crossJoin(broadcast(tot))
+          .withColumn("ticket", pmod(col("doc_id") * lit(2654435761L), lit(1000L)))
+          .filter(col("ticket") * col("z") * col("n_docs") <
+                  lit(1000L) * col("total") * col("w"))
+          .select(col("doc_id"), col("lang"), col("ticket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH stats AS (SELECT lang, count(*) AS n_docs,
+             |                      CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+             |               FROM documents GROUP BY lang),
+             |z AS (SELECT sum(w) AS z FROM stats),
+             |tot AS (SELECT count(*) AS total FROM documents)
+             |SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS ticket
+             |FROM documents JOIN stats USING (lang) CROSS JOIN z CROSS JOIN tot
+             |WHERE ((doc_id * 2654435761) % 1000) * z * n_docs < 1000 * total * w
+             |ORDER BY doc_id""".stripMargin)),
 
     // The C4-style composite KEEP/DROP decision — the terminal step every
     // training-data pipeline runs: each document gets one verdict and the

@@ -341,6 +341,21 @@ class OperatorSpec extends AnyFunSuite {
       s"rank below teleport floor: ${r.getAs[Double]("rank_norm")}"))
   }
 
+  // Dangling-mass PageRank: conservation here is load-bearing — 25% of
+  // nodes are sinks by construction, so dropping the redistribution term
+  // leaks 0.85·(sink mass) per iteration and this sum drifts far below n.
+  // Also pin that the sink set is genuinely non-empty and ranked.
+  test("graph_pagerank_dangling redistributes sink mass and keeps every node") {
+    val rows = SparkEntry.queries("graph_pagerank_dangling")(spark, sf).collect()
+    val n = rows.length.toDouble
+    val mass = rows.map(_.getAs[Double]("rank_norm")).sum
+    assert(math.abs(mass - n) < 1e-2 * n, s"rank mass $mass != $n")
+    rows.foreach(r => assert(r.getAs[Double]("rank_norm") >= 0.15 - 1e-6,
+      s"rank below teleport floor: ${r.getAs[Double]("rank_norm")}"))
+    val sinks = rows.count(_.getAs[Long]("doc_id") % 4 == 0)
+    assert(sinks > 0 && sinks * 4 >= rows.length - 4, s"sink coverage off: $sinks")
+  }
+
   // agg_cms_heavyhitter has no oracle (no CMS in DuckDB): the sketch's
   // contract is one-sided — estimates NEVER undercount, and overcount by
   // at most εN (ε=0.001) with probability 1−δ. Both exact counts ride in
