@@ -51,13 +51,22 @@ object BpeOps {
     ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"), ("s", "mall"),
     ("g", "e"), ("l", "ow"))
 
-  /** BPE token count of one word (no whitespace inside). Empty → 0. */
+  /** BPE token count of one word (no whitespace inside). Empty → 0.
+    *
+    * Symbols are CODEPOINTS, not UTF-16 units — DuckDB's
+    * `string_split(w, '')` splits codepoints, so a non-BMP char must count
+    * as ONE symbol in both engines. `'('` and `')'` are reserved by the
+    * oracle's paren-wrapped encoding and stripped identically here (they
+    * never appear inside a merge symbol, so stripping cannot change any
+    * merge outcome). */
   def countWord(w: String): Int = {
     if (w.isEmpty) return 0
-    var syms = new Array[String](w.length)
+    val cps = w.codePoints().filter(cp => cp != '(' && cp != ')').toArray
+    if (cps.isEmpty) return 0
+    val syms = new Array[String](cps.length)
     var i = 0
-    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
-    var len = w.length
+    while (i < cps.length) { syms(i) = new String(Character.toChars(cps(i))); i += 1 }
+    var len = cps.length
     var m = 0
     while (m < Merges.length && len > 1) {
       val (a, b) = Merges(m)
@@ -99,14 +108,18 @@ object BpeOps {
     Bridge.column(BpeTokenCount(Bridge.expression(text)))
 
   /** The DuckDB mirror of [[countText]], generated from the SAME merge
-    * list: per word, wrap each character as `(c)`, apply the ranked
-    * replace chain, and count surviving `(` markers. */
+    * list: per word, strip the wrapper-reserved `(` `)` (mirroring
+    * [[countWord]]), wrap each remaining codepoint as `(c)`, apply the
+    * ranked replace chain, and count surviving `(` markers. The empty
+    * guard covers words that were ONLY parens (the bare encoding of ''
+    * would be '()', which counts 1). */
   def duckdbCountExpr(wordVar: String): String = {
-    val enc = s"'(' || array_to_string(string_split($wordVar, ''), ')(') || ')'"
+    val stripped = s"replace(replace($wordVar, '(', ''), ')', '')"
+    val enc = s"'(' || array_to_string(string_split($stripped, ''), ')(') || ')'"
     val chain = Merges.foldLeft(enc) { case (acc, (a, b)) =>
       s"replace($acc, '($a)($b)', '($a$b)')"
     }
-    s"len($chain) - len(replace($chain, '(', ''))"
+    s"CASE WHEN len($stripped) = 0 THEN 0 ELSE len($chain) - len(replace($chain, '(', '')) END"
   }
 }
 

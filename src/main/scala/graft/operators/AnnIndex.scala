@@ -61,8 +61,11 @@ object AnnIndex {
     * `lsh_features` — (delta_id, base_id, jaccard ≥ 0.5) pairs. The plan
     * scans ONLY the two index directories plus the delta input: base text
     * is never touched, and the base side of both joins is pinned
-    * shuffle_hash (the index is corpus-sized; the delta is the small side
-    * and the candidate table is the only thing broadcast). */
+    * shuffle_hash (the index is corpus-sized). The candidate table is NOT
+    * broadcast either: it is delta × per-bucket base collisions, so one hot
+    * (band, sig) bucket in the stored index can inflate it far past the
+    * small-delta assumption — it is pinned as a shuffle-hash BUILD side
+    * instead, which caps its footprint at one partition's share. */
   def probeLshIndex(s: SparkSession, warehouse: String, delta: DataFrame): DataFrame = {
     val n = s.sparkContext.defaultParallelism
     val bands = s.read.parquet(s"$warehouse/lsh_bands")
@@ -82,7 +85,7 @@ object AnnIndex {
             col("q.band") === col("x.band") && col("q.sig") === col("x.sig"))
       .select(col("q.doc_id").as("delta_id"), col("x.doc_id").as("base_id"))
       .distinct()
-    broadcast(cand)
+    cand.hint("shuffle_hash")
       .join(dsh, "delta_id")
       .join(feats.select(col("doc_id").as("base_id"), col("hs").as("hx"))
               .hint("shuffle_hash"), "base_id")

@@ -141,12 +141,17 @@ object Round7 {
         val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
         val dups = spansByH.join(dup.hint("shuffle_hash"), Seq("h"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
-        totals.join(dups.hint("shuffle_hash"), Seq("doc_id"), "left")
+        // eager-materialize the small per-doc result, then release the big
+        // exploded span cache — the dedup_containment discipline; without
+        // it the persist leaks into the caller's session until clearCache
+        val out = totals.join(dups.hint("shuffle_hash"), Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_spans"),
                   coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
                   round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
                         col("n_spans"), 6).as("dup_frac"))
-          .orderBy("doc_id")
+          .localCheckpoint(true)
+        spans.unpersist()
+        out.orderBy("doc_id")
       },
       Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |sp AS (SELECT doc_id, md5(array_to_string(t[st + 1 : st + 16], ' ')) AS h
@@ -230,7 +235,11 @@ object Round7 {
         docs.join(broadcast(stats), "lang")
           .crossJoin(broadcast(z))
           .crossJoin(broadcast(tot))
-          .withColumn("ticket", pmod(col("doc_id") * lit(2654435761L), lit(1000L)))
+          // (doc_id·2654435761) mod 1000 computed by congruence —
+          // ((doc_id mod 1000)·761) mod 1000 is bit-identical and cannot
+          // overflow, where the raw BIGINT product silently wraps in Spark
+          // but raises in DuckDB once doc_id ≳ 3.4e9 (i.e. exactly at scale)
+          .withColumn("ticket", pmod(pmod(col("doc_id"), lit(1000L)) * lit(761L), lit(1000L)))
           .filter(col("ticket") * col("z") * col("n_docs") <
                   lit(1000L) * col("total") * col("w"))
           .select(col("doc_id"), col("lang"), col("ticket"))
@@ -241,9 +250,9 @@ object Round7 {
              |               FROM documents GROUP BY lang),
              |z AS (SELECT sum(w) AS z FROM stats),
              |tot AS (SELECT count(*) AS total FROM documents)
-             |SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS ticket
+             |SELECT doc_id, lang, ((doc_id % 1000) * 761) % 1000 AS ticket
              |FROM documents JOIN stats USING (lang) CROSS JOIN z CROSS JOIN tot
-             |WHERE ((doc_id * 2654435761) % 1000) * z * n_docs < 1000 * total * w
+             |WHERE (((doc_id % 1000) * 761) % 1000) * z * n_docs < 1000 * total * w
              |ORDER BY doc_id""".stripMargin)),
 
     // The C4-style composite KEEP/DROP decision — the terminal step every

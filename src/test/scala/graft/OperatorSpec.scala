@@ -425,6 +425,14 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(BpeOps.countWord("scanscan") == 2,  // merges apply within one word
       s"countWord(scanscan) = ${BpeOps.countWord("scanscan")}")
+    // oracle-encoding robustness: '(' ')' are wrapper-reserved and
+    // stripped in both engines (a literal paren must not inflate the
+    // count), and symbols are codepoints — a non-BMP char (2 UTF-16
+    // units) is ONE symbol, matching DuckDB's string_split(w, '')
+    assert(BpeOps.countWord("sc(an)") == 1, s"paren strip: ${BpeOps.countWord("sc(an)")}")
+    assert(BpeOps.countWord("()") == 0, s"all-paren word: ${BpeOps.countWord("()")}")
+    assert(BpeOps.countWord("a😀b") == 3,  // a, 😀, b
+      s"codepoint symbols: ${BpeOps.countWord("a😀b")}")
     // text sum = word sum; empty splits contribute nothing
     val sp = spark; import sp.implicits._
     val got = Seq("scan  the query", "").toDF("text")
