@@ -405,6 +405,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  // SemDeDup contract: clustering may only LOSE pairs whose members split
+  // across cells (recall < 1 by design, bounded below), and must never
+  // invent one — every reported pair carries an exact cosine >= tau, so
+  // the output is a subset of the label-free brute-force pair set.
+  test("semantic-cluster dedup: subset of exact pairs, planted recall >= 0.9") {
+    import graft.functions.VectorOps
+    val emb = Tables(spark, sf, "embeddings")
+    val pert = emb.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      concat(array(element_at(col("embedding"), 2), element_at(col("embedding"), 1)),
+             slice(col("embedding"), lit(3), lit(62))).as("embedding"))
+    val all = emb.select("vec_id", "embedding").unionAll(pert)
+    val a = all.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = all.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(VectorOps.cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos") >= 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("dedup_semantic_cluster")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture has no exact near-dup pairs to recall")
+    assert(got.subsetOf(exact), s"spurious pairs: ${(got -- exact).take(5)}")
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"semantic recall $recall below 0.9 (|exact|=${exact.size})")
+  }
+
   // Golden BPE encodings, hand-traced through the ranked merge list: the
   // fully-merged vocabulary words collapse to 1 token, partially-covered
   // words stop at their exact merge frontier, and out-of-vocab text falls
