@@ -13,6 +13,35 @@ import org.apache.spark.sql.functions._
   */
 object Round8 {
 
+  /** Unrolled 4-iteration synchronous label propagation over the same
+    * deterministic undirected graph as graph_triangle_count. Each step is
+    * one neighbor-label count plus a max-count/min-label argmax, expressed
+    * as min over a ('nc' = -count, 'l' = label) struct — the lexicographic
+    * struct-min trick both engines agree on bit-for-bit (no float anywhere).
+    */
+  private def lpaOracleSql: String = {
+    val b = new StringBuilder(
+      """WITH nn AS (SELECT count(*) AS ni FROM documents),
+        |raw AS (SELECT doc_id AS src, (doc_id * 3 + t.k) % nn.ni AS dst
+        |        FROM documents CROSS JOIN nn, (VALUES (1), (2)) t(k)
+        |        WHERE doc_id % 4 <> 0 AND t.k <= 1 + doc_id % 2),
+        |c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM raw WHERE src <> dst),
+        |adj AS (SELECT a AS src, b AS dst FROM c UNION ALL SELECT b, a FROM c),
+        |l0 AS (SELECT doc_id AS v, doc_id AS l FROM documents)""".stripMargin)
+    (1 to 4).foreach { i =>
+      b.append(s""",
+        |l$i AS (SELECT p.v, coalesce(m.pick, p.l) AS l FROM l${i - 1} p LEFT JOIN (
+        |    SELECT dst, (min({'nc': -cnt, 'l': l})).l AS pick FROM (
+        |      SELECT adj.dst AS dst, q.l AS l, count(*) AS cnt
+        |      FROM l${i - 1} q JOIN adj ON q.v = adj.src GROUP BY adj.dst, q.l) x
+        |    GROUP BY dst) m ON m.dst = p.v)""".stripMargin)
+    }
+    b.append("""
+      |SELECT v AS doc_id, l AS community FROM l4 ORDER BY v""".stripMargin)
+    b.toString
+  }
+
   val decls: Map[String, Decl] = Map(
     // Batch k-NN JOIN — sim_cosine_topk answers ONE query; a real embedding
     // pipeline (retrieval eval, semantic dedup seeding, hard-negative
@@ -296,5 +325,264 @@ object Round8 {
                   col("b.vec_id").as("id_b"), col("cos"))
           .orderBy("cid", "id_a", "id_b")
       },
-      None))
+      None),
+
+    // Synchronous label propagation (community detection) — the
+    // community-structure signal next to PageRank (importance) and
+    // triangle counting (local clustering): 4 rounds of "adopt the most
+    // frequent neighbor label, ties to the smallest", labels seeded with
+    // the vertex id. Entirely integer — the argmax is a lexicographic
+    // struct-min over (-count, label), so there is no float boundary and
+    // the full trajectory is hash-exact cross-engine. Scale shape is the
+    // pagerank discipline: the symmetrized edge table is derived ONCE,
+    // hash-partitioned on src, and persisted; each round moves only the
+    // (vertex, label) table through one dst-keyed count shuffle, and the
+    // label frame is lineage-truncated mid-loop.
+    "graph_label_propagation" -> Decl(
+      (s, d) => {
+        val n = s.sparkContext.defaultParallelism
+        val docs = Tables(s, d, "documents").select(col("doc_id"))
+        val nRows = docs.count()
+        val raw = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
+          .select(col("doc_id").as("src"),
+                  explode(sequence(lit(1), (lit(1L) + pmod(col("doc_id"), lit(2L)))
+                    .cast("int"))).as("k"))
+          .select(col("src"), pmod(col("src") * 3 + col("k"), lit(nRows)).as("dst"))
+        val canon = raw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+                  greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val adj = canon.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+          .repartition(n, col("src"))
+          .localCheckpoint(true)
+        var lbl = docs.select(col("doc_id").as("v"), col("doc_id").as("l"))
+        (1 to 4).foreach { i =>
+          val pick = adj.join(lbl, adj("src") === lbl("v"))
+            .groupBy(col("dst"), col("l")).agg(count(lit(1)).as("cnt"))
+            .groupBy(col("dst"))
+            .agg(min(struct((-col("cnt")).as("nc"), col("l").as("l")))
+              .getField("l").as("pick"))
+          lbl = lbl.join(pick, lbl("v") === pick("dst"), "left")
+            .select(col("v"), coalesce(col("pick"), col("l")).as("l"))
+          if (i == 2) lbl = lbl.localCheckpoint()
+        }
+        val out = lbl.select(col("v").as("doc_id"), col("l").as("community"))
+          .orderBy("doc_id")
+        adj.unpersist()
+        out
+      },
+      Some(lpaOracleSql)),
+
+    // Two-sample Kolmogorov–Smirnov test (click vs purchase event values) —
+    // the distribution-shift detector a data pipeline runs between corpus
+    // snapshots ("did the value distribution move?"). Entirely
+    // integer-exact until ONE final division: values live on the 2-dp
+    // grid, so they become exact cents; the ECDF gap at x is
+    // |r1·n2 − r2·n1| in integers (a common-denominator cross-multiply,
+    // no float ECDFs to compare), its max is an integer, and the reported
+    // D = d_num/(n1·n2) is a single correctly-rounded IEEE division both
+    // engines agree on bit-for-bit. The prefix sums run over the DISTINCT
+    // value grid (bounded by the 2-dp domain, not the corpus), i.e. an
+    // aggregate-fed window, never a corpus-fed one.
+    "agg_ks_test" -> Decl(
+      (s, d) => {
+        val w = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(round(col("value") * 100).cast("bigint").as("cents"),
+                  col("event_type"))
+        val grid = ev.groupBy("cents")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+               sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+        grid
+          .select(col("cents"), sum(col("c1")).over(w).as("r1"),
+                  sum(col("c2")).over(w).as("r2"))
+          .crossJoin(broadcast(
+            ev.agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+                   sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                     .as("n2"))))
+          .agg(max(abs(col("r1") * col("n2") - col("r2") * col("n1"))).as("d_num"),
+               max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+          .select(col("n1"), col("n2"), col("d_num"),
+                  (col("d_num").cast("double") / (col("n1") * col("n2"))).as("d"))
+      },
+      Some("""WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type
+             |            FROM events WHERE event_type IN ('click', 'purchase')),
+             |grid AS (SELECT cents,
+             |           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             |           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+             |         FROM ev GROUP BY cents),
+             |r AS (SELECT cents,
+             |        sum(c1) OVER (ORDER BY cents
+             |                      ROWS UNBOUNDED PRECEDING) AS r1,
+             |        sum(c2) OVER (ORDER BY cents
+             |                      ROWS UNBOUNDED PRECEDING) AS r2
+             |      FROM grid),
+             |n AS (SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+             |             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2
+             |      FROM ev)
+             |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             |       CAST(max(abs(r1 * n2 - r2 * n1)) AS BIGINT) AS d_num,
+             |       CAST(max(abs(r1 * n2 - r2 * n1)) AS DOUBLE) / (n1 * n2) AS d
+             |FROM r CROSS JOIN n GROUP BY n1, n2""".stripMargin)),
+
+    // Welch's unequal-variance t-test (click vs purchase values) — the
+    // mean-shift companion to the KS distribution test. The sufficient
+    // statistics are EXACT integers (n, Σcents, Σcents² — the 2-dp grid
+    // again), so partial aggregation is lossless and order-independent at
+    // any scale; the t statistic and Welch–Satterthwaite dof are one fixed
+    // arithmetic expression over those integers, written identically in
+    // both engines (t is scale-invariant, so cents cancel), with the 6-dp
+    // round absorbing terminal ulp noise.
+    "agg_ttest_welch" -> Decl(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+                  round(col("value") * 100).cast("bigint").as("c"))
+        ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+               sum(col("c") * col("c")).as("q"))
+          .agg(max(when(col("event_type") === "click", col("n"))).as("n1"),
+               max(when(col("event_type") === "click", col("s"))).as("s1"),
+               max(when(col("event_type") === "click", col("q"))).as("q1"),
+               max(when(col("event_type") === "purchase", col("n"))).as("n2"),
+               max(when(col("event_type") === "purchase", col("s"))).as("s2"),
+               max(when(col("event_type") === "purchase", col("q"))).as("q2"))
+          .select(col("n1"), col("n2"),
+                  round(col("s1").cast("double") / col("n1") / 100, 6).as("mean1"),
+                  round(col("s2").cast("double") / col("n2") / 100, 6).as("mean2"),
+                  expr("""round((CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2) /
+                         | sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1)/(n1-1)/n1
+                         |     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n2)/(n2-1)/n2),
+                         | 6)""".stripMargin).as("t"),
+                  expr("""round(pow((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1)/(n1-1)/n1
+                         |        + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n2)/(n2-1)/n2, 2)
+                         | / (pow((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1)/(n1-1)/n1, 2)/(n1-1)
+                         |  + pow((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n2)/(n2-1)/n2, 2)/(n2-1)),
+                         | 4)""".stripMargin).as("dof"))
+      },
+      Some("""WITH g AS (SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS q
+             |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+             |        FROM events WHERE event_type IN ('click', 'purchase')) GROUP BY 1),
+             |w AS (SELECT
+             |  CAST(max(CASE WHEN event_type = 'click' THEN n END) AS BIGINT) AS n1,
+             |  CAST(max(CASE WHEN event_type = 'click' THEN s END) AS BIGINT) AS s1,
+             |  CAST(max(CASE WHEN event_type = 'click' THEN q END) AS BIGINT) AS q1,
+             |  CAST(max(CASE WHEN event_type = 'purchase' THEN n END) AS BIGINT) AS n2,
+             |  CAST(max(CASE WHEN event_type = 'purchase' THEN s END) AS BIGINT) AS s2,
+             |  CAST(max(CASE WHEN event_type = 'purchase' THEN q END) AS BIGINT) AS q2
+             |  FROM g)
+             |SELECT n1, n2,
+             |  round(CAST(s1 AS DOUBLE)/n1/100, 6) AS mean1,
+             |  round(CAST(s2 AS DOUBLE)/n2/100, 6) AS mean2,
+             |  round((CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2) /
+             |   sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1)/(n1-1)/n1
+             |       + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n2)/(n2-1)/n2),
+             |   6) AS t,
+             |  round(pow((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1)/(n1-1)/n1
+             |          + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n2)/(n2-1)/n2, 2)
+             |   / (pow((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1)/(n1-1)/n1, 2)/(n1-1)
+             |    + pow((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n2)/(n2-1)/n2, 2)/(n2-1)),
+             |   4) AS dof
+             |FROM w""".stripMargin)),
+
+    // Jensen–Shannon drift per source — "did src7's vocabulary drift from
+    // the corpus?": JSD(source term distribution ‖ corpus term
+    // distribution) in nats, the symmetric bounded cousin of
+    // agg_mutual_info's KL machinery. Both distributions come from ONE
+    // vocabulary-bounded (source, word) count aggregate; the corpus
+    // marginal and the per-source totals are rollups of it, broadcast
+    // back, and the zero-observed side (q>0, p=0 terms) comes from
+    // crossing sources with the vocabulary — all KB-scale grids. The only
+    // cross-engine surface is the per-source contribution sum, absorbed
+    // by the 6-dp round (the agg_mutual_info precedent).
+    "text_jsd_drift" -> Decl(
+      (s, d) => {
+        val cw = Pipeline.docsWithTokens(s, d)
+          .select(col("source"), explode(col("toks")).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val perSrc = cw.groupBy("source").agg(sum(col("c")).as("ns"))
+        val vocab = cw.groupBy("w").agg(sum(col("c")).as("cg"))
+        val tot = vocab.agg(sum(col("cg")).cast("double").as("n"))
+        perSrc.crossJoin(vocab)
+          .join(cw, Seq("source", "w"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("source"),
+                  (coalesce(col("c"), lit(0L)).cast("double") / col("ns")).as("p"),
+                  (col("cg") / col("n")).as("q"))
+          .withColumn("m", (col("p") + col("q")) / 2)
+          .withColumn("contrib",
+            when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / col("m")))
+              .otherwise(0.0) +
+            lit(0.5) * col("q") * log(col("q") / col("m")))
+          .groupBy("source").agg(round(sum(col("contrib")), 6).as("jsd_nats"))
+          .orderBy("source")
+      },
+      Some("""WITH cw AS (SELECT source, w.w AS w, count(*) AS c
+             |            FROM documents, unnest(string_split(text, ' ')) w(w)
+             |            GROUP BY source, w.w),
+             |ps AS (SELECT source, sum(c) AS ns FROM cw GROUP BY source),
+             |v AS (SELECT w, sum(c) AS cg FROM cw GROUP BY w),
+             |t AS (SELECT CAST(sum(cg) AS DOUBLE) AS n FROM v),
+             |grid AS (SELECT ps.source,
+             |           CAST(coalesce(cw.c, 0) AS DOUBLE) / ps.ns AS p,
+             |           v.cg / t.n AS q
+             |         FROM ps CROSS JOIN v
+             |         LEFT JOIN cw ON cw.source = ps.source AND cw.w = v.w
+             |         CROSS JOIN t)
+             |SELECT source,
+             |  round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q)/2))
+             |                 ELSE 0 END
+             |            + 0.5 * q * ln(q / ((p + q)/2))), 6) AS jsd_nats
+             |FROM grid GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Deterministic exact-k uniform sample — "give me exactly 100 docs,
+    // uniformly, reproducibly": rank by a cryptographic hash of the key
+    // and take the k smallest. TABLESAMPLE/rand() are neither exact-k nor
+    // re-runnable; the hash ticket is both, and the plan is a
+    // TakeOrderedAndProject (per-partition bounded heap + driver merge of
+    // k·partitions candidates), never a global sort — the only scalable
+    // shape for top-k at 100 TB.
+    "sample_hash_exactk" -> Decl(
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("ticket"))
+        .orderBy("ticket")
+        .limit(100),
+      Some("""SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ticket
+             |FROM documents ORDER BY ticket LIMIT 100""".stripMargin)),
+
+    // Registered-domain blocklist filter — the RefinedWeb/C4 URL-level
+    // drop pass: extract the registered domain from each page's host and
+    // anti-join a blocklist ON THE DOMAIN KEY (broadcast — blocklists are
+    // KB–MB); subdomains (www., cdn.) are covered because the JOIN KEY is
+    // the registered domain, not the full host — suffix semantics without
+    // a per-entry LIKE scan, which is the non-scalable alternative. URLs
+    // are synthesized from events the same way as dedup_url_canonical.
+    "filter_domain_blocklist" -> Decl(
+      (s, d) => {
+        import s.implicits._
+        val host = concat(
+          when(pmod(col("event_id"), lit(2L)) === 0, "www.").otherwise("cdn."),
+          lit("example"), pmod(col("user_id"), lit(5L)).cast("string"),
+          lit(".com"))
+        val block = Seq("example1.com", "example3.com").toDF("domain")
+        Tables.events(s, d)
+          .select(col("event_id"), host.as("host"))
+          .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+          .join(broadcast(block), Seq("domain"), "left_anti")
+          .select(col("event_id"), col("host"))
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (SELECT event_id,
+             |  (CASE WHEN event_id % 2 = 0 THEN 'www.' ELSE 'cdn.' END) ||
+             |  'example' || CAST(user_id % 5 AS VARCHAR) || '.com' AS host
+             |  FROM events)
+             |SELECT event_id, host FROM u
+             |WHERE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+             |      NOT IN ('example1.com', 'example3.com')
+             |ORDER BY event_id""".stripMargin)))
 }
