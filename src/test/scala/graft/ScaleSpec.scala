@@ -535,6 +535,50 @@ class ScaleSpec extends AnyFunSuite {
       s"undeclared low-cardinality window partitioning in: $offenders")
   }
 
+  // Round-8: the exact-k hash sample must plan as TakeOrderedAndProject —
+  // per-partition bounded heaps merged on the driver (k·partitions rows)
+  // — never a global Sort exchange, which materializes the full corpus
+  // ordering for 100 rows of output.
+  test("sample_hash_exactk plans bounded top-k, not a global sort") {
+    val plan = SparkEntry.queries("sample_hash_exactk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort exchange for a LIMIT-k query:\n$plan")
+  }
+
+  // Round-8: the domain blocklist is KB–MB at any scale — the anti join
+  // must broadcast IT (never shuffle the corpus against it), and the
+  // batch k-NN join must broadcast the bounded query set while ranking
+  // through the native bounded-heap operator at both stages.
+  test("blocklist anti-join broadcasts the blocklist; knn join stays bounded-heap") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val block = SparkEntry.queries("filter_domain_blocklist")(spark, sf)
+      .queryExecution.sparkPlan
+    val bhj = block.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"blocklist anti join is not broadcast:\n$block")
+    val knn = SparkEntry.queries("sim_knn_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(knn.split("TopKPerKey").length == 3,
+      s"expected two TopKPerKey stages (shard partial + final) in:\n$knn")
+    assert(knn.contains("BroadcastNestedLoopJoin"),
+      s"query-set scoring pass lost its broadcast:\n$knn")
+  }
+
+  // Round-8: the semantic-cluster within-cell self-join must be a pinned
+  // shuffled hash join — the assignment table is corpus-sized on BOTH
+  // sides, so a planner-chosen broadcast is the standard OOM anti-pattern.
+  test("semantic-cluster self-join shuffles, never broadcasts the corpus") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val plan = SparkEntry.queries("dedup_semantic_cluster")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(plan.collect { case j: ShuffledHashJoinExec => j }.nonEmpty,
+      s"within-cell pair join lost its pinned shuffle_hash:\n$plan")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"corpus-sized assignment table broadcast:\n$plan")
+  }
+
   test("salting spreads a skewed join key across subkeys") {
     val sp = spark; import sp.implicits._
     // 10k rows all sharing one key — the pathological skew case. Salt the
