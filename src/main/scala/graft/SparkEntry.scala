@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Round6.decls ++
     operators.Round7.decls ++
     operators.Round8.decls ++
+    operators.Round8b.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

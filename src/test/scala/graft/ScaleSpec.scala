@@ -579,6 +579,22 @@ class ScaleSpec extends AnyFunSuite {
       s"corpus-sized assignment table broadcast:\n$plan")
   }
 
+  // Round-8b: the co-located bucketed join's entire point is that BOTH
+  // sides read pre-bucketed on the join key — the SortMergeJoin subtree
+  // must contain zero shuffle exchanges (the groupBy above it may keep
+  // its one aggregate exchange).
+  test("bucketed co-located join has no exchange inside the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = SparkEntry.queries("join_bucketed_colocated")(spark, sf)
+      .queryExecution.sparkPlan
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"bucketed join did not plan as SortMergeJoin:\n$plan")
+    val shuffles = smj.head.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"bucketed co-located join still shuffles a side:\n${smj.head}")
+  }
+
   test("salting spreads a skewed join key across subkeys") {
     val sp = spark; import sp.implicits._
     // 10k rows all sharing one key — the pathological skew case. Salt the
