@@ -229,6 +229,119 @@ object Round8b {
              |FROM pairs JOIN deg da ON da.c = a JOIN deg db ON db.c = b
              |ORDER BY common DESC, a, b""".stripMargin)),
 
+    // Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
+    // (streak detection — retention/engagement features). The classic
+    // row_number trick: day − rank(day) is constant within a run, so one
+    // distinct + one user-partitioned window + one groupBy find all
+    // islands with no self-join (the naive "join day to day+1 and chase"
+    // is O(run length) joins). Dates are carried as INTEGER day numbers
+    // end to end: both engines truncate their native timestamp precision
+    // (µs vs ns) to the same UTC day, and integer output is hash-safe
+    // where date/interval encodings are not.
+    "window_gap_islands" -> Decl(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("days")
+        Tables.events(s, d)
+          .select(col("user_id"),
+                  datediff(col("ts").cast("date"), lit("1970-01-01")).as("days"))
+          .distinct()
+          .withColumn("grp", col("days") - row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(min(col("days")).as("start_day"), max(col("days")).as("end_day"),
+               count(lit(1)).as("len"))
+          .select(col("user_id"), col("start_day"), col("end_day"), col("len"))
+          .orderBy("user_id", "start_day")
+      },
+      Some("""WITH dd AS (SELECT DISTINCT user_id,
+             |              CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |                AS days
+             |            FROM events),
+             |g AS (SELECT user_id, days,
+             |        days - row_number() OVER (PARTITION BY user_id
+             |                                  ORDER BY days) AS grp
+             |      FROM dd)
+             |SELECT user_id, min(days) AS start_day, max(days) AS end_day,
+             |       count(*) AS len
+             |FROM g GROUP BY user_id, grp
+             |ORDER BY user_id, start_day""".stripMargin)),
+
+    // Hourly OHLC resample of the event value stream — the time-series
+    // downsample every metrics/market pipeline runs. Open/close are
+    // argmin/argmax over (µs, event_id) via the lexicographic struct-min
+    // trick (the ONLY deterministic cross-engine argmin; memory: DuckDB
+    // min of a struct IS lexicographic). Both engines reduce the
+    // timestamp to INTEGER microseconds first — ordering by raw ts would
+    // diverge on sub-µs digits only DuckDB's nanos see. One partial-agg
+    // groupBy on the bounded hour grid; everything stays BIGINT.
+    "ts_resample_ohlc" -> Decl(
+      (s, d) => {
+        val us = expr("unix_micros(ts)")
+        val c = round(col("value") * 100).cast("bigint")
+        Tables.events(s, d)
+          .select((us.cast("bigint") / lit(3600000000L)).cast("bigint").as("hr"),
+                  us.as("us"), col("event_id"), c.as("c"))
+          .groupBy("hr")
+          .agg(min(struct(col("us"), col("event_id"), col("c")))("c").as("open"),
+               max(col("c")).as("high"), min(col("c")).as("low"),
+               max(struct(col("us"), col("event_id"), col("c")))("c").as("close"),
+               count(lit(1)).as("n"), sum(col("c")).as("cents"))
+          .orderBy("hr")
+      },
+      Some("""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_id,
+             |             CAST(round(value * 100) AS BIGINT) AS c
+             |           FROM events)
+             |SELECT us // 3600000000 AS hr,
+             |       (min({'u': us, 'e': event_id, 'c': c})).c AS open,
+             |       max(c) AS high, min(c) AS low,
+             |       (max({'u': us, 'e': event_id, 'c': c})).c AS close,
+             |       count(*) AS n, sum(c) AS cents
+             |FROM e GROUP BY 1 ORDER BY hr""".stripMargin)),
+
+    // Grouped weighted median (lower): per return flag, the smallest
+    // extended-price cent value whose cumulative quantity weight reaches
+    // half the group total. The data-scale path is the bounded
+    // distinct-cents grid again — per-(flag, cents) integer weight sums,
+    // one flag-partitioned cumulative window over the grid, and the pick
+    // is min-over-qualifying (2·cum ≥ tot with INTEGER comparison — no
+    // interpolated quantile ever crosses engines tie-exactly; memory:
+    // quantile ulp ties).
+    "agg_weighted_median" -> Decl(
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val grid = Tables(s, d, "lineitem")
+          .select(col("l_returnflag"),
+                  round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
+                  col("l_quantity").cast("bigint").as("qty"))
+          .groupBy("l_returnflag", "cents")
+          .agg(sum(col("qty")).as("wsum"))
+        // group totals as a broadcast-joined 3-row aggregate, NOT a
+        // whole-partition window — the frameless window would buffer the
+        // entire near-unique price grid per flag before emitting a row
+        val tot = grid.groupBy("l_returnflag").agg(sum(col("wsum")).as("tot"))
+        grid
+          .select(col("l_returnflag"), col("cents"),
+                  sum(col("wsum")).over(w).as("cum"))
+          .join(broadcast(tot), "l_returnflag")
+          .filter(lit(2L) * col("cum") >= col("tot"))
+          .groupBy("l_returnflag")
+          .agg(min(col("cents")).as("wmedian_cents"), max(col("tot")).as("qty_total"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH grid AS (SELECT l_returnflag,
+             |                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             |                sum(CAST(l_quantity AS BIGINT)) AS wsum
+             |              FROM lineitem GROUP BY 1, 2),
+             |cw AS (SELECT l_returnflag, cents,
+             |         sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY cents
+             |                         ROWS UNBOUNDED PRECEDING) AS cum,
+             |         sum(wsum) OVER (PARTITION BY l_returnflag) AS tot
+             |       FROM grid)
+             |SELECT l_returnflag, min(cents) AS wmedian_cents,
+             |       max(tot) AS qty_total
+             |FROM cw WHERE 2 * cum >= tot
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Bit-exact truncated EWMA (α = 1/2, depth 8) per user over the event
     // sequence: every weight is a dyadic rational (1/2 … 1/256) and cents
     // ≤ 2¹⁶, so every term AND every partial sum is exactly representable
