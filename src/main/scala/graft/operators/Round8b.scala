@@ -342,6 +342,85 @@ object Round8b {
              |FROM cw WHERE 2 * cum >= tot
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // BPE merge LEARNING — tokenizer training as a distributed pipeline
+    // (text_bpe_token_count APPLIES a fixed merge list; this derives one).
+    // The scale design: all per-iteration work runs on the DISTINCT-word
+    // frequency table (bounded by vocabulary — ~10⁶ rows for a real
+    // corpus — never corpus-sized), symbols ride the paren-encoded string
+    // form where one ranked merge application IS a literal replace()
+    // (memory: BPE replace-chain — exact because merge operands only come
+    // from lower ranks), and each iteration collects exactly ONE argmax
+    // row to the driver (count desc, pattern asc on the ASCII-only
+    // alphabet, so both engines' orderings are binary-identical). Six
+    // unrolled iterations mirror as six DuckDB CTE stages running the
+    // REAL algorithm.
+    "text_bpe_learn_merges" -> Decl(
+      (s, d) => {
+        import s.implicits._
+        val vocab = Tables(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$") && length(col("w")).between(2, 12))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          // Spark split on '' keeps a trailing empty capture (Java regex
+          // limit -1); DuckDB string_split does not — filter it so both
+          // engines encode "(a)(b)(c)" identically
+          .select(expr(
+            "concat('(', array_join(filter(split(w, ''), x -> x <> ''), ')('), ')')")
+            .as("e"), col("cnt"))
+          .localCheckpoint(true)
+        var cur = vocab
+        val merges = Seq.newBuilder[(Int, String, Long)]
+        for (i <- 1 to 6) {
+          val top = cur
+            .select(col("cnt"),
+                    split(expr("substring(e, 2, length(e) - 2)"), "\\)\\(").as("sy"))
+            .select(col("cnt"), explode(expr(
+              "transform(slice(sy, 1, size(sy) - 1), (x, j) -> struct(x AS a, sy[j + 1] AS b))"))
+              .as("pr"))
+            .groupBy(concat(lit("("), col("pr.a"), lit(")("), col("pr.b"), lit(")"))
+                       .as("pat"),
+                     concat(lit("("), col("pr.a"), col("pr.b"), lit(")")).as("rep"))
+            .agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("pat"))
+            .limit(1).collect()(0)
+          val (pat, rep) = (top.getAs[String]("pat"), top.getAs[String]("rep"))
+          merges += ((i, pat, top.getAs[Long]("c")))
+          // [a-z()] alphabet only — safe to inline in the SQL literal
+          cur = cur.withColumn("e", expr(s"replace(e, '$pat', '$rep')"))
+            .localCheckpoint(true)
+        }
+        merges.result().toDF("rank", "merge", "cnt").orderBy("rank")
+      },
+      Some {
+        val base =
+          """WITH w0 AS (
+            |  SELECT '(' || array_to_string(string_split(w, ''), ')(') || ')' AS e,
+            |         cnt
+            |  FROM (SELECT w, count(*) AS cnt FROM (
+            |          SELECT unnest(string_split(lower(text), ' ')) AS w
+            |          FROM documents) t
+            |        WHERE regexp_matches(w, '^[a-z]+$')
+            |          AND len(w) BETWEEN 2 AND 12
+            |        GROUP BY w))""".stripMargin
+        val stages = (1 to 6).map { i =>
+          s""",
+            |p$i AS (SELECT '(' || l[i] || ')(' || l[i+1] || ')' AS pat,
+            |              '(' || l[i] || l[i+1] || ')' AS rep, sum(cnt) AS c
+            |       FROM (SELECT string_split(e[2:len(e)-1], ')(') AS l, cnt
+            |             FROM w${i - 1}),
+            |            LATERAL unnest(range(1, len(l))) AS t(i)
+            |       GROUP BY 1, 2),
+            |m$i AS (SELECT $i AS rank, pat, rep, c FROM p$i
+            |       ORDER BY c DESC, pat LIMIT 1),
+            |w$i AS (SELECT replace(e, m.pat, m.rep) AS e, cnt FROM w${i - 1}, m$i m)"""
+            .stripMargin
+        }.mkString
+        val union = (1 to 6).map(i =>
+          s"SELECT CAST(rank AS INTEGER) AS rank, pat AS merge, CAST(c AS BIGINT) AS cnt FROM m$i")
+          .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
+        base + stages + union
+      }),
+
     // Bit-exact truncated EWMA (α = 1/2, depth 8) per user over the event
     // sequence: every weight is a dyadic rational (1/2 … 1/256) and cents
     // ≤ 2¹⁶, so every term AND every partial sum is exactly representable
