@@ -421,6 +421,54 @@ object Round8b {
         base + stages + union
       }),
 
+    // Multimodal resize STUB — completes the decode/resize/frame-sample
+    // plumbing trio (multimodal_binary_meta, multimodal_frame_sample).
+    // A real resize reads the payload at strided offsets per output
+    // pixel; the deterministic fake samples 8 bytes at stride n/8 and
+    // reduces them, so the Spark-side shape is real: binary column in,
+    // per-row batched iteration over a partition, fixed-width feature
+    // out. The oracle mirrors byte arithmetic as codepoint arithmetic —
+    // valid because this corpus is pure ASCII (asserted: 0 rows where
+    // octet_length ≠ len), the same contract multimodal_binary_meta
+    // already documents for its head-byte.
+    "multimodal_resize_stub" -> Decl(
+      (s, d) => {
+        val sp = s; import sp.implicits._
+        Tables(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.map { case (id, payload) =>
+              // STUB resize: a real implementation hands `payload` to an
+              // image decoder and resamples; the strided byte probe below
+              // has the same access pattern and is deterministic.
+              val n = payload.length
+              val stride = math.max(1, n / 8)
+              var sum = 0L; var cnt = 0L
+              var k = 0
+              while (k < 8) {
+                val pos = k * stride
+                if (pos < n) { sum += payload(pos) & 0xFF; cnt += 1 }
+                k += 1
+              }
+              (id, n.toLong, sum, cnt)
+            }
+          }
+          .toDF("doc_id", "n_bytes", "feat_sum", "n_sampled")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, len(text) AS n,
+             |             greatest(1, len(text) // 8) AS st, text
+             |           FROM documents)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+             |  CAST(sum(CASE WHEN 1 + k * st <= n
+             |           THEN ascii(substr(text, CAST(1 + k * st AS INTEGER), 1))
+             |           ELSE 0 END) AS BIGINT) AS feat_sum,
+             |  CAST(sum(CASE WHEN 1 + k * st <= n THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_sampled
+             |FROM b, LATERAL unnest(range(0, 8)) AS t(k)
+             |GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)),
+
     // Bit-exact truncated EWMA (α = 1/2, depth 8) per user over the event
     // sequence: every weight is a dyadic rational (1/2 … 1/256) and cents
     // ≤ 2¹⁶, so every term AND every partial sum is exactly representable
