@@ -208,8 +208,11 @@ object Round8b {
           .agg(count(lit(1)).as("common"))
           .orderBy(col("common").desc, col("a"), col("b"))
           .limit(20)
-        pairs
-          .join(deg.select(col("c").as("a"), col("deg").as("deg_a")), "a")
+        // both degree lookups broadcast the 20-row top-k side (the second
+        // join loses the size estimate after the first, and the planner
+        // falls back to shuffling customer-cardinality deg against 20 rows)
+        broadcast(broadcast(pairs)
+            .join(deg.select(col("c").as("a"), col("deg").as("deg_a")), "a"))
           .join(deg.select(col("c").as("b"), col("deg").as("deg_b")), "b")
           .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"))
           .orderBy(col("common").desc, col("a"), col("b"))
