@@ -177,5 +177,24 @@ object Streams {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 6) AS sv
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Streaming twin of ts_resample_ohlc: the same StreamOps.ohlc runs
+    // over MemoryStream in StreamingSpec (stream == batch asserted); the
+    // declared batch path gets the DuckDB oracle. Struct-min/max state
+    // merges associatively, so incremental micro-batches are exact.
+    "stream_ohlc_tumbling" -> Decl(
+      (s, d) => graft.streaming.StreamOps.ohlc(Tables.events(s, d)).orderBy("wstart"),
+      Some("""WITH e AS (SELECT
+             |  CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             |    AS wstart,
+             |  epoch_ns(ts) // 1000 AS us, event_id,
+             |  CAST(round(value * 100) AS BIGINT) AS c
+             |FROM events)
+             |SELECT wstart,
+             |       (min({'u': us, 'e': event_id, 'c': c})).c AS open,
+             |       max(c) AS high, min(c) AS low,
+             |       (max({'u': us, 'e': event_id, 'c': c})).c AS close,
+             |       count(*) AS n
+             |FROM e GROUP BY wstart ORDER BY wstart""".stripMargin)))
 }

@@ -39,4 +39,25 @@ object StreamOps {
       .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n"), col("sv"))
+
+  /** Hourly OHLC bars (the ts_resample_ohlc semantics as a streaming
+    * aggregate): open/close are lexicographic struct-min/max over integer
+    * microseconds + event_id — min/max aggregates merge associatively, so
+    * the streaming incremental state is exact, and the tie-break is
+    * deterministic across batch and stream. Everything stays BIGINT.
+    */
+  def ohlc(events: DataFrame): DataFrame = {
+    val us = expr("unix_micros(ts)").cast("bigint")
+    val c = round(col("value") * 100).cast("bigint")
+    events
+      .select(window(col("ts"), "1 hour").as("w"), us.as("us"),
+              col("event_id"), c.as("c"))
+      .groupBy("w")
+      .agg(min(struct(col("us"), col("event_id"), col("c")))("c").as("open"),
+           max(col("c")).as("high"), min(col("c")).as("low"),
+           max(struct(col("us"), col("event_id"), col("c")))("c").as("close"),
+           count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("open"), col("high"),
+              col("low"), col("close"), col("n"))
+  }
 }

@@ -10,6 +10,7 @@ import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 case class Keyed(event_id: Long, ts: Timestamp)
+case class Tick(ts: Timestamp, event_id: Long, value: Double)
 
 /** SURVEY §2.9 — genuinely stateful streaming behavior, validated over
   * MemoryStream (the oracle-N surface: watermark late-drop, stateful dedup,
@@ -46,6 +47,32 @@ class StreamingSpec extends AnyFunSuite {
     val batch = StreamOps.tumbling(data.toDF).orderBy("wstart", "event_type").collect().toSeq
     assert(streamed == batch)
     assert(streamed.size == 3)
+  }
+
+  test("streaming OHLC equals its batch twin, ties broken by event_id") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    // two ticks share ts(5) — open/close must pick by event_id, and the
+    // incremental stream state must merge to the same answer as batch
+    val data = Seq(
+      Tick(ts(5), 2L, 3.00), Tick(ts(5), 1L, 9.00), Tick(ts(20), 3L, 1.25),
+      Tick(ts(50), 4L, 7.5), Tick(ts(70), 5L, 2.0))
+    val mem = MemoryStream[Tick]
+    val q = StreamOps.ohlc(mem.toDF)
+      .writeStream.outputMode("complete").format("memory").queryName("ohlc").start()
+    mem.addData(data.take(2): _*)   // split across micro-batches: state merge
+    q.processAllAvailable()
+    mem.addData(data.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = sp.table("ohlc").orderBy("wstart").collect().toSeq
+    val batch = StreamOps.ohlc(data.toDF).orderBy("wstart").collect().toSeq
+    assert(streamed == batch)
+    // T0 is not hour-aligned (epoch-hour boundary falls at ~46.7 min), so
+    // the first window holds the two ts(5) ticks + ts(20): open must take
+    // event_id 1 (not 2) on the shared timestamp, close is the ts(20) tick
+    val h0 = streamed.head
+    assert(h0.getAs[Long]("open") == 900L && h0.getAs[Long]("close") == 125L)
+    assert(h0.getAs[Long]("high") == 900L && h0.getAs[Long]("low") == 125L)
   }
 
   test("10-minute watermark drops late rows in append mode") {
