@@ -19,15 +19,23 @@ object Round8 {
     * as min over a ('nc' = -count, 'l' = label) struct — the lexicographic
     * struct-min trick both engines agree on bit-for-bit (no float anywhere).
     */
+  /** Shared oracle CTE prefix building the deterministic undirected graph
+    * used by graph_triangle_count / graph_label_propagation /
+    * graph_bfs_layers (Round8b) — ends at the symmetrized `adj` table.
+    */
+  private[operators] def graphOracleCtes: String =
+    """WITH nn AS (SELECT count(*) AS ni FROM documents),
+      |raw AS (SELECT doc_id AS src, (doc_id * 3 + t.k) % nn.ni AS dst
+      |        FROM documents CROSS JOIN nn, (VALUES (1), (2)) t(k)
+      |        WHERE doc_id % 4 <> 0 AND t.k <= 1 + doc_id % 2),
+      |c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |      FROM raw WHERE src <> dst),
+      |adj AS (SELECT a AS src, b AS dst FROM c UNION ALL SELECT b, a FROM c)"""
+      .stripMargin
+
   private def lpaOracleSql: String = {
-    val b = new StringBuilder(
-      """WITH nn AS (SELECT count(*) AS ni FROM documents),
-        |raw AS (SELECT doc_id AS src, (doc_id * 3 + t.k) % nn.ni AS dst
-        |        FROM documents CROSS JOIN nn, (VALUES (1), (2)) t(k)
-        |        WHERE doc_id % 4 <> 0 AND t.k <= 1 + doc_id % 2),
-        |c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |      FROM raw WHERE src <> dst),
-        |adj AS (SELECT a AS src, b AS dst FROM c UNION ALL SELECT b, a FROM c),
+    val b = new StringBuilder(graphOracleCtes +
+      """,
         |l0 AS (SELECT doc_id AS v, doc_id AS l FROM documents)""".stripMargin)
     (1 to 4).foreach { i =>
       b.append(s""",

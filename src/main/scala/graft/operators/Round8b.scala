@@ -424,6 +424,68 @@ object Round8b {
         base + stages + union
       }),
 
+    // Layered BFS from a seed set over the shared deterministic graph —
+    // the reachability/impact query (``which docs sit within 4 hops of
+    // the flagged set?``). Frontier-at-a-time: each hop is ONE src-keyed
+    // join against the checkpointed adjacency plus an anti-join against
+    // the visited set, so per-hop work is O(frontier edges), never
+    // all-pairs; distances are small integers and the oracle unrolls the
+    // same four hops as CTEs. The adjacency is built once (the LPA/
+    // triangle pattern: explicit repartition + localCheckpoint).
+    "graph_bfs_layers" -> Decl(
+      (s, d) => {
+        val n = s.sparkContext.defaultParallelism
+        val docs = Tables(s, d, "documents").select(col("doc_id"))
+        val nRows = docs.count()
+        val raw = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
+          .select(col("doc_id").as("src"),
+                  explode(sequence(lit(1), (lit(1L) + pmod(col("doc_id"), lit(2L)))
+                    .cast("int"))).as("k"))
+          .select(col("src"), pmod(col("src") * 3 + col("k"), lit(nRows)).as("dst"))
+        val canon = raw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+                  greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val adj = canon.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+          .repartition(n, col("src"))
+          .localCheckpoint(true)
+        var dist = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+          .select(col("doc_id").as("v"), lit(0).as("dist"))
+        var frontier = dist
+        (1 to 4).foreach { i =>
+          val next = adj.join(frontier, adj("src") === frontier("v"))
+            .select(col("dst").as("v")).distinct()
+            .join(dist.select(col("v").as("seen")),
+                  col("v") === col("seen"), "left_anti")
+            .select(col("v"), lit(i).as("dist"))
+            .localCheckpoint(true)
+          dist = dist.unionAll(next).localCheckpoint(true)
+          frontier = next
+        }
+        val out = dist.select(col("v").as("doc_id"), col("dist")).orderBy("doc_id")
+        adj.unpersist()
+        out
+      },
+      Some {
+        val b = new StringBuilder(Round8.graphOracleCtes +
+          """,
+            |d0 AS (SELECT doc_id AS v, 0 AS dist FROM documents
+            |       WHERE doc_id % 97 = 0)""".stripMargin)
+        (1 to 4).foreach { i =>
+          b.append(s""",
+            |f$i AS (SELECT DISTINCT adj.dst AS v
+            |       FROM d${i - 1} JOIN adj ON d${i - 1}.v = adj.src
+            |       WHERE adj.dst NOT IN (SELECT v FROM d${i - 1})),
+            |d$i AS (SELECT v, dist FROM d${i - 1}
+            |       UNION ALL SELECT v, $i FROM f$i)""".stripMargin)
+        }
+        b.append("""
+          |SELECT v AS doc_id, CAST(dist AS INTEGER) AS dist
+          |FROM d4 ORDER BY v""".stripMargin)
+        b.toString
+      }),
+
     // Multimodal resize STUB — completes the decode/resize/frame-sample
     // plumbing trio (multimodal_binary_meta, multimodal_frame_sample).
     // A real resize reads the payload at strided offsets per output
