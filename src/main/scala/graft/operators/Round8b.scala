@@ -424,6 +424,69 @@ object Round8b {
         base + stages + union
       }),
 
+    // Spearman rank correlation (quantity vs discount) — the nonparametric
+    // sibling of agg_corr_covar's Pearson. Midranks handle ties exactly:
+    // 2·midrank(v) = 2·cum(v) − c(v) + 1 is an INTEGER computed on each
+    // column's bounded distinct-value grid (50 quantities, 11 discounts —
+    // broadcast back to rows; never a global rank window over the corpus),
+    // and the six sufficient sums (n, Σx, Σy, Σx², Σy², Σxy over doubled
+    // ranks) stay exact BIGINTs. ρ is one fixed double tree over those
+    // scalars (n·Σxy overflows int64, so the FORMULA runs in double — the
+    // SUMS never do; at SF ≳ 1 the squared sums would widen to
+    // DECIMAL(38), same plan shape), with the 6-dp round absorbing
+    // terminal ulp noise.
+    "agg_spearman_corr" -> Decl(
+      (s, d) => {
+        def rankGrid(src: org.apache.spark.sql.DataFrame, vcol: String) = {
+          val w = Window.orderBy(vcol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          src.groupBy(vcol).agg(count(lit(1)).as("c"))
+            .select(col(vcol),
+                    (lit(2L) * sum(col("c")).over(w) - col("c") + 1L).as(s"r_$vcol"))
+        }
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_quantity").cast("bigint").as("q"),
+                  round(col("l_discount") * 100).cast("bigint").as("disc"))
+        val ranked = li
+          .join(broadcast(rankGrid(li, "q")), "q")
+          .join(broadcast(rankGrid(li, "disc")), "disc")
+        ranked
+          .agg(count(lit(1)).as("n"),
+               sum(col("r_q")).as("sx"), sum(col("r_disc")).as("sy"),
+               sum(col("r_q") * col("r_q")).as("sxx"),
+               sum(col("r_disc") * col("r_disc")).as("syy"),
+               sum(col("r_q") * col("r_disc")).as("sxy"))
+          .selectExpr("n",
+            """round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+              |(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+              | sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+              |AS rho""".stripMargin)
+      },
+      Some("""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+             |              CAST(round(l_discount * 100) AS BIGINT) AS disc
+             |            FROM lineitem),
+             |gq AS (SELECT q, 2 * sum(c) OVER (ORDER BY q
+             |                ROWS UNBOUNDED PRECEDING) - c + 1 AS r_q
+             |       FROM (SELECT q, count(*) AS c FROM li GROUP BY q)),
+             |gd AS (SELECT disc, 2 * sum(c) OVER (ORDER BY disc
+             |                ROWS UNBOUNDED PRECEDING) - c + 1 AS r_disc
+             |       FROM (SELECT disc, count(*) AS c FROM li GROUP BY disc)),
+             |r AS (SELECT r_q, r_disc FROM li JOIN gq USING (q)
+             |      JOIN gd USING (disc)),
+             |st AS (SELECT count(*) AS n,
+             |         CAST(sum(r_q) AS BIGINT) AS sx,
+             |         CAST(sum(r_disc) AS BIGINT) AS sy,
+             |         CAST(sum(r_q * r_q) AS BIGINT) AS sxx,
+             |         CAST(sum(r_disc * r_disc) AS BIGINT) AS syy,
+             |         CAST(sum(r_q * r_disc) AS BIGINT) AS sxy
+             |       FROM r)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             |        (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+             |         sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             |    AS rho
+             |FROM st""".stripMargin)),
+
     // Layered BFS from a seed set over the shared deterministic graph —
     // the reachability/impact query (``which docs sit within 4 hops of
     // the flagged set?``). Frontier-at-a-time: each hop is ONE src-keyed
