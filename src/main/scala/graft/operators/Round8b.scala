@@ -424,6 +424,39 @@ object Round8b {
         base + stages + union
       }),
 
+    // Incremental aggregate maintenance — the materialized-view pattern:
+    // a standing per-(type, day) aggregate parquet is MERGED with the
+    // delta days' aggregate by re-aggregating the union of partial
+    // states (sum-of-sums, sum-of-counts). Exact because the sufficient
+    // statistics are integers (count, cents) — the same losslessness
+    // that lets a 100 TB pipeline maintain aggregates per-partition
+    // instead of recomputing history. The oracle is the full aggregate:
+    // merge(partials) == aggregate(all) is the tested contract.
+    "sink_incremental_agg" -> Decl(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01")).as("day"),
+          round(col("value") * 100).cast("bigint").as("c"))
+        val cut = ev.agg(min(col("day"))).head.getInt(0) + 15
+        val dir = Tables.scratchDir("graft_incragg")
+        ev.filter(col("day") < cut).groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
+          .write.parquet(dir.resolve("state").toString)
+        val state = s.read.parquet(dir.resolve("state").toString)
+        val delta = ev.filter(col("day") >= cut).groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
+        state.unionAll(delta)
+          .groupBy("event_type", "day")
+          .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type,
+             |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day,
+             |  count(*) AS n,
+             |  sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin)),
+
     // Spearman rank correlation (quantity vs discount) — the nonparametric
     // sibling of agg_corr_covar's Pearson. Midranks handle ties exactly:
     // 2·midrank(v) = 2·cum(v) − c(v) + 1 is an INTEGER computed on each
