@@ -424,6 +424,66 @@ object Round8b {
         base + stages + union
       }),
 
+    // Grouped OLS regression (value-cents against the day index, per
+    // event type) — slope/intercept/r² from the five exact BIGINT
+    // sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²); each OUTPUT row's
+    // formula reads only its own group's scalars, so it is a per-row
+    // fixed double tree (no cross-row float aggregation anywhere — the
+    // R11 discipline without even needing the pivot). Products like
+    // Σx·Σy exceed int64, so the FORMULA runs in double; the SUMS never
+    // do. Lossless partial aggregation at any scale.
+    "agg_linreg" -> Decl(
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_type"),
+                  datediff(col("ts").cast("date"), lit("1970-01-01"))
+                    .cast("bigint").as("x"),
+                  round(col("value") * 100).cast("bigint").as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+               sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+               sum(col("x") * col("x")).as("sxx"),
+               sum(col("y") * col("y")).as("syy"))
+          .selectExpr("event_type", "n",
+            """round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+              |      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+              |AS slope""".stripMargin,
+            """round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) *
+              |       ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+              |        (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))) /
+              |      CAST(n AS DOUBLE), 6) AS intercept""".stripMargin,
+            """round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+              |       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) /
+              |      ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+              |       (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+              |AS r2""".stripMargin)
+          .orderBy("event_type")
+      },
+      Some("""WITH st AS (SELECT event_type, count(*) AS n,
+             |  sum(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS sx,
+             |  sum(CAST(round(value * 100) AS BIGINT)) AS sy,
+             |  sum(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) *
+             |      CAST(round(value * 100) AS BIGINT)) AS sxy,
+             |  sum(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) *
+             |      CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS sxx,
+             |  sum(CAST(round(value * 100) AS BIGINT) *
+             |      CAST(round(value * 100) AS BIGINT)) AS syy
+             |FROM events GROUP BY event_type)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             |        (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             |    AS slope,
+             |  round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) *
+             |         ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             |          (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))) /
+             |        CAST(n AS DOUBLE), 6) AS intercept,
+             |  round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+             |         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) /
+             |        ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+             |         (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             |    AS r2
+             |FROM st ORDER BY event_type""".stripMargin)),
+
     // Incremental aggregate maintenance — the materialized-view pattern:
     // a standing per-(type, day) aggregate parquet is MERGED with the
     // delta days' aggregate by re-aggregating the union of partial
