@@ -424,6 +424,39 @@ object Round8b {
         base + stages + union
       }),
 
+    // Dynamic partition pruning — the other half of the layout story
+    // (join_bucketed_colocated kills the shuffle; DPP kills the SCAN):
+    // the fact table is written day-partitioned, the dim side carries a
+    // selective filter, and Catalyst injects a dynamicpruning subquery so
+    // the fact scan reads ONLY the day partitions the dim survives — at
+    // 100 TB that is reading 1/7th of the table instead of filtering
+    // 7/7ths post-scan. ScaleSpec pins the dynamicpruningexpression in
+    // the fact scan's partition filters.
+    "join_partition_pruned" -> Decl(
+      (s, d) => {
+        val dir = Tables.scratchDir("graft_dpp")
+        val ev = Tables.events(s, d)
+          .select(col("event_id"),
+                  round(col("value") * 100).cast("bigint").as("c"),
+                  datediff(col("ts").cast("date"), lit("1970-01-01")).as("day"))
+        ev.write.partitionBy("day").parquet(dir.resolve("fact").toString)
+        val fact = s.read.parquet(dir.resolve("fact").toString)
+        val dim = ev.select(col("day")).distinct()
+          .filter(pmod(col("day"), lit(7)) === 0)
+        fact.join(dim, "day")
+          .groupBy("day")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
+          .select(col("day").cast("int").as("day"), col("n"), col("cents"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT
+             |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events)
+             |SELECT day, count(*) AS n, sum(c) AS cents
+             |FROM ev WHERE day % 7 = 0
+             |GROUP BY day ORDER BY day""".stripMargin)),
+
     // Grouped OLS regression (value-cents against the day index, per
     // event type) — slope/intercept/r² from the five exact BIGINT
     // sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²); each OUTPUT row's

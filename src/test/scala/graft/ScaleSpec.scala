@@ -595,6 +595,16 @@ class ScaleSpec extends AnyFunSuite {
       s"bucketed co-located join still shuffles a side:\n${smj.head}")
   }
 
+  // Round-8b: the day-partitioned fact scan must carry a dynamicpruning
+  // partition filter — without it the join reads every partition and
+  // filters post-scan, which at 100 TB is reading 7× the data.
+  test("partition-pruned join injects a dynamic pruning filter") {
+    val plan = SparkEntry.queries("join_partition_pruned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in fact scan:\n$plan")
+  }
+
   test("salting spreads a skewed join key across subkeys") {
     val sp = spark; import sp.implicits._
     // 10k rows all sharing one key — the pathological skew case. Salt the
