@@ -14,6 +14,8 @@ object Bench {
       // skips CollationAwareUTF8String's ~20 s one-time static init
       // (see Tables.apply).
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // Match Verify/specs: NTZ-parquet timestamps re-tag losslessly to UTC.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -71,18 +71,30 @@ object Tables {
     java.nio.file.Files.createDirectory(
       scratchRoot.resolve(f"$prefix-${scratchSeq.incrementAndGet()}%06d"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark 4.1.2 rejects it unless
-    * `nanosAsLong` is set, after which it surfaces as LONG nanoseconds.
-    * Integer `div` (not float `/`) matches DuckDB's ns→µs truncation exactly
-    * (SURVEY §7.3 R6).
+  /** `events.ts` has shipped in two fixture generations: parquet
+    * TIMESTAMP(NANOS) (Spark 4.1.2 rejects it unless `nanosAsLong` is set,
+    * after which it surfaces as LONG nanoseconds — integer `div`, not float
+    * `/`, matches DuckDB's ns→µs truncation, SURVEY §7.3 R6) and plain
+    * TIMESTAMP(MICROS) without a timezone (surfaces as TIMESTAMP_NTZ).
+    * Dispatch on the ACTUAL schema so a driver-side regeneration can't break
+    * every events query at once (round 8's bench lost 51 queries to exactly
+    * that). Both branches normalize to session-zoned TIMESTAMP so every
+    * downstream `unix_micros`/window/watermark expression sees one type.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     apply(spark, sfDir, "events")
 
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(sfDir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(path(sfDir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // TIMESTAMP_NTZ → TIMESTAMP: with session tz UTC this is a pure
+        // re-tag (same micros value), and DuckDB's naive read agrees.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Typed loaders (graft.schema case classes) — the statically-checked

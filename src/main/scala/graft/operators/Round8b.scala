@@ -55,8 +55,11 @@ object Round8b {
                sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
           .orderBy("c_mktsegment")
       },
+      // CAST the sum back to BIGINT: DuckDB's sum(BIGINT) yields HUGEINT,
+      // which the driver's pandas bridge renders as float ("…e+10") and
+      // hash-mismatches Spark's exact integer (round-8 advice).
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
-             |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
@@ -297,7 +300,7 @@ object Round8b {
              |       (min({'u': us, 'e': event_id, 'c': c})).c AS open,
              |       max(c) AS high, min(c) AS low,
              |       (max({'u': us, 'e': event_id, 'c': c})).c AS close,
-             |       count(*) AS n, sum(c) AS cents
+             |       count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
              |FROM e GROUP BY 1 ORDER BY hr""".stripMargin)),
 
     // Grouped weighted median (lower): per return flag, the smallest
@@ -341,7 +344,7 @@ object Round8b {
              |         sum(wsum) OVER (PARTITION BY l_returnflag) AS tot
              |       FROM grid)
              |SELECT l_returnflag, min(cents) AS wmedian_cents,
-             |       max(tot) AS qty_total
+             |       CAST(max(tot) AS BIGINT) AS qty_total
              |FROM cw WHERE 2 * cum >= tot
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -453,7 +456,7 @@ object Round8b {
              |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day,
              |    CAST(round(value * 100) AS BIGINT) AS c
              |  FROM events)
-             |SELECT day, count(*) AS n, sum(c) AS cents
+             |SELECT day, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
              |FROM ev WHERE day % 7 = 0
              |GROUP BY day ORDER BY day""".stripMargin)),
 
@@ -547,7 +550,7 @@ object Round8b {
       Some("""SELECT event_type,
              |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day,
              |  count(*) AS n,
-             |  sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
              |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin)),
 
     // Spearman rank correlation (quantity vs discount) — the nonparametric

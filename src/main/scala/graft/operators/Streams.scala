@@ -160,8 +160,12 @@ object Streams {
           java.nio.file.Paths.get(s"$d/events.parquet"),
           srcDir.resolve("events.parquet"))
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // readStream requires an explicit schema; take it from the file
+        // itself so a fixture regeneration (ts: INT64-nanos → TIMESTAMP
+        // micros, round 8) can't wedge the source. The aggregate below
+        // never touches ts, so either physical type flows through.
         val stream = s.readStream
-          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+          .schema(s.read.parquet(srcDir.toString).schema)
           .parquet(srcDir.toString)
         val writeBatch: (DataFrame, Long) => Unit =
           (batch, _) => batch.write.mode("append").parquet(outDir.toString)
