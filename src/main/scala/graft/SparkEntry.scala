@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Round7.decls ++
     operators.Round8.decls ++
     operators.Round8b.decls ++
+    operators.Round9.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
