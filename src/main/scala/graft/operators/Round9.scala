@@ -230,5 +230,117 @@ object Round9 {
              |      (a, x) -> (a * 31 + x) % 1000000007) % 64 AS bucket
              |  FROM tok)
              |SELECT bucket, count(DISTINCT doc_id) AS df, count(*) AS tf
-             |FROM hashed GROUP BY bucket ORDER BY bucket""".stripMargin)))
+             |FROM hashed GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Matryoshka-truncation retrieval check — modern embedding stacks
+    // serve a 16-dim prefix of a 64-dim vector for cheap first-stage
+    // retrieval; this measures per-query whether the truncated index
+    // returns the same top-1 neighbor as the full vector. Exactness:
+    // dot products and squared norms are BIGINT sums on the 1/1000
+    // integer grid; cosine is ONE fixed double expression over those
+    // exact integers (identical IEEE ops both engines); argmax breaks
+    // ties by vec_id through the shared struct-min. Scale shape: the
+    // query set is bounded (every 50th vector) and BROADCAST, so
+    // scoring is a scan of the exploded corpus with one (q,v)-keyed
+    // shuffle — never a corpus×corpus join.
+    "sim_matryoshka_recall" -> Decl(
+      (s, d) => {
+        val q = quantized(s, d).localCheckpoint(true)
+        val norms = q.groupBy("vec_id").agg(sum(col("x") * col("x")).as("n2"))
+        val normsT = q.filter(col("i") < 16)
+          .groupBy("vec_id").agg(sum(col("x") * col("x")).as("n2"))
+        val queries = q.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("i"), col("x").as("qx"))
+        def top1(dims: DataFrame => DataFrame, nrm: DataFrame, out: String) =
+          dims(q).join(broadcast(dims(queries)), "i")
+            .filter(col("vec_id") =!= col("q_id"))
+            .groupBy("q_id", "vec_id")
+            .agg(sum(col("qx") * col("x")).as("dot"))
+            .join(nrm.select(col("vec_id"), col("n2").as("nv")), "vec_id")
+            .join(broadcast(nrm.select(col("vec_id").as("q_id"), col("n2").as("nq"))), "q_id")
+            .groupBy("q_id")
+            .agg(min(struct(
+              (-(col("dot").cast("double") /
+                 (sqrt(col("nv").cast("double")) * sqrt(col("nq").cast("double"))))).as("nd"),
+              col("vec_id").as("v"))).as("m"))
+            .select(col("q_id"), col("m.v").as(out))
+        top1(identity, norms, "full_id")
+          .join(top1(_.filter(col("i") < 16), normsT, "trunc_id"), "q_id")
+          .select(col("q_id"), col("full_id"), col("trunc_id"),
+                  (col("full_id") === col("trunc_id")).cast("int").as("agree"))
+          .orderBy("q_id")
+      },
+      Some("""WITH q AS (SELECT vec_id, u.i,
+             |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000) AS BIGINT) AS x
+             |  FROM embeddings,
+             |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+             |qry AS (SELECT vec_id AS q_id, i, x AS qx FROM q WHERE vec_id % 50 = 0),
+             |nf AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2 FROM q GROUP BY 1),
+             |nt AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2 FROM q
+             |       WHERE i <= 16 GROUP BY 1),
+             |df AS (SELECT qry.q_id, q.vec_id, CAST(sum(qry.qx * q.x) AS BIGINT) AS dot
+             |       FROM q JOIN qry USING (i) WHERE q.vec_id <> qry.q_id GROUP BY 1, 2),
+             |tf AS (SELECT q_id,
+             |    (min({'nd': -(CAST(dot AS DOUBLE) /
+             |                  (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE)))),
+             |          'v': df.vec_id})).v AS full_id
+             |  FROM df JOIN nf nv ON df.vec_id = nv.vec_id
+             |          JOIN nf nq ON df.q_id = nq.vec_id GROUP BY q_id),
+             |dt AS (SELECT qry.q_id, q.vec_id, CAST(sum(qry.qx * q.x) AS BIGINT) AS dot
+             |       FROM q JOIN qry USING (i)
+             |       WHERE q.vec_id <> qry.q_id AND i <= 16 GROUP BY 1, 2),
+             |tt AS (SELECT q_id,
+             |    (min({'nd': -(CAST(dot AS DOUBLE) /
+             |                  (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE)))),
+             |          'v': dt.vec_id})).v AS trunc_id
+             |  FROM dt JOIN nt nv ON dt.vec_id = nv.vec_id
+             |          JOIN nt nq ON dt.q_id = nq.vec_id GROUP BY q_id)
+             |SELECT q_id, full_id, trunc_id,
+             |  CAST(full_id = trunc_id AS INT) AS agree
+             |FROM tf JOIN tt USING (q_id) ORDER BY q_id""".stripMargin)),
+
+    // Point-in-time join against SCD2 intervals — the feature-store
+    // correctness primitive: each purchase event reads the dimension
+    // VERSION that was valid at its timestamp (no leakage from future
+    // versions). The dim side is the scd2_intervals construction
+    // (status-change stream → [valid_from, valid_to) versions via lead);
+    // the join is equi on user_id plus interval containment, so Spark
+    // plans a hash/merge join with a residual range filter — per-user
+    // state, never a cartesian. Half-open intervals make boundary hits
+    // unambiguous in both engines.
+    "join_pit_scd2" -> Decl(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+        val dim = Tables.events(s, d)
+          .filter(col("event_type").isin("signup", "error"))
+          .select(col("user_id"), col("event_id"), col("event_type").as("status"),
+                  col("ts").as("valid_from"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .withColumn("version", row_number().over(w))
+          .select(col("user_id").as("d_uid"), col("status"),
+                  col("valid_from"), col("valid_to"), col("version"))
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .join(dim, col("user_id") === col("d_uid") &&
+                     col("ts") >= col("valid_from") &&
+                     (col("valid_to").isNull || col("ts") < col("valid_to")))
+          .select(col("user_id"), col("event_id"), col("status"), col("version"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH dim AS (
+             |  SELECT user_id, event_type AS status,
+             |    CAST(ts AS TIMESTAMP) AS valid_from,
+             |    lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to,
+             |    CAST(row_number() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS INT) AS version
+             |  FROM events WHERE event_type IN ('signup', 'error'))
+             |SELECT f.user_id, f.event_id, dim.status, dim.version
+             |FROM events f JOIN dim ON f.user_id = dim.user_id
+             |  AND CAST(f.ts AS TIMESTAMP) >= dim.valid_from
+             |  AND (dim.valid_to IS NULL OR CAST(f.ts AS TIMESTAMP) < dim.valid_to)
+             |WHERE f.event_type = 'purchase'
+             |ORDER BY f.user_id, f.event_id""".stripMargin)))
 }

@@ -47,6 +47,30 @@ class Round9Spec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("n") > 10))
   }
 
+  // NOTE on magnitude: the fixture embeddings are synthetic random vectors,
+  // not trained Matryoshka embeddings — a 16-dim prefix of noise does NOT
+  // preserve top-1 (measured 0/10 agreement at sf0.001), so only the
+  // structural invariants are asserted; the agreement RATE is the
+  // operator's measurement output, not a testable property of this data.
+  test("sim_matryoshka_recall emits one self-excluded pair per query") {
+    val out = SparkEntry.queries("sim_matryoshka_recall")(spark, sf).collect()
+    val nQueries = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(out.length == nQueries, "one output row per query vector")
+    assert(out.forall(r => r.getAs[Long]("full_id") != r.getAs[Long]("q_id") &&
+                           r.getAs[Long]("trunc_id") != r.getAs[Long]("q_id")),
+      "a vector must never be its own nearest neighbor")
+    assert(out.forall(r => (r.getAs[Int]("agree") == 1) ==
+                           (r.getAs[Long]("full_id") == r.getAs[Long]("trunc_id"))))
+  }
+
+  test("join_pit_scd2 picks exactly the version covering each purchase") {
+    val out = SparkEntry.queries("join_pit_scd2")(spark, sf)
+    // no purchase may match two versions (half-open intervals partition time)
+    val dup = out.groupBy("event_id").count().filter(col("count") > 1).count()
+    assert(dup == 0, "a purchase matched more than one dimension version")
+  }
+
   test("text_hash_features conserves token mass and stays in range") {
     val out = SparkEntry.queries("text_hash_features")(spark, sf).collect()
     val tokens = Tables(spark, sf, "documents")
