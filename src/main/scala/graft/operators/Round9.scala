@@ -28,6 +28,45 @@ object Round9 {
       .select(col("vec_id"), col("i"),
               round(col("e").cast("double") * 1000).cast("bigint").as("x"))
 
+  /** Initial centroid state: the K lexicographically-first vectors, each a
+    * singleton cluster keyed by its own vec_id.
+    */
+  private def seedState(s: SparkSession, d: String, q: DataFrame): DataFrame = {
+    val seeds = Tables(s, d, "embeddings")
+      .select(col("vec_id")).orderBy("vec_id").limit(K)
+    q.join(broadcast(seeds), "vec_id")
+      .select(col("vec_id").as("cluster"), col("i"),
+              col("x").as("cs"), lit(1L).as("cn"))
+  }
+
+  /** One Lloyd iteration: assign every vector to its nearest centroid (the
+    * k×dim state is BROADCAST, so the corpus never shuffles for the
+    * distance join), then re-derive the (Σx, n) state. Package-visible so
+    * ScaleSpec can gate the plan shape of the stage the operator's
+    * checkpoints would otherwise hide.
+    */
+  private[graft] def lloydStep(q: DataFrame, state: DataFrame): DataFrame = {
+    val assign = q.join(broadcast(state), "i")
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(sum((col("cn") * col("x") - col("cs")) *
+               (col("cn") * col("x") - col("cs"))).as("num"),
+           max(col("cn")).as("cn"))
+      .groupBy("vec_id")
+      .agg(min(struct((col("num").cast("double") /
+                       (col("cn") * col("cn")).cast("double")).as("d"),
+                      col("cluster").as("c"))).as("m"))
+      .select(col("vec_id"), col("m.c").as("cluster"))
+    assign.join(q, "vec_id")
+      .groupBy("cluster", "i")
+      .agg(sum(col("x")).as("cs"), count(lit(1)).as("cn"))
+  }
+
+  /** Test probe: one un-checkpointed Lloyd stage over the real tables. */
+  private[graft] def kmeansStageForPlan(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    lloydStep(q, seedState(s, d, q))
+  }
+
   val decls: Map[String, Decl] = Map(
     // k-means (Lloyd) over the embedding table — the clustering primitive
     // under semantic dedup sharding, IVF coarse quantizers, and corpus
@@ -46,26 +85,9 @@ object Round9 {
     "vec_kmeans_lloyd" -> Decl(
       (s, d) => {
         val q = quantized(s, d).localCheckpoint(true)
-        val seeds = Tables(s, d, "embeddings")
-          .select(col("vec_id")).orderBy("vec_id").limit(K)
-        var state = q.join(broadcast(seeds), "vec_id")
-          .select(col("vec_id").as("cluster"), col("i"),
-                  col("x").as("cs"), lit(1L).as("cn"))
+        var state = seedState(s, d, q)
         for (_ <- 1 to Iters) {
-          val assign = q.join(broadcast(state), "i")
-            .groupBy(col("vec_id"), col("cluster"))
-            .agg(sum((col("cn") * col("x") - col("cs")) *
-                     (col("cn") * col("x") - col("cs"))).as("num"),
-                 max(col("cn")).as("cn"))
-            .groupBy("vec_id")
-            .agg(min(struct((col("num").cast("double") /
-                             (col("cn") * col("cn")).cast("double")).as("d"),
-                            col("cluster").as("c"))).as("m"))
-            .select(col("vec_id"), col("m.c").as("cluster"))
-          state = assign.join(q, "vec_id")
-            .groupBy("cluster", "i")
-            .agg(sum(col("x")).as("cs"), count(lit(1)).as("cn"))
-            .localCheckpoint(true)
+          state = lloydStep(q, state).localCheckpoint(true)
         }
         state.groupBy("cluster")
           .agg(max(col("cn")).as("n"), sum(col("cs")).as("ssum"))

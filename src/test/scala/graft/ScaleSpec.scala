@@ -605,6 +605,52 @@ class ScaleSpec extends AnyFunSuite {
       s"no dynamic partition pruning in fact scan:\n$plan")
   }
 
+  // Round-9: the k-means iteration must join the exploded corpus against
+  // BROADCAST centroid state (k×64 rows) — a shuffled join on the 64-value
+  // dim-index key would hash the whole corpus into 64 hot partitions.
+  // The operator's checkpoints hide iteration internals from its final
+  // plan, so gate the dedicated un-checkpointed single-stage probe: the
+  // distance join against k×64-row centroid state must BROADCAST (a
+  // shuffled join on the 64-value dim-index key would hash the whole
+  // corpus into 64 hot partitions).
+  test("k-means joins corpus against broadcast centroid state") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = operators.Round9.kmeansStageForPlan(spark, sf)
+      .queryExecution.sparkPlan
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"expected broadcast joins for seed-state and distance stages:\n$plan")
+    assert(!plan.toString.contains("SortMergeJoin"),
+      s"k-means stage shuffles a join that should broadcast:\n$plan")
+  }
+
+  // Round-9: the Bloom prefilter must be applied to the fact scan BEFORE
+  // the join (that pre-shuffle row reduction is the operator's entire
+  // reason to exist), and the dim side must broadcast.
+  test("bloom prefilter runs in the fact scan stage, before the join") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = SparkEntry.queries("join_bloom_prefilter")(spark, sf)
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"dim side did not broadcast:\n$plan")
+    // the UDF filter must sit under the join's streamed (fact) side
+    val udfFiltersUnderJoin = bhj.head.collect {
+      case f: FilterExec if f.condition.toString.contains("UDF") => f
+    }
+    assert(udfFiltersUnderJoin.nonEmpty,
+      s"bloom mightContain filter is not below the join:\n$plan")
+  }
+
+  // Round-9: the point-in-time join must plan with the user_id equi key
+  // (hash/merge), with the interval containment as a residual condition —
+  // never a nested-loop over fact×dim.
+  test("point-in-time SCD2 join keeps its equi key") {
+    val plan = SparkEntry.queries("join_pit_scd2")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"PIT join lost its equi key:\n$plan")
+  }
+
   test("salting spreads a skewed join key across subkeys") {
     val sp = spark; import sp.implicits._
     // 10k rows all sharing one key — the pathological skew case. Salt the
