@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Round8.decls ++
     operators.Round8b.decls ++
     operators.Round9.decls ++
+    operators.Round9b.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

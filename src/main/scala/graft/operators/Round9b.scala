@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{Decl, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 second wave: skyline (Pareto frontier) via the sort-based 2D
+  * algorithm, CDC-log fold to a snapshot, Gini concentration of the corpus
+  * source mix, and an exact rolling median window.
+  */
+object Round9b {
+
+  val decls: Map[String, Decl] = Map(
+    // 2-D skyline (Pareto frontier) over parts — cheapest-and-biggest:
+    // a part survives iff no other part is both ≤ price and ≥ size with
+    // one strict. (Skyline-in-Spark-SQL is a published operator
+    // integration — EDBT 2023; the reference surface has no native twin,
+    // so this is the §0-allowed extension path.) Spark runs the
+    // SCALABLE shape: collapse to the bounded distinct-price grid, take
+    // max size per price, one cumulative-max window over the ASC price
+    // grid (rows to 1 preceding), broadcast the tiny grid back, and keep
+    // rows that beat every strictly-cheaper price's max and every
+    // equal-price strict max — linear after one shuffle, no self-join.
+    // The oracle is the obviously-correct quadratic NOT EXISTS spec, so
+    // the hash-match PROVES the window algorithm implements dominance.
+    "topk_skyline_pareto" -> Decl(
+      (s, d) => {
+        val parts = Tables(s, d, "part")
+          .select(col("p_partkey"),
+                  round(col("p_retailprice") * 100).cast("bigint").as("price_c"),
+                  col("p_size").cast("bigint").as("size"))
+        // Distinct-price grid, then a TWO-LEVEL prefix max so no single
+        // task ever scans the whole grid: an in-band cumulative max
+        // (band-partitioned window), plus a band-level prefix computed on
+        // the BOUNDED band table (price-range/10 rows regardless of data
+        // size) and broadcast back. greatest(both, nulls-first) is the
+        // "max size among all strictly cheaper prices".
+        val grid = parts.groupBy("price_c").agg(max(col("size")).as("pmax"))
+          .withColumn("band", expr("price_c div 1000"))
+        val wIn = Window.partitionBy("band").orderBy("price_c")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wBand = Window.orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bandPrefix = grid.groupBy("band").agg(max(col("pmax")).as("bmax"))
+          .select(col("band"), max(col("bmax")).over(wBand).as("prev_band_max"))
+        val frontier = grid
+          .withColumn("in_band_prev", max(col("pmax")).over(wIn))
+          .join(broadcast(bandPrefix), "band")
+          .select(col("price_c"), col("pmax"),
+                  greatest(coalesce(col("in_band_prev"), lit(Long.MinValue)),
+                           coalesce(col("prev_band_max"), lit(Long.MinValue)))
+                    .as("cheaper_max"))
+        parts.join(broadcast(frontier), "price_c")
+          .filter(col("size") > col("cheaper_max") && col("size") === col("pmax"))
+          .select(col("p_partkey"), col("price_c"), col("size"))
+          .orderBy("price_c", "p_partkey")
+      },
+      Some("""WITH p AS (SELECT p_partkey,
+             |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             |    CAST(p_size AS BIGINT) AS size
+             |  FROM part)
+             |SELECT p_partkey, price_c, size
+             |FROM p r
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM p s
+             |  WHERE s.price_c <= r.price_c AND s.size >= r.size
+             |    AND (s.price_c < r.price_c OR s.size > r.size))
+             |ORDER BY price_c, p_partkey""".stripMargin)),
+
+    // CDC-log fold — the lakehouse apply step: a change stream (here the
+    // per-user event log; 'error' = delete, anything else = upsert
+    // carrying the value) folds into the current snapshot via per-key
+    // last-writer-wins. One argmax per user (the struct-max trick on the
+    // (ts, event_id) total order — no whole-partition window), then drop
+    // keys whose final op is a delete. At 100 TB this is the standard
+    // merge-on-read compaction kernel: per-key state, one shuffle.
+    "cdc_apply_log" -> Decl(
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("user_id"),
+                  expr("unix_micros(ts)").as("us"), col("event_id"),
+                  when(col("event_type") === "error", lit("D"))
+                    .otherwise(lit("U")).as("op"),
+                  round(col("value") * 100).cast("bigint").as("c"))
+          .groupBy("user_id")
+          .agg(max(struct(col("us"), col("event_id"), col("op"), col("c"))).as("last"),
+               count(lit(1)).as("n_changes"))
+          .filter(col("last.op") === "U")
+          .select(col("user_id"), col("last.c").as("current_cents"),
+                  col("n_changes"))
+          .orderBy("user_id")
+      },
+      Some("""WITH log AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+             |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events),
+             |folded AS (SELECT user_id,
+             |    max({'us': us, 'event_id': event_id, 'op': op, 'c': c}) AS last,
+             |    count(*) AS n_changes
+             |  FROM log GROUP BY user_id)
+             |SELECT user_id, (last).c AS current_cents, n_changes
+             |FROM folded WHERE (last).op = 'U'
+             |ORDER BY user_id""".stripMargin)),
+
+    // Gini concentration of the corpus source mix — the inequality
+    // summary a data-mixing dashboard reports next to the entropy /
+    // chi-square keys: 0 = sources evenly represented, →1 = one source
+    // dominates. Computed on the BOUNDED per-source count table (k rows)
+    // with exact integer sums — rank the sorted counts, apply
+    // G = (2·Σi·xᵢ − (k+1)·Σx) / (k·Σx) as one double tree, 6-dp round.
+    "agg_gini_concentration" -> Decl(
+      (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .groupBy("source").agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("cnt"), col("source"))
+        counts.select(col("cnt"), row_number().over(w).cast("bigint").as("rk"))
+          .agg(count(lit(1)).as("k"), sum(col("cnt")).as("tot"),
+               sum(col("rk") * col("cnt")).as("wsum"))
+          .selectExpr("k", "tot",
+            """round((2.0 * CAST(wsum AS DOUBLE) -
+              |       (CAST(k AS DOUBLE) + 1.0) * CAST(tot AS DOUBLE)) /
+              |      (CAST(k AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini"""
+              .stripMargin)
+      },
+      Some("""WITH counts AS (SELECT source, count(*) AS cnt
+             |                FROM documents GROUP BY source),
+             |ranked AS (SELECT cnt,
+             |    CAST(row_number() OVER (ORDER BY cnt, source) AS BIGINT) AS rk
+             |  FROM counts),
+             |st AS (SELECT count(*) AS k, CAST(sum(cnt) AS BIGINT) AS tot,
+             |              CAST(sum(rk * cnt) AS BIGINT) AS wsum
+             |       FROM ranked)
+             |SELECT k, tot,
+             |  round((2.0 * CAST(wsum AS DOUBLE) -
+             |         (CAST(k AS DOUBLE) + 1.0) * CAST(tot AS DOUBLE)) /
+             |        (CAST(k AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+             |FROM st""".stripMargin)),
+
+    // Exact rolling median (15-row centered frame) of per-user purchase
+    // cents — the robust-trend window the moving_avg key can't fake on
+    // heavy-tailed values. Both engines materialize the frame as a
+    // sorted integer list and pick the lower-median element — no
+    // interpolation ever crosses engines (memory: quantile ulp ties).
+    // The frame is FIXED WIDTH, so state per window is O(15) — the
+    // legitimate scale shape for rolling robust stats (contrast:
+    // whole-partition windows are banned by the ScaleSpec sweep).
+    "window_rolling_median" -> Decl(
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-7, 7)
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"),
+                  round(col("value") * 100).cast("bigint").as("c"))
+          .select(col("user_id"), col("event_id"),
+                  collect_list(col("c")).over(w).as("frame"))
+          .select(col("user_id"), col("event_id"),
+                  expr("sort_array(frame)[CAST((size(frame) - 1) / 2 AS INT)]")
+                    .as("med_cents"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events WHERE event_type = 'purchase'),
+             |framed AS (SELECT user_id, event_id,
+             |    list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                  ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING) AS frame
+             |  FROM p)
+             |SELECT user_id, event_id,
+             |  list_sort(frame)[CAST(floor((len(frame) - 1) / 2) AS INT) + 1]
+             |    AS med_cents
+             |FROM framed ORDER BY user_id, event_id""".stripMargin)))
+}

@@ -71,6 +71,71 @@ class Round9Spec extends AnyFunSuite {
     assert(dup == 0, "a purchase matched more than one dimension version")
   }
 
+  test("topk_skyline_pareto is mutually non-dominating and complete") {
+    val sky = SparkEntry.queries("topk_skyline_pareto")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("price_c"), r.getAs[Long]("size")))
+    assert(sky.nonEmpty)
+    // no skyline member dominates another
+    for (a <- sky; b <- sky if a != b)
+      assert(!(a._1 <= b._1 && a._2 >= b._2 && (a._1 < b._1 || a._2 > b._2)),
+        s"$a dominates $b inside the skyline")
+    // every non-member is dominated by some member
+    val all = Tables(spark, sf, "part")
+      .select(round(col("p_retailprice") * 100).cast("bigint").as("p"),
+              col("p_size").cast("bigint").as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val skySet = sky.toSet
+    for (x <- all if !skySet.contains(x))
+      assert(sky.exists(m => m._1 <= x._1 && m._2 >= x._2 &&
+                             (m._1 < x._1 || m._2 > x._2)),
+        s"$x is not dominated yet missing from the skyline")
+  }
+
+  test("cdc_apply_log drops users whose final change is a delete") {
+    val sp = spark
+    val snapshot = SparkEntry.queries("cdc_apply_log")(sp, sf)
+    val lastOps = Tables.events(sp, sf)
+      .select(col("user_id"),
+              expr("unix_micros(ts)").as("us"), col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(max(struct(col("us"), col("event_id"), col("event_type").as("et"))).as("l"))
+    val deleted = lastOps.filter(col("l.et") === "error").select("user_id")
+    assert(snapshot.join(deleted, "user_id").count() == 0,
+      "a user whose last event is a delete survived the fold")
+    val live = lastOps.filter(col("l.et") =!= "error").count()
+    assert(snapshot.count() == live, "snapshot must hold exactly the live users")
+  }
+
+  test("agg_gini_concentration lands in [0, 1)") {
+    val r = SparkEntry.queries("agg_gini_concentration")(spark, sf).head()
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0, s"gini out of range: $g")
+  }
+
+  test("window_rolling_median equals a brute-force frame median") {
+    val out = SparkEntry.queries("window_rolling_median")(spark, sf)
+      .orderBy("user_id", "event_id").collect()
+    // brute force on one user: frame = 15 rows centered, lower median
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+              expr("unix_micros(ts)").as("us"),
+              round(col("value") * 100).cast("bigint").as("c"))
+      .orderBy("user_id", "us", "event_id").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val expected = rows.toSeq.flatMap { case (uid, rs) =>
+      rs.zipWithIndex.map { case (r, i) =>
+        val frame = rs.slice(math.max(0, i - 7), math.min(rs.length, i + 8))
+          .map(_.getAs[Long]("c")).sorted
+        (uid, r.getAs[Long]("event_id"), frame((frame.length - 1) / 2))
+      }.toSeq
+    }.toSet
+    val got = out.map(r => (r.getAs[Long]("user_id"),
+                            r.getAs[Long]("event_id"),
+                            r.getAs[Long]("med_cents"))).toSet
+    assert(got == expected)
+  }
+
   test("text_hash_features conserves token mass and stays in range") {
     val out = SparkEntry.queries("text_hash_features")(spark, sf).collect()
     val tokens = Tables(spark, sf, "documents")
