@@ -137,6 +137,42 @@ object Round9b {
              |        (CAST(k AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
              |FROM st""".stripMargin)),
 
+    // Dremel-style nested round-trip — orders written as one row per
+    // order carrying a REPEATED GROUP of its line items (array<struct>),
+    // the columnar-shredding shape parquet was built for (PAPERS.md:
+    // Dremel, VLDB 2020). The declared result re-flattens via explode
+    // and aggregates; the oracle computes the same aggregate from the
+    // FLAT join — equality proves the nest→shred→read→unnest cycle
+    // lost nothing. Scale shape: one order-keyed shuffle to nest;
+    // the nested file then serves point lookups and per-order scans
+    // without any join at read time (the Dremel trade).
+    "source_nested_roundtrip" -> Decl(
+      (s, d) => {
+        val dir = Tables.scratchDir("graft_nested")
+        Tables(s, d, "orders")
+          .join(Tables(s, d, "lineitem"),
+                col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+          .agg(array_sort(collect_list(struct(
+                 col("l_linenumber").as("ln"),
+                 col("l_quantity").cast("bigint").as("qty"),
+                 round(col("l_extendedprice") * 100).cast("bigint").as("pc"))))
+               .as("lines"))
+          .write.parquet(dir.resolve("orders_nested").toString)
+        s.read.parquet(dir.resolve("orders_nested").toString)
+          .select(col("o_orderpriority"),
+                  explode(col("lines")).as("l"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+               sum(col("l.qty")).as("qty"), sum(col("l.pc")).as("cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Exact rolling median (15-row centered frame) of per-user purchase
     // cents — the robust-trend window the moving_avg key can't fake on
     // heavy-tailed values. Both engines materialize the frame as a

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -134,6 +136,24 @@ class Round9Spec extends AnyFunSuite {
                             r.getAs[Long]("event_id"),
                             r.getAs[Long]("med_cents"))).toSet
     assert(got == expected)
+  }
+
+  test("source_nested_roundtrip writes a genuine repeated group") {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    SparkEntry.queries("source_nested_roundtrip")(spark, sf).collect()
+    // latest scratch dir for the prefix, by zero-padded name order
+    val root = Tables.scratchRootForTest
+    val dir = java.nio.file.Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("graft_nested-"))
+      .toSeq.sortBy(_.getFileName.toString).last
+    val schema = spark.read.parquet(dir.resolve("orders_nested").toString).schema
+    val lines = schema("lines").dataType
+    assert(lines.isInstanceOf[ArrayType] &&
+           lines.asInstanceOf[ArrayType].elementType.isInstanceOf[StructType],
+      s"expected array<struct> repeated group, got $lines")
+    val fields = lines.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType].fieldNames.toSeq
+    assert(fields == Seq("ln", "qty", "pc"))
   }
 
   test("text_hash_features conserves token mass and stays in range") {
