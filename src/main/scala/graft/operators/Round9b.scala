@@ -74,22 +74,12 @@ object Round9b {
     // (ts, event_id) total order — no whole-partition window), then drop
     // keys whose final op is a delete. At 100 TB this is the standard
     // merge-on-read compaction kernel: per-key state, one shuffle.
+    // Shared with graft.streaming.StreamOps.cdcSnapshot — the SAME fold
+    // runs incrementally over MemoryStream in StreamingSpec (stream ==
+    // batch asserted, delete arriving in a later micro-batch included).
     "cdc_apply_log" -> Decl(
-      (s, d) => {
-        Tables.events(s, d)
-          .select(col("user_id"),
-                  expr("unix_micros(ts)").as("us"), col("event_id"),
-                  when(col("event_type") === "error", lit("D"))
-                    .otherwise(lit("U")).as("op"),
-                  round(col("value") * 100).cast("bigint").as("c"))
-          .groupBy("user_id")
-          .agg(max(struct(col("us"), col("event_id"), col("op"), col("c"))).as("last"),
-               count(lit(1)).as("n_changes"))
-          .filter(col("last.op") === "U")
-          .select(col("user_id"), col("last.c").as("current_cents"),
-                  col("n_changes"))
-          .orderBy("user_id")
-      },
+      (s, d) => graft.streaming.StreamOps
+        .cdcSnapshot(Tables.events(s, d)).orderBy("user_id"),
       Some("""WITH log AS (SELECT user_id,
              |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
              |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,

@@ -40,6 +40,27 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n"), col("sv"))
 
+  /** CDC last-writer-wins fold (the cdc_apply_log semantics): per key,
+    * keep the latest change on the (µs, event_id) total order; a final
+    * 'error' op deletes the key from the snapshot. max/count state merges
+    * associatively, so the streaming incremental fold is exact — a delete
+    * arriving in a later micro-batch removes the key, a newer upsert
+    * resurrects it, identically to the batch fold.
+    */
+  def cdcSnapshot(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+              expr("unix_micros(ts)").as("us"), col("event_id"),
+              when(col("event_type") === "error", lit("D"))
+                .otherwise(lit("U")).as("op"),
+              round(col("value") * 100).cast("bigint").as("c"))
+      .groupBy("user_id")
+      .agg(max(struct(col("us"), col("event_id"), col("op"), col("c"))).as("last"),
+           count(lit(1)).as("n_changes"))
+      .filter(col("last.op") === "U")
+      .select(col("user_id"), col("last.c").as("current_cents"),
+              col("n_changes"))
+
   /** Hourly OHLC bars (the ts_resample_ohlc semantics as a streaming
     * aggregate): open/close are lexicographic struct-min/max over integer
     * microseconds + event_id — min/max aggregates merge associatively, so

@@ -9,6 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Cdc(ts: Timestamp, user_id: Long, event_id: Long,
+               event_type: String, value: Double)
 case class Keyed(event_id: Long, ts: Timestamp)
 case class Tick(ts: Timestamp, event_id: Long, value: Double)
 
@@ -112,6 +114,31 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     val ids = sp.table("ddw").select("event_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("streaming CDC snapshot equals its batch twin across delete/resurrect") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    // user 1: upsert → (later batch) delete  → absent from the snapshot
+    // user 2: upsert → (later batch) newer upsert → latest value wins
+    // user 3: delete → (later batch) upsert  → resurrected
+    val b1 = Seq(Cdc(ts(0), 1, 10, "click", 1.00), Cdc(ts(1), 2, 11, "view", 2.00),
+                 Cdc(ts(2), 3, 12, "error", 0.0))
+    val b2 = Seq(Cdc(ts(5), 1, 13, "error", 0.0), Cdc(ts(6), 2, 14, "click", 7.25),
+                 Cdc(ts(7), 3, 15, "purchase", 3.50))
+    val mem = MemoryStream[Cdc]
+    val q = StreamOps.cdcSnapshot(mem.toDF)
+      .writeStream.outputMode("complete").format("memory").queryName("cdc").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamed = sp.table("cdc").orderBy("user_id").collect().toSeq
+    val batch = StreamOps.cdcSnapshot((b1 ++ b2).toDF)
+      .orderBy("user_id").collect().toSeq
+    assert(streamed == batch)
+    val byUser = streamed.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byUser.contains(1L), "deleted user must leave the snapshot")
+    assert(byUser(2L) == 725L, "latest upsert wins")
+    assert(byUser(3L) == 350L, "late upsert resurrects a deleted key")
   }
 
   test("flatMapGroupsWithState running counter matches batch row_number") {
