@@ -86,6 +86,11 @@ object Tables {
 
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TIMESTAMP re-tag below is value-preserving ONLY under a UTC
+    // session zone; pin it here (the same altitude as nanosAsLong) so a
+    // session built without the config — round 8's Bench — cannot shift
+    // every events timestamp by the host offset.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(path(sfDir, "events"))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -95,11 +95,11 @@ object Round9 {
       },
       Some {
         val b = new StringBuilder(
-          """WITH q AS (SELECT vec_id, u.i,
+          s"""WITH q AS (SELECT vec_id, u.i,
             |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000) AS BIGINT) AS x
             |  FROM embeddings,
             |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
-            |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+            |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $K),
             |s0 AS (SELECT q.vec_id AS cluster, i, x AS cs, CAST(1 AS BIGINT) AS cn
             |       FROM q JOIN seeds USING (vec_id))""".stripMargin)
         (1 to Iters).foreach { it =>
@@ -132,12 +132,16 @@ object Round9 {
     // join — the oracle needs no bloom twin.
     "join_bloom_prefilter" -> Decl(
       (s, d) => {
+        // materialize the 3-table dim ONCE — it feeds three consumers
+        // (the count sizing the filter, the bloom aggregation, and the
+        // broadcast join) which would otherwise each re-run the join
         val dim = Tables(s, d, "supplier")
           .join(Tables(s, d, "nation"),
                 col("s_nationkey") === col("n_nationkey"))
           .join(Tables(s, d, "region").filter(col("r_name") === "ASIA"),
                 col("n_regionkey") === col("r_regionkey"))
           .select(col("s_suppkey"), col("n_name"))
+          .localCheckpoint(true)
         val keys = dim.select("s_suppkey")
         val bf = keys.stat.bloomFilter("s_suppkey",
           math.max(keys.count(), 1000L), 0.01)
@@ -185,9 +189,12 @@ object Round9 {
                sum(col("x") * col("x")).as("sxx"),
                sum(col("y") * col("y")).as("syy"))
           .selectExpr("lag", "n",
+            // nullif pins the zero-variance degenerate case (all paired
+            // hours equal) to NULL identically in both engines instead of
+            // an engine-encoded NaN/Infinity the hash may not agree on
             """round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-              |(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
-              | sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+              |nullif(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+              |       sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0), 6)
               |AS r""".stripMargin)
           .orderBy("lag")
       },
@@ -208,8 +215,8 @@ object Round9 {
              |       FROM pairs GROUP BY lag)
              |SELECT CAST(lag AS BIGINT) AS lag, n,
              |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-             |        (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
-             |         sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             |        nullif(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+             |               sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0), 6)
              |  AS r
              |FROM st ORDER BY lag""".stripMargin)),
 

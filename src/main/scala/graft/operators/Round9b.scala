@@ -35,8 +35,11 @@ object Round9b {
         // the BOUNDED band table (price-range/10 rows regardless of data
         // size) and broadcast back. greatest(both, nulls-first) is the
         // "max size among all strictly cheaper prices".
+        // grid feeds two consumers (band prefix + frontier); materialize
+        // the part scan + distinct-price shuffle once
         val grid = parts.groupBy("price_c").agg(max(col("size")).as("pmax"))
           .withColumn("band", expr("price_c div 1000"))
+          .localCheckpoint(true)
         val wIn = Window.partitionBy("band").orderBy("price_c")
           .rowsBetween(Window.unboundedPreceding, -1)
         val wBand = Window.orderBy("band")

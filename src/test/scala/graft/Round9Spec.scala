@@ -1,7 +1,5 @@
 package graft
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -141,11 +139,7 @@ class Round9Spec extends AnyFunSuite {
   test("source_nested_roundtrip writes a genuine repeated group") {
     import org.apache.spark.sql.types.{ArrayType, StructType}
     SparkEntry.queries("source_nested_roundtrip")(spark, sf).collect()
-    // latest scratch dir for the prefix, by zero-padded name order
-    val root = Tables.scratchRootForTest
-    val dir = java.nio.file.Files.list(root).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("graft_nested-"))
-      .toSeq.sortBy(_.getFileName.toString).last
+    val dir = ScratchDirs.latestScratch("graft_nested-")
     val schema = spark.read.parquet(dir.resolve("orders_nested").toString).schema
     val lines = schema("lines").dataType
     assert(lines.isInstanceOf[ArrayType] &&

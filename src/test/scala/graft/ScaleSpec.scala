@@ -167,20 +167,11 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in MERGE plan:\n$plan")
   }
 
-  /** Directory listing with the stream closed (the JDK leaks a directory
-    * fd otherwise — same guard GraftCatalog uses). */
-  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = java.nio.file.Files.list(p)
-    try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
-    finally s.close()
-  }
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    ScratchDirs.listDir(p)
 
-  /** The scratch directory a just-run query created for `prefix` — the
-    * highest sequence number (scratchDir zero-pads, so name order is
-    * creation order). */
   private def latestScratch(prefix: String): java.nio.file.Path =
-    listDir(Tables.scratchRootForTest)
-      .filter(_.getFileName.toString.startsWith(prefix)).max
+    ScratchDirs.latestScratch(prefix)
 
   test("z-order layout narrows per-file min/max on BOTH clustering columns") {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -614,13 +605,24 @@ class ScaleSpec extends AnyFunSuite {
   // shuffled join on the 64-value dim-index key would hash the whole
   // corpus into 64 hot partitions).
   test("k-means joins corpus against broadcast centroid state") {
-    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
     val plan = operators.Round9.kmeansStageForPlan(spark, sf)
       .queryExecution.sparkPlan
     assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
       s"expected broadcast joins for seed-state and distance stages:\n$plan")
-    assert(!plan.toString.contains("SortMergeJoin"),
-      s"k-means stage shuffles a join that should broadcast:\n$plan")
+    // Only the DIM-INDEX (i) join must never shuffle — 64 distinct keys
+    // would hash the whole corpus into 64 hot partitions. The re-derive
+    // join on vec_id is the step's one legitimate shuffle at scale (it
+    // only broadcasts here because the small fixture fits), so a blanket
+    // no-SMJ assertion would be fixture-size-dependent.
+    val shuffledOnDimIndex = plan.collect {
+      case j: SortMergeJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "i")) => j
+      case j: ShuffledHashJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "i")) => j
+    }
+    assert(shuffledOnDimIndex.isEmpty,
+      s"the centroid-state join shuffles on the dim index:\n$plan")
   }
 
   // Round-9: the Bloom prefilter must be applied to the fact scan BEFORE
