@@ -27,14 +27,36 @@ object Verify {
         require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
         SparkEntry.queries.view.filterKeys(names.contains).toMap
       }
-    selected.foreach { case (name, fn) =>
+    // Query-level parallelism: each query is an independent plan writing
+    // its own directory, and Spark's scheduler interleaves concurrent
+    // jobs across the executor threads — 4-way cuts the 222-query dump's
+    // wall-clock ~3× (per-query fixed overhead dominates at sf0.01).
+    // SPARK_GRAFT_VERIFY_PAR=1 restores strict sequential execution with
+    // the per-query cache clear (the clear is unsafe concurrently: it
+    // would unpersist another in-flight query's intermediates, forcing
+    // deterministic-but-wasteful recomputes).
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
+    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Release intermediates persisted by pipeline queries (minhash,
-      // simhash, ngram) so cached blocks don't accumulate across ~95 runs.
+    if (par <= 1) {
+      selected.foreach { case (name, fn) =>
+        runOne(name, fn)
+        // Release intermediates persisted by pipeline queries (minhash,
+        // simhash, ngram) so cached blocks don't accumulate across runs.
+        spark.catalog.clearCache()
+      }
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        val tasks = selected.toSeq.map { case (name, fn) =>
+          pool.submit(new Runnable { def run(): Unit = runOne(name, fn) })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
