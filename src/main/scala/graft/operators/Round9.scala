@@ -22,7 +22,7 @@ object Round9 {
     * engines; |x| ≤ 303 on this data, so every later product stays far
     * inside int64 AND double-exact range (see vec_kmeans_lloyd).
     */
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private[operators] def quantized(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
       .select(col("vec_id"), col("i"),

@@ -130,6 +130,87 @@ object Round9b {
              |        (CAST(k AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
              |FROM st""".stripMargin)),
 
+    // Product-quantization ANN — completes the ANN ladder (brute-force,
+    // LSH buckets, IVF lists, Matryoshka prefix): 64 dims split into 8
+    // subspaces of 8; each subspace learns a 4-centroid codebook by the
+    // SAME exact-integer Lloyd machinery as vec_kmeans_lloyd (centroids
+    // as (Σx, n) pairs, n²-scaled distances, id tie-break), every vector
+    // encodes to 8 codes, and query-time asymmetric distance is the sum
+    // of 8 per-subspace LUT entries. Determinism: each LUT entry is one
+    // IEEE division over exact integers, and the 8-entry sum folds in
+    // SORTED subspace order via a HOF aggregate — never an engine-chosen
+    // float summation order. Scale shape: codebooks and LUTs are
+    // k×subspaces rows (broadcast); encoding is one vec-keyed shuffle;
+    // candidates score by LUT join, not by touching raw vectors — the
+    // memory-bandwidth trade PQ exists for. Approximate by design →
+    // oracle-N; Round9Spec bounds recall@10 against exact cosine.
+    "sim_ann_pq" -> Decl(
+      (s, d) => {
+        val q = Round9.quantized(s, d)
+          .withColumn("s_id", expr("i div 8")).localCheckpoint(true)
+        // --- codebook training: per-subspace k=4 Lloyd, 2 iterations
+        val seeds = Tables(s, d, "embeddings")
+          .select(col("vec_id")).orderBy("vec_id").limit(4)
+        var state = q.join(broadcast(seeds), "vec_id")
+          .select(col("s_id"), col("vec_id").as("cluster"), col("i"),
+                  col("x").as("cs"), lit(1L).as("cn"))
+        for (_ <- 1 to 2) {
+          val assign = q.join(broadcast(state), Seq("s_id", "i"))
+            .groupBy(col("vec_id"), col("s_id"), col("cluster"))
+            .agg(sum((col("cn") * col("x") - col("cs")) *
+                     (col("cn") * col("x") - col("cs"))).as("num"),
+                 max(col("cn")).as("cn"))
+            .groupBy("vec_id", "s_id")
+            .agg(min(struct((col("num").cast("double") /
+                             (col("cn") * col("cn")).cast("double")).as("d"),
+                            col("cluster").as("c"))).as("m"))
+            .select(col("vec_id"), col("s_id"), col("m.c").as("cluster"))
+          state = assign.join(q, Seq("vec_id", "s_id"))
+            .groupBy("s_id", "cluster", "i")
+            .agg(sum(col("x")).as("cs"), count(lit(1)).as("cn"))
+            .localCheckpoint(true)
+        }
+        // --- encode every vector: nearest codebook entry per subspace
+        val codes = q.join(broadcast(state), Seq("s_id", "i"))
+          .groupBy(col("vec_id"), col("s_id"), col("cluster"))
+          .agg(sum((col("cn") * col("x") - col("cs")) *
+                   (col("cn") * col("x") - col("cs"))).as("num"),
+               max(col("cn")).as("cn"))
+          .groupBy("vec_id", "s_id")
+          .agg(min(struct((col("num").cast("double") /
+                           (col("cn") * col("cn")).cast("double")).as("d"),
+                          col("cluster").as("c"))).as("m"))
+          .select(col("vec_id"), col("s_id"), col("m.c").as("code"))
+          .localCheckpoint(true)
+        // --- query-time LUT: exact distance query-subvector → centroid
+        val queries = q.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("s_id"), col("i"), col("x").as("qx"))
+        val lut = queries.join(broadcast(state), Seq("s_id", "i"))
+          .groupBy(col("q_id"), col("s_id"), col("cluster"))
+          .agg(sum((col("cn") * col("qx") - col("cs")) *
+                   (col("cn") * col("qx") - col("cs"))).as("num"),
+               max(col("cn")).as("cn"))
+          .select(col("q_id"), col("s_id"), col("cluster").as("code"),
+                  (col("num").cast("double") /
+                   (col("cn") * col("cn")).cast("double")).as("d"))
+        // --- ADC scoring: candidates fold their 8 LUT entries in sorted
+        // subspace order (fixed fold order → bit-stable double sum)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+        codes.join(broadcast(lut), Seq("s_id", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(collect_list(struct(col("s_id"), col("d"))).as("parts"))
+          .select(col("q_id"), col("vec_id"),
+                  expr("aggregate(array_sort(parts), CAST(0.0 AS DOUBLE), (a, p) -> a + p.d)")
+                    .as("adc"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("vec_id"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // Dremel-style nested round-trip — orders written as one row per
     // order carrying a REPEATED GROUP of its line items (array<struct>),
     // the columnar-shredding shape parquet was built for (PAPERS.md:

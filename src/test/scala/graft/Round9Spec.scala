@@ -150,6 +150,33 @@ class Round9Spec extends AnyFunSuite {
     assert(fields == Seq("ln", "qty", "pc"))
   }
 
+  test("sim_ann_pq recall@10 beats random against exact cosine top-10") {
+    val sp = spark
+    val pq = SparkEntry.queries("sim_ann_pq")(sp, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    assert(pq.nonEmpty && pq.values.forall(_.size == 10))
+    // exact cosine top-10 per query (brute force on the small fixture)
+    val vecs = Tables(sp, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+                r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val recalls = pq.map { case (q, got) =>
+      val exact = vecs.keys.filter(_ != q).toSeq
+        .sortBy(v => (-cos(vecs(q), vecs(v)), v)).take(10).toSet
+      (got & exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    // 4 codes × 8 subspaces is a coarse quantizer; on random vectors the
+    // bar is "far above chance" (random 10-of-499 ≈ 0.02), not "high"
+    assert(mean > 0.15, f"mean recall@10 $mean%.3f is not above chance")
+  }
+
   test("text_hash_features conserves token mass and stays in range") {
     val out = SparkEntry.queries("text_hash_features")(spark, sf).collect()
     val tokens = Tables(spark, sf, "documents")
