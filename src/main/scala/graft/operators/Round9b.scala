@@ -96,6 +96,62 @@ object Round9b {
              |FROM folded WHERE (last).op = 'U'
              |ORDER BY user_id""".stripMargin)),
 
+    // CUSUM change-point detection over the hourly click-count series —
+    // the monitoring primitive for drift alarms. The one-sided CUSUM
+    // recursion s_t = max(0, s_{t-1} + x_t − μ − k) has the closed form
+    // s_t = prefix_t − min(0, min_{j≤t} prefix_j) with prefix the running
+    // sum of deviations — two window functions, no sequential recursion.
+    // Exactness: deviations are scaled to integers (e_i = 2n·x_i − 2S − n
+    // encodes x_i − μ − ½ with μ = S/n, multiplied through by 2n), so the
+    // prefix sums, running min, and the alarm comparison are all BIGINT —
+    // no float ever. The windows run over the HOURLY GRID (bounded by the
+    // time range, never corpus-sized), the same aggregated-grid discipline
+    // as the rank-statistics keys.
+    "window_cusum_changepoint" -> Decl(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .filter(col("event_type") === "click")
+          .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = hourly.agg(count(lit(1)).as("n"), sum(col("cnt")).as("st"))
+        val w = Window.orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hourly.crossJoin(broadcast(tot))
+          .select(col("hr"), col("cnt"), col("n"),
+                  (lit(2L) * col("n") * col("cnt") - lit(2L) * col("st") - col("n"))
+                    .as("e"))
+          .select(col("hr"), col("cnt"), col("n"),
+                  sum(col("e")).over(w).as("prefix"))
+          .select(col("hr"), col("cnt"),
+                  (col("prefix") -
+                   least(min(col("prefix")).over(w), lit(0L))).as("cusum_x2n"),
+                  col("n"))
+          .select(col("hr"), col("cnt"), col("cusum_x2n"),
+                  (col("cusum_x2n") > lit(8L) * col("n")).cast("int").as("alarm"))
+          .orderBy("hr")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             |         count(*) AS cnt
+             |  FROM events WHERE event_type = 'click' GROUP BY 1),
+             |tot AS (SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS st
+             |        FROM hourly),
+             |dev AS (SELECT hr, cnt, n,
+             |          2 * n * cnt - 2 * st - n AS e
+             |        FROM hourly CROSS JOIN tot),
+             |pre AS (SELECT hr, cnt, n,
+             |          CAST(sum(e) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING)
+             |               AS BIGINT) AS prefix
+             |        FROM dev),
+             |cu AS (SELECT hr, cnt, n,
+             |         prefix - least(CAST(min(prefix) OVER (ORDER BY hr
+             |                   ROWS UNBOUNDED PRECEDING) AS BIGINT),
+             |                 CAST(0 AS BIGINT)) AS cusum_x2n
+             |       FROM pre)
+             |SELECT hr, cnt, cusum_x2n,
+             |  CAST(cusum_x2n > 8 * n AS INT) AS alarm
+             |FROM cu ORDER BY hr""".stripMargin)),
+
     // Gini concentration of the corpus source mix — the inequality
     // summary a data-mixing dashboard reports next to the entropy /
     // chi-square keys: 0 = sources evenly represented, →1 = one source

@@ -177,6 +177,24 @@ class Round9Spec extends AnyFunSuite {
     assert(mean > 0.15, f"mean recall@10 $mean%.3f is not above chance")
   }
 
+  test("window_cusum_changepoint closed form equals the sequential recursion") {
+    val out = SparkEntry.queries("window_cusum_changepoint")(spark, sf)
+      .orderBy("hr").collect()
+    assert(out.nonEmpty)
+    // re-derive e_i from the output and fold the textbook recursion
+    // s_t = max(0, s_{t-1} + e_t); it must equal the closed form exactly
+    val n = out.length.toLong
+    val st = out.map(_.getAs[Long]("cnt")).sum
+    var s = 0L
+    out.foreach { r =>
+      val e = 2L * n * r.getAs[Long]("cnt") - 2L * st - n
+      s = math.max(0L, s + e)
+      assert(s == r.getAs[Long]("cusum_x2n"),
+        s"closed form diverged from the recursion at hr=${r.getAs[Long]("hr")}")
+      assert((r.getAs[Int]("alarm") == 1) == (s > 8L * n))
+    }
+  }
+
   test("text_hash_features conserves token mass and stays in range") {
     val out = SparkEntry.queries("text_hash_features")(spark, sf).collect()
     val tokens = Tables(spark, sf, "documents")
