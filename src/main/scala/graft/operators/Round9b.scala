@@ -152,6 +152,110 @@ object Round9b {
              |  CAST(cusum_x2n > 8 * n AS INT) AS alarm
              |FROM cu ORDER BY hr""".stripMargin)),
 
+    // Robust outlier flags via median absolute deviation — the
+    // heavy-tail-safe twin of window_zscore_outlier (a single wild value
+    // drags a mean+stddev gate; the median pair shrugs it off). Both
+    // medians are LOWER medians picked off the bounded distinct-cents
+    // grid by the weighted-median machinery (cumulative count ≥ half),
+    // so every quantity compared — cents, med, |x−med|, MAD — is an
+    // exact BIGINT; the flag is the integer comparison |x−med| > 3·MAD.
+    // Output is the bounded per-type profile, not a row per event.
+    "window_mad_outlier" -> Decl(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+                  round(col("value") * 100).cast("bigint").as("c"))
+        def lowerMedian(src: org.apache.spark.sql.DataFrame, vcol: String) = {
+          val w = Window.partitionBy("event_type").orderBy(vcol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val grid = src.groupBy("event_type", vcol)
+            .agg(count(lit(1)).as("cw"))
+          val tot = grid.groupBy("event_type").agg(sum(col("cw")).as("tot"))
+          grid.select(col("event_type"), col(vcol),
+                      sum(col("cw")).over(w).as("cum"))
+            .join(broadcast(tot), "event_type")
+            .filter(lit(2L) * col("cum") >= col("tot"))
+            .groupBy("event_type").agg(min(col(vcol)).as(s"med_$vcol"))
+        }
+        val med = lowerMedian(ev, "c")
+        val dev = ev.join(broadcast(med), "event_type")
+          .select(col("event_type"), col("c"), col("med_c"),
+                  abs(col("c") - col("med_c")).as("ad"))
+        val mad = lowerMedian(dev.select(col("event_type"), col("ad")), "ad")
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               max(col("med_c")).as("med_cents"),
+               max(col("med_ad")).as("mad_cents"),
+               sum((col("ad") > lit(3L) * col("med_ad")).cast("bigint"))
+                 .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events),
+             |g1 AS (SELECT event_type, c, count(*) AS cw
+             |       FROM ev GROUP BY 1, 2),
+             |m1 AS (SELECT event_type, min(c) AS med_c FROM (
+             |    SELECT event_type, c,
+             |      sum(cw) OVER (PARTITION BY event_type ORDER BY c
+             |                    ROWS UNBOUNDED PRECEDING) AS cum,
+             |      sum(cw) OVER (PARTITION BY event_type) AS tot
+             |    FROM g1) WHERE 2 * cum >= tot GROUP BY 1),
+             |dev AS (SELECT ev.event_type, c, abs(c - med_c) AS ad
+             |        FROM ev JOIN m1 ON ev.event_type = m1.event_type),
+             |g2 AS (SELECT event_type, ad, count(*) AS cw
+             |       FROM dev GROUP BY 1, 2),
+             |m2 AS (SELECT event_type, min(ad) AS med_ad FROM (
+             |    SELECT event_type, ad,
+             |      sum(cw) OVER (PARTITION BY event_type ORDER BY ad
+             |                    ROWS UNBOUNDED PRECEDING) AS cum,
+             |      sum(cw) OVER (PARTITION BY event_type) AS tot
+             |    FROM g2) WHERE 2 * cum >= tot GROUP BY 1),
+             |j AS (SELECT dev.event_type, c, ad, med_c, med_ad
+             |      FROM dev JOIN m1 ON dev.event_type = m1.event_type
+             |               JOIN m2 ON dev.event_type = m2.event_type)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(max(med_c) AS BIGINT) AS med_cents,
+             |  CAST(max(med_ad) AS BIGINT) AS mad_cents,
+             |  CAST(sum(CAST(ad > 3 * med_ad AS BIGINT)) AS BIGINT) AS n_outliers
+             |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Benford first-digit audit — the classic synthetic-data / fraud
+    // smell test: natural multiplicative data follows P(d) = log10(1+1/d);
+    // uniform synthetic values (this fixture) deviate hard, and the
+    // operator quantifies it. First digits come from string arithmetic
+    // (exact); observed counts are BIGINT; the only floats are the nine
+    // fixed log10 constants and the terminal per-digit deviation, both
+    // 6-dp rounded (ulp-safe — R3).
+    "agg_benford_deviation" -> Decl(
+      (s, d) => {
+        Tables(s, d, "orders")
+          .select(substring(round(col("o_totalprice") * 100).cast("bigint")
+                              .cast("string"), 1, 1).cast("bigint").as("digit"))
+          .filter(col("digit").between(1, 9))
+          .groupBy("digit").agg(count(lit(1)).as("obs"))
+          .withColumn("total", sum(col("obs")).over(
+            Window.partitionBy()))
+          .selectExpr("digit", "obs",
+            "round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p",
+            """round(CAST(obs AS DOUBLE) / CAST(total AS DOUBLE) -
+              |      log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS deviation"""
+              .stripMargin)
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |  FROM orders),
+             |g AS (SELECT digit, count(*) AS obs FROM d
+             |      WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+             |t AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM g)
+             |SELECT digit, obs,
+             |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+             |  round(CAST(obs AS DOUBLE) / CAST(total AS DOUBLE) -
+             |        log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS deviation
+             |FROM g CROSS JOIN t ORDER BY digit""".stripMargin)),
+
     // Gini concentration of the corpus source mix — the inequality
     // summary a data-mixing dashboard reports next to the entropy /
     // chi-square keys: 0 = sources evenly represented, →1 = one source

@@ -195,6 +195,31 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("window_mad_outlier matches a brute-force MAD computation") {
+    val out = SparkEntry.queries("window_mad_outlier")(spark, sf).collect()
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("c"))
+      .collect().groupBy(_.getString(0))
+    out.foreach { r =>
+      val cs = byType(r.getAs[String]("event_type")).map(_.getLong(1)).sorted
+      val med = cs((cs.length - 1) / 2)
+      val ads = cs.map(c => math.abs(c - med)).sorted
+      val mad = ads((ads.length - 1) / 2)
+      assert(r.getAs[Long]("med_cents") == med)
+      assert(r.getAs[Long]("mad_cents") == mad)
+      assert(r.getAs[Long]("n_outliers") == ads.count(_ > 3 * mad))
+    }
+  }
+
+  test("agg_benford_deviation probabilities cover the nine digits") {
+    val out = SparkEntry.queries("agg_benford_deviation")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val pSum = out.map(_.getAs[Double]("benford_p")).sum
+    assert(math.abs(pSum - 1.0) < 1e-5, s"Benford masses must sum to 1, got $pSum")
+    val total = out.map(_.getAs[Long]("obs")).sum
+    assert(total == Tables(spark, sf, "orders").count())
+  }
+
   test("text_hash_features conserves token mass and stays in range") {
     val out = SparkEntry.queries("text_hash_features")(spark, sf).collect()
     val tokens = Tables(spark, sf, "documents")
