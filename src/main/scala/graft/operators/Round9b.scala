@@ -371,6 +371,56 @@ object Round9b {
       },
       None),
 
+    // Versioned-snapshot sink with time travel — the table-format
+    // mechanism under every lakehouse (snapshot isolation by manifest):
+    // each commit writes immutable data files plus a manifest listing
+    // the files visible in that version; "as of v" reads resolve the
+    // manifest and scan exactly its files — old versions stay readable
+    // after new commits, no copy. Here: v1 commits the early orders, v2
+    // appends the rest; the query reads BOTH versions through their
+    // manifests and aggregates. The oracle computes the same two
+    // aggregates from the base table — equality proves snapshot reads
+    // see exactly their committed slice. Manifests are driver-side KB
+    // JSON (at scale: a metadata store), data files never rewrite.
+    "sink_snapshot_time_travel" -> Decl(
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val dir = Tables.scratchDir("graft_snap")
+        val orders = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+                  datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+                    .as("day"))
+        val cut = orders.agg(min(col("day"))).head.getInt(0) + 365
+        val f1 = dir.resolve("data_v1"); val f2 = dir.resolve("data_v2")
+        orders.filter(col("day") < cut).write.parquet(f1.toString)
+        orders.filter(col("day") >= cut).write.parquet(f2.toString)
+        Files.writeString(dir.resolve("v1.manifest"), f1.toString)
+        Files.writeString(dir.resolve("v2.manifest"), s"$f1\n$f2")
+        def asOf(v: String) = {
+          val files = Files.readString(dir.resolve(s"$v.manifest"))
+            .split("\n").toSeq
+          s.read.parquet(files: _*)
+        }
+        Seq("v1", "v2").map { v =>
+          asOf(v).agg(count(lit(1)).as("n"),
+                      sum(round(col("o_totalprice") * 100).cast("bigint"))
+                        .as("cents"))
+            .select(lit(v).as("version"), col("n"), col("cents"))
+        }.reduce(_.unionAll(_)).orderBy("version")
+      },
+      Some("""WITH o AS (SELECT o_totalprice,
+             |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day
+             |  FROM orders),
+             |cut AS (SELECT min(day) + 365 AS cut FROM o)
+             |SELECT 'v1' AS version, count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM o CROSS JOIN cut WHERE day < cut
+             |UNION ALL
+             |SELECT 'v2' AS version, count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM o
+             |ORDER BY version""".stripMargin)),
+
     // Dremel-style nested round-trip — orders written as one row per
     // order carrying a REPEATED GROUP of its line items (array<struct>),
     // the columnar-shredding shape parquet was built for (PAPERS.md:

@@ -220,6 +220,25 @@ class Round9Spec extends AnyFunSuite {
     assert(total == Tables(spark, sf, "orders").count())
   }
 
+  test("snapshot time travel: v1 stays byte-stable after the v2 commit") {
+    val out = SparkEntry.queries("sink_snapshot_time_travel")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // v2 must see strictly more than v1 (the append really appended),
+    // and v1's files are immutable — re-reading its manifest after the
+    // v2 commit returns the original slice
+    assert(out("v2")._1 > out("v1")._1)
+    val dir = ScratchDirs.latestScratch("graft_snap-")
+    val v1Files = java.nio.file.Files.readString(dir.resolve("v1.manifest"))
+      .split("\n").toSeq
+    val reread = spark.read.parquet(v1Files: _*)
+      .agg(count(lit(1)), sum(round(col("o_totalprice") * 100).cast("bigint")))
+      .head()
+    assert((reread.getLong(0), reread.getLong(1)) == out("v1"),
+      "v1 snapshot changed after the v2 commit")
+    val total = Tables(spark, sf, "orders").count()
+    assert(out("v2")._1 == total, "v2 must see the full table")
+  }
+
   test("text_hash_features conserves token mass and stays in range") {
     val out = SparkEntry.queries("text_hash_features")(spark, sf).collect()
     val tokens = Tables(spark, sf, "documents")
