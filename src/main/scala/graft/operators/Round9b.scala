@@ -221,6 +221,53 @@ object Round9b {
              |  CAST(sum(CAST(ad > 3 * med_ad AS BIGINT)) AS BIGINT) AS n_outliers
              |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Maximum drawdown per user — the peak-to-trough companion of the
+    // CUSUM alarm (monitoring: "how far below its running peak did this
+    // series fall"). The equity curve is the running sum of signed
+    // purchase cents (per user, (ts, event_id)-ordered); drawdown_t =
+    // runmax(curve) − curve_t, and the answer is its per-user max — all
+    // three passes are frames over the SAME user-partitioned sort (one
+    // shuffle, windows reuse the ordering), and every value is BIGINT.
+    "window_drawdown_max" -> Decl(
+      (s, d) => {
+        val wRun = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "error"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+                  when(col("event_type") === "purchase",
+                       round(col("value") * 100).cast("bigint"))
+                    .otherwise(-round(col("value") * 100).cast("bigint"))
+                    .as("delta"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+                  sum(col("delta")).over(wRun).as("curve"))
+          .select(col("user_id"),
+                  (max(col("curve")).over(wRun) - col("curve")).as("dd"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), max(col("dd")).as("max_drawdown_cents"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |    CASE WHEN event_type = 'purchase'
+             |         THEN CAST(round(value * 100) AS BIGINT)
+             |         ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+             |  FROM events WHERE event_type IN ('purchase', 'error')),
+             |c AS (SELECT user_id,
+             |    CAST(sum(delta) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      AS curve,
+             |    ts, event_id
+             |  FROM p),
+             |dd AS (SELECT user_id,
+             |    CAST(max(curve) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      - curve AS dd
+             |  FROM c)
+             |SELECT user_id, count(*) AS n,
+             |  CAST(max(dd) AS BIGINT) AS max_drawdown_cents
+             |FROM dd GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Benford first-digit audit — the classic synthetic-data / fraud
     // smell test: natural multiplicative data follows P(d) = log10(1+1/d);
     // uniform synthetic values (this fixture) deviate hard, and the

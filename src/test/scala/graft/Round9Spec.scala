@@ -239,6 +239,29 @@ class Round9Spec extends AnyFunSuite {
     assert(out("v2")._1 == total, "v2 must see the full table")
   }
 
+  test("window_drawdown_max equals a sequential fold per user") {
+    val out = SparkEntry.queries("window_drawdown_max")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("max_drawdown_cents"))
+      .toMap
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+              when(col("event_type") === "purchase",
+                   round(col("value") * 100).cast("bigint"))
+                .otherwise(-round(col("value") * 100).cast("bigint")).as("delta"))
+      .orderBy("user_id", "us", "event_id").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    rows.foreach { case (uid, rs) =>
+      var curve = 0L; var peak = Long.MinValue; var maxDd = Long.MinValue
+      rs.foreach { r =>
+        curve += r.getAs[Long]("delta")
+        peak = math.max(peak, curve)
+        maxDd = math.max(maxDd, peak - curve)
+      }
+      assert(out(uid) == maxDd, s"user $uid: expected $maxDd got ${out(uid)}")
+    }
+  }
+
   test("text_hash_features conserves token mass and stays in range") {
     val out = SparkEntry.queries("text_hash_features")(spark, sf).collect()
     val tokens = Tables(spark, sf, "documents")
