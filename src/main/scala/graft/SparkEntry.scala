@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Round9c.decls ++
     operators.Round9d.decls ++
     operators.Round9e.decls ++
+    operators.Round9f.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
