@@ -30,6 +30,7 @@ object SparkEntry {
     operators.Round9d.decls ++
     operators.Round9e.decls ++
     operators.Round9f.decls ++
+    operators.Round9g.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
