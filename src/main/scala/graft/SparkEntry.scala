@@ -34,6 +34,7 @@ object SparkEntry {
     operators.Round9h.decls ++
     operators.Round9i.decls ++
     operators.Round9j.decls ++
+    operators.Round9k.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
