@@ -36,6 +36,7 @@ object SparkEntry {
     operators.Round9j.decls ++
     operators.Round9k.decls ++
     operators.Round9l.decls ++
+    operators.Round9m.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
