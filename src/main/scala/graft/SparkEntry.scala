@@ -37,6 +37,7 @@ object SparkEntry {
     operators.Round9k.decls ++
     operators.Round9l.decls ++
     operators.Round9m.decls ++
+    operators.Round9n.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
