@@ -38,6 +38,7 @@ object SparkEntry {
     operators.Round9l.decls ++
     operators.Round9m.decls ++
     operators.Round9n.decls ++
+    operators.Round9o.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
