@@ -515,11 +515,16 @@ class ScaleSpec extends AnyFunSuite {
                       "window_rank_dense", "window_range_frame",
                       "window_range_interval", "ts_gapfill_interp")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      val corpusWindows = fn(spark, sf).queryExecution.optimizedPlan.collect {
+      // A window is a funnel only when EVERY partition key is a bounded
+      // enum — (user_id, event_type) partitions at least as finely as
+      // user_id alone, so a high-cardinality co-key clears the gate
+      // (round 9: window_cumulative_distinct's first-occurrence window).
+      val funnelWindows = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: LWindow if w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
-          w.partitionSpec.flatMap(_.references.map(_.name))
-      }.flatten
-      if (corpusWindows.exists(lowCard.contains) && !allowed.contains(name)) Some(name)
+          val keys = w.partitionSpec.flatMap(_.references.map(_.name))
+          keys.nonEmpty && keys.forall(lowCard.contains)
+      }
+      if (funnelWindows.contains(true) && !allowed.contains(name)) Some(name)
       else None
     }
     assert(offenders.isEmpty,
