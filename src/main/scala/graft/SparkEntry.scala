@@ -43,6 +43,7 @@ object SparkEntry {
     operators.Round9q.decls ++
     operators.Round9r.decls ++
     operators.Round9s.decls ++
+    operators.Round9t.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
