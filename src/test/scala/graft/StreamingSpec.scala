@@ -360,4 +360,55 @@ class StreamingSpec extends AnyFunSuite {
     val out = StreamOps.sessions(data.toDF).orderBy("user_id", "session_start").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((1L, 3L), (1L, 1L), (2L, 1L)))
   }
+
+  test("hourly top-k re-ranks incrementally via foreachBatch (stream == batch)") {
+    val sp = spark; import sp.implicits._
+    implicit val sq = sp.sqlContext
+    // two hours; hour 0: click x2, view x1 -> top2 = click, view
+    // hour 1 arrives across TWO micro-batches so the rank must be
+    // recomputed from updated aggregate state, not from one batch alone
+    val b1 = Seq(
+      Ev(ts(0), 1, "click", 1.0), Ev(ts(5), 2, "click", 1.0),
+      Ev(ts(10), 3, "view", 1.0),
+      Ev(ts(61), 1, "view", 1.0), Ev(ts(62), 2, "view", 1.0))
+    val b2 = Seq(
+      Ev(ts(63), 3, "purchase", 1.0), Ev(ts(64), 4, "purchase", 1.0),
+      Ev(ts(65), 5, "purchase", 1.0))
+    val mem = MemoryStream[Ev]
+    // standing aggregate state: hour x type counts in complete mode;
+    // each micro-batch re-ranks the updated table - the foreachBatch
+    // pattern for rank-over-aggregate, which streaming SQL cannot
+    // express directly
+    val ranked = new scala.collection.mutable.ArrayBuffer[Seq[(Long, String, Long)]]
+    val counts = mem.toDF
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("h"), col("event_type"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = counts.writeStream.outputMode("complete")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("h").orderBy(col("n").desc, col("event_type").asc)
+        ranked += df.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(unix_timestamp(col("h")), col("event_type"), col("n"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        ()
+      }.start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    // final re-rank equals the batch top-2 over ALL data
+    val all = (b1 ++ b2).toDF
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(col("n").desc, col("event_type").asc)
+    val batch = all
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("h"), col("event_type"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(unix_timestamp(col("h")), col("event_type"), col("n"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(ranked.last.sortBy(x => (x._1, x._3 * -1, x._2)) ==
+           batch.sortBy(x => (x._1, x._3 * -1, x._2)))
+    // and the mid-stream rank was a valid top-2 of the PREFIX
+    assert(ranked.head.nonEmpty && ranked.head.size <= 4)
+  }
 }
