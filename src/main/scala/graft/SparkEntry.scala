@@ -46,6 +46,7 @@ object SparkEntry {
     operators.Round9t.decls ++
     operators.Round9u.decls ++
     operators.Round9v.decls ++
+    operators.Round9w.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
