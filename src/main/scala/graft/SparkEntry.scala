@@ -47,6 +47,7 @@ object SparkEntry {
     operators.Round9u.decls ++
     operators.Round9v.decls ++
     operators.Round9w.decls ++
+    operators.Round9x.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
