@@ -52,6 +52,7 @@ object SparkEntry {
     operators.Round10b.decls ++
     operators.Round10c.decls ++
     operators.Round10d.decls ++
+    operators.Round10e.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
