@@ -53,6 +53,7 @@ object SparkEntry {
     operators.Round10c.decls ++
     operators.Round10d.decls ++
     operators.Round10e.decls ++
+    operators.Round10f.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
