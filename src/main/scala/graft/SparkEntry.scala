@@ -54,6 +54,7 @@ object SparkEntry {
     operators.Round10d.decls ++
     operators.Round10e.decls ++
     operators.Round10f.decls ++
+    operators.Round10g.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
