@@ -55,6 +55,7 @@ object SparkEntry {
     operators.Round10e.decls ++
     operators.Round10f.decls ++
     operators.Round10g.decls ++
+    operators.Round10h.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
