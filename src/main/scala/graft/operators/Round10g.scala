@@ -118,7 +118,6 @@ object Round10g {
           .select(col("l_returnflag"),
                   round(col("l_extendedprice") * 100).cast("bigint").as("c"))
           .groupBy("l_returnflag", "c").agg(count(lit(1)).as("w"))
-          .localCheckpoint(true)
         val cw = Window.partitionBy("l_returnflag").orderBy("c")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = grid.groupBy("l_returnflag").agg(sum(col("w")).as("n"))
