@@ -59,6 +59,7 @@ object SparkEntry {
     operators.Round10i.decls ++
     operators.Round10j.decls ++
     operators.Round10k.decls ++
+    operators.Round10l.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
