@@ -60,6 +60,7 @@ object SparkEntry {
     operators.Round10j.decls ++
     operators.Round10k.decls ++
     operators.Round10l.decls ++
+    operators.Round10m.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
