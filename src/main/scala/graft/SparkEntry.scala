@@ -62,6 +62,7 @@ object SparkEntry {
     operators.Round10l.decls ++
     operators.Round10m.decls ++
     operators.Round10n.decls ++
+    operators.Round10o.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
