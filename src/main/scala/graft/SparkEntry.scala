@@ -65,6 +65,7 @@ object SparkEntry {
     operators.Round10o.decls ++
     operators.Round10p.decls ++
     operators.Round10q.decls ++
+    operators.Round10r.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
