@@ -66,6 +66,7 @@ object SparkEntry {
     operators.Round10p.decls ++
     operators.Round10q.decls ++
     operators.Round10r.decls ++
+    operators.Round10s.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
