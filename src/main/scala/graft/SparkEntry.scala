@@ -67,6 +67,7 @@ object SparkEntry {
     operators.Round10q.decls ++
     operators.Round10r.decls ++
     operators.Round10s.decls ++
+    operators.Round10t.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
