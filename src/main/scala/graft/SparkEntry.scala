@@ -68,6 +68,7 @@ object SparkEntry {
     operators.Round10r.decls ++
     operators.Round10s.decls ++
     operators.Round10t.decls ++
+    operators.Round10u.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
