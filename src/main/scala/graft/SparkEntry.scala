@@ -69,6 +69,7 @@ object SparkEntry {
     operators.Round10s.decls ++
     operators.Round10t.decls ++
     operators.Round10u.decls ++
+    operators.Round10v.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
