@@ -31,18 +31,22 @@ object Round10m {
           .filter(col("df") <= MaxPartDf && col("df") >= 2)
         val e = edges.join(pdeg, "p").repartition(n, col("p"))
           .localCheckpoint(true)
+        // the weight 1/ln(df) takes ≤39 distinct values (df ∈ 2..40), so
+        // the float NEVER rides the corpus: aggregate exact integer
+        // (df, count) cells per pair, then fold the ≤39 terms in df
+        // order — same sorted-fold determinism, none of the per-row
+        // double-list collection (10.9 s → aggregate-only)
         val contrib = e.as("x")
           .join(e.as("y"),
                 col("x.p") === col("y.p") && col("x.c") < col("y.c"))
-          .select(col("x.c").as("a"), col("y.c").as("b"),
-                  // 1e9-scaled integer contribution would lose precision;
-                  // keep the double but FOLD IT IN SORTED ORDER below
-                  (lit(1.0d) / log(col("x.df").cast("double"))).as("w"))
+          .groupBy(col("x.c").as("a"), col("y.c").as("b"), col("x.df").as("df"))
+          .agg(count(lit(1)).as("cnt"))
         contrib.groupBy("a", "b")
-          .agg(count(lit(1)).as("common"),
-               array_sort(collect_list(col("w"))).as("ws"))
+          .agg(sum(col("cnt")).as("common"),
+               array_sort(collect_list(struct(col("df"), col("cnt")))).as("cells"))
           .select(col("a"), col("b"), col("common"),
-                  round(expr("aggregate(ws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"), 6)
+                  round(expr(
+                    "aggregate(cells, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.cnt / ln(CAST(p.df AS DOUBLE)))"), 6)
                     .as("adamic_adar"))
           .orderBy(col("adamic_adar").desc, col("a"), col("b"))
           .limit(20)
@@ -54,11 +58,13 @@ object Round10m {
              |         HAVING count(*) <= $MaxPartDf AND count(*) >= 2),
              |e AS (SELECT c, edges.p, df FROM edges JOIN pdeg USING (p)),
              |contrib AS (
-             |  SELECT x.c AS a, y.c AS b, 1.0 / ln(CAST(x.df AS DOUBLE)) AS w
-             |  FROM e x JOIN e y ON x.p = y.p AND x.c < y.c),
+             |  SELECT x.c AS a, y.c AS b, x.df AS df, count(*) AS cnt
+             |  FROM e x JOIN e y ON x.p = y.p AND x.c < y.c
+             |  GROUP BY 1, 2, 3),
              |scored AS (
-             |  SELECT a, b, count(*) AS common,
-             |         round(list_sum(list(w ORDER BY w)), 6) AS adamic_adar
+             |  SELECT a, b, sum(cnt) AS common,
+             |         round(list_sum(list(cnt / ln(CAST(df AS DOUBLE))
+             |                             ORDER BY df)), 6) AS adamic_adar
              |  FROM contrib GROUP BY a, b)
              |SELECT a, b, CAST(common AS BIGINT) AS common, adamic_adar
              |FROM scored

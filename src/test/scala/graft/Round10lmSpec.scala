@@ -89,13 +89,16 @@ class Round10lmSpec extends AnyFunSuite {
     val df = edges.groupBy(_._2).map { case (p, es) => p -> es.length }
       .filter { case (_, n) => n >= 2 && n <= 40 }
     val byPart = edges.filter(e => df.contains(e._2)).groupBy(_._2)
-    val pairs = scala.collection.mutable.Map[(Long, Long), List[Double]]()
+    val pairs = scala.collection.mutable.Map[(Long, Long), List[Int]]()
     for ((p, es) <- byPart; pair <- es.map(_._1).sorted.combinations(2)) {
       val (x, y) = (pair(0), pair(1))
-      pairs((x, y)) = (1.0 / math.log(df(p).toDouble)) :: pairs.getOrElse((x, y), Nil)
+      pairs((x, y)) = df(p) :: pairs.getOrElse((x, y), Nil)
     }
-    val scored = pairs.map { case (k, ws) =>
-      (k, ws.length.toLong, math.rint(ws.sorted.sum * 1e6) / 1e6)
+    val scored = pairs.map { case (k, dfs) =>
+      // the query folds (df, cnt) cells in df order: mirror that exactly
+      val score = dfs.groupBy(identity).toSeq.sortBy(_._1)
+        .foldLeft(0.0) { case (acc, (d, cs)) => acc + cs.length / math.log(d.toDouble) }
+      (k, dfs.length.toLong, math.rint(score * 1e6) / 1e6)
     }.toSeq.sortBy(t => (-t._3, t._1._1, t._1._2)).take(20)
     assert(out.length == scored.length)
     for ((r, (k, common, score)) <- out.zip(scored)) {
