@@ -76,7 +76,7 @@ object Round10x {
     // unioned.
     "quality_freshness_report" -> Decl(
       (s, d) => {
-        val horizon = to_date(lit("1999-01-01"))
+        val horizon = to_date(lit("2025-01-01"))
         val legs = Seq(
           Tables(s, d, "orders").agg(
             lit("orders").as("table_name"),
@@ -94,7 +94,7 @@ object Round10x {
           .orderBy("table_name")
       },
       Some("""SELECT table_name, latest,
-             |       CAST(date_diff('day', latest, DATE '1999-01-01') AS BIGINT)
+             |       CAST(date_diff('day', latest, DATE '2025-01-01') AS BIGINT)
              |         AS staleness_days
              |FROM (
              |  SELECT 'orders' AS table_name,
