@@ -73,6 +73,7 @@ object SparkEntry {
     operators.Round10w.decls ++
     operators.Round10x.decls ++
     operators.Round10y.decls ++
+    operators.Round10z.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
