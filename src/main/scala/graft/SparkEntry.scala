@@ -77,6 +77,7 @@ object SparkEntry {
     operators.Round10aa.decls ++
     operators.Round10bb.decls ++
     operators.Round10cc.decls ++
+    operators.Round10dd.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
