@@ -79,6 +79,7 @@ object SparkEntry {
     operators.Round10cc.decls ++
     operators.Round10dd.decls ++
     operators.Round10ee.decls ++
+    operators.Round10ff.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
