@@ -96,12 +96,17 @@ object Round10j {
         val vocabPerCkpt = tok.groupBy("w").agg(min(col("doc_id")).as("first_doc"))
           .groupBy(expr("first_doc div 50").as("ckpt"))
           .agg(count(lit(1)).as("new_words"))
-        val w = Window.orderBy("ckpt")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        tokensPerCkpt.join(vocabPerCkpt, Seq("ckpt"), "full")
+        // The checkpoint spine is doc_id div 50 — it grows WITH the
+        // corpus, so both curves use the shared-order distributed prefix
+        // sum (one range exchange, one local pass), never an
+        // unpartitioned window (round-9 verdict family).
+        val spine = tokensPerCkpt.join(vocabPerCkpt, Seq("ckpt"), "full")
           .select(col("ckpt"),
-                  sum(coalesce(col("toks"), lit(0L))).over(w).as("cum_tokens"),
-                  sum(coalesce(col("new_words"), lit(0L))).over(w).as("cum_vocab"))
+                  coalesce(col("toks"), lit(0L)).as("t0"),
+                  coalesce(col("new_words"), lit(0L)).as("v0"))
+        PrefixSum.cumsumLongs(spine, Seq(col("ckpt")),
+            Seq(col("t0") -> "cum_tokens", col("v0") -> "cum_vocab"))
+          .select("ckpt", "cum_tokens", "cum_vocab")
           .orderBy("ckpt")
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

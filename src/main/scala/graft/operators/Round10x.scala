@@ -49,9 +49,15 @@ object Round10x {
           .select(explode(split(col("text"), " ")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("n"))
         val rk = Window.orderBy(col("n").desc, col("w"))
+        // Filter on the RAW row_number (not a cast of it): the cast would
+        // block InferWindowGroupLimit's pattern, losing the per-partition
+        // top-k guard that keeps this single-partition rank window fed
+        // with <= 100·partitions rows instead of the whole vocabulary.
         val top = counts
-          .withColumn("rank", row_number().over(rk).cast("bigint"))
-          .filter(col("rank") <= 100)
+          .withColumn("rk0", row_number().over(rk))
+          .filter(col("rk0") <= 100)
+          .withColumn("rank", col("rk0").cast("bigint"))
+          .drop("rk0")
         val f1 = top.filter(col("rank") === 1).select(col("n").as("n1"))
         top.join(broadcast(f1))
           .select(col("rank"), col("w"), col("n"),

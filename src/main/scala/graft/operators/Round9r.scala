@@ -146,11 +146,13 @@ object Round9r {
         val cust = Tables(s, d, "orders")
           .groupBy(col("o_custkey"))
           .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+        // The distinct-cents grid here is PER-CUSTOMER SUMS, which grow
+        // ~|customers| (they don't saturate like a raw 2-dp value domain)
+        // — so the cumulative count is the distributed two-pass prefix
+        // sum, not an unpartitioned window (round-9 verdict family).
         val grid = cust.groupBy("cents").agg(count(lit(1)).as("w"))
-        val cw = Window.orderBy("cents")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = grid.agg(sum(col("w")).as("n"))
-        val cum = grid.select(col("cents"), sum(col("w")).over(cw).as("cum"))
+        val cum = PrefixSum.cumsumLong(grid, Seq(col("cents")), col("w"), "cum")
           .crossJoin(broadcast(tot))
         // threshold for decile d = smallest cents with 10·cum ≥ d·n
         val thresholds = cum

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch: print the optimized plan of named queries. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    args.foreach { name =>
+      println(s"==== $name ====")
+      println(SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan)
+    }
+    spark.stop()
+  }
+}

@@ -531,6 +531,106 @@ class ScaleSpec extends AnyFunSuite {
       s"undeclared low-cardinality window partitioning in: $offenders")
   }
 
+  // Round-10: the round-9 verdict's funnel-gate blind spot. A window with
+  // an EMPTY partition spec moves its whole input through ONE task
+  // (WindowExec warns exactly this), so every such window must be provably
+  // bounded. Two structural proofs are accepted:
+  //   - the child aggregate groups ONLY by `__pid` — PrefixSum's
+  //     per-partition offsets table, ≤ #cluster partitions rows by
+  //     construction (cluster-bounded, never data-bounded);
+  //   - a WindowGroupLimit sits under the window — Spark's rank-limit
+  //     guard (InferWindowGroupLimit) caps per-partition input at k before
+  //     the single-partition exchange (text_zipf_rank's top-100).
+  // Anything else needs an entry in the reviewed allowlist below, each
+  // with the reason its grid is DOMAIN- or CALENDAR-bounded (saturates
+  // independently of corpus row count). The keys the verdict flagged —
+  // agg_abc_classification, agg_rfm_segmentation, and the same-family
+  // agg_lorenz_curve / text_vocab_growth — are deliberately NOT listed:
+  // they are fixed via PrefixSum and must stay fixed.
+  test("empty-partition windows are bounded or explicitly domain-justified") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, WindowGroupLimit, Window => LWindow}
+    def structurallyBounded(w: LWindow): Boolean = {
+      val pidOnly = w.child.collectFirst { case a: Aggregate =>
+        val ks = a.groupingExpressions.flatMap(_.references.map(_.name)).distinct
+        ks.nonEmpty && ks.forall(_ == "__pid")
+      }.getOrElse(false)
+      // rank-limit guards: either InferWindowGroupLimit's explicit node, or
+      // LimitPushDownThroughWindow already rewrote `filter(rank <= k)` into
+      // a Limit BELOW the window (text_zipf_rank: GlobalLimit 100 + top-k
+      // sort feed the rank window <= k rows — bounded heaps, no funnel).
+      val rankLimited = w.child.collectFirst {
+        case g: WindowGroupLimit => g.limit.toLong
+        case l: GlobalLimit => l.maxRows.getOrElse(Long.MaxValue)
+      }.exists(_ <= 10000L)
+      pidOnly || rankLimited
+    }
+    def offenders(df: org.apache.spark.sql.DataFrame): Seq[LWindow] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !structurallyBounded(w) => w
+      }
+    val allowed: Map[String, String] = Map(
+      "agg_benford_deviation"   -> "9 leading digits",
+      "agg_best_split_gini"     -> "$50-step threshold spine capped at 20 buckets",
+      "agg_ecdf_grid"           -> "fixed $50k grid, <= 11 buckets",
+      "agg_gini_concentration"  -> "per-source grid over the bounded source enum",
+      "agg_ks_test"             -> "2-dp RAW-value grid: saturates with the value domain, not the corpus",
+      "agg_mann_whitney"        -> "2-dp RAW-value grid (same domain-saturation argument)",
+      "agg_lorenz_curve"        -> "10-row decile spine (the cents-of-sums grid is PrefixSum'd)",
+      "agg_runs_test"           -> "calendar hour spine (grows with time span, not rows)",
+      "agg_spearman_corr"       -> "quantity (<=50) and discount (11) grids",
+      "topk_skyline_pareto"     -> "price-band spine: price domain div 1000",
+      "ts_discrete_hazard"      -> "inter-purchase week bucket capped at k=12",
+      "ts_peak_concurrency"     -> "calendar minute spine (sweep line over per-minute counts)",
+      "ts_seasonal_additive"    -> "calendar hour spine",
+      "ts_survival_km"          -> "shipping-latency week spine (latency domain, ~18 weeks)",
+      "window_cusum_changepoint" -> "calendar hour spine")
+    // (agg_lorenz_curve stays listed for its 10-row DECILE spine only —
+    // its unbounded cents-of-sums grid is PrefixSum'd and re-checked
+    // below with the other fixed keys.)
+    val fixedKeys = Seq("agg_abc_classification", "agg_rfm_segmentation",
+                        "text_vocab_growth")
+    assert(fixedKeys.forall(k => !allowed.contains(k)),
+      "the PrefixSum-fixed keys must not creep back into the allowlist")
+    val bad = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      if (allowed.contains(name)) None
+      else {
+        val o = offenders(fn(spark, sf))
+        if (o.nonEmpty) Some(s"$name (${o.size} unbounded single-task window(s))")
+        else None
+      }
+    }
+    assert(bad.isEmpty,
+      s"undeclared empty-partition windows — single-task funnels at 100x — in:\n  ${bad.mkString("\n  ")}")
+    // Deliberate regression: the OLD agg_abc_classification shape (an
+    // unpartitioned cumulative window straight over the per-part
+    // aggregate) MUST trip this gate — proves the detector sees the exact
+    // plan the verdict flagged, so the fix can't silently rot.
+    val rev = Tables(spark, sf, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("cents"))
+    val regressed = rev.withColumn("cum",
+      sum(col("cents")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cents").desc, col("l_partkey"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                       org.apache.spark.sql.expressions.Window.currentRow)))
+    assert(offenders(regressed).nonEmpty,
+      "gate failed to flag the single-task cumulative-window shape it exists for")
+    // And the fixed keys themselves must plan clean (not just be absent
+    // from the allowlist).
+    Seq("agg_abc_classification", "agg_rfm_segmentation",
+        "text_vocab_growth").foreach { name =>
+      val o = offenders(SparkEntry.queries(name)(spark, sf))
+      assert(o.isEmpty, s"$name regressed to a single-task window: $o")
+    }
+    // agg_lorenz_curve keeps EXACTLY its 10-row decile window; its
+    // cents-of-sums grid window must stay gone.
+    val lorenz = offenders(SparkEntry.queries("agg_lorenz_curve")(spark, sf))
+    assert(lorenz.forall(_.orderSpec.forall(
+             _.references.map(_.name).forall(_ == "decile"))),
+      s"agg_lorenz_curve regressed beyond the decile spine: $lorenz")
+  }
+
   // Round-8: the exact-k hash sample must plan as TakeOrderedAndProject —
   // per-partition bounded heaps merged on the driver (k·partitions rows)
   // — never a global Sort exchange, which materializes the full corpus
