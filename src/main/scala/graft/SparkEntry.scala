@@ -81,6 +81,7 @@ object SparkEntry {
     operators.Round10ee.decls ++
     operators.Round10ff.decls ++
     operators.Round10gg.decls ++
+    operators.Interop.decls ++
     operators.Streams.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

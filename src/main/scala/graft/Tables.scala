@@ -41,6 +41,20 @@ object Tables {
     })
   }
 
+  // Memoized table row counts per (session, dir, table). The graph keys
+  // size their minted graph modulus from |documents|, and each used to run
+  // its own count job — at 400 queries that's dozens of redundant scans
+  // per bench run (round-9 verdict item 7). The fixtures are immutable
+  // for a session, so one count per (session, sf) is exact.
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    countCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    countCache.computeIfAbsent((spark, sfDir, name),
+      _ => apply(spark, sfDir, name).count())
+  }
+
   /** Temp dirs removed recursively at JVM exit — `File.deleteOnExit` cannot
     * delete non-empty directories, so roundtrip/sink queries would leak a
     * table copy into /tmp per run. One shared scratch root with ONE shutdown

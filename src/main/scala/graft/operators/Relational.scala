@@ -240,6 +240,22 @@ object Relational {
       },
       Some("SELECT * FROM supplier ORDER BY ALL NULLS FIRST")),
 
+    // Avro source: the Kafka-adjacent ingest format. This distribution
+    // has no spark-avro connector, so the roundtrip goes through the
+    // Hadoop avro-mapred container-file formats (graft.sources.Avro) —
+    // splittable files, schema in the job conf, RDD hop confined to the
+    // file boundary. Identity proven by the oracle over the original
+    // table, schema fidelity asserted in OperatorSpec.
+    "source_avro_roundtrip" -> Decl(
+      (s, d) => {
+        val tmp = Tables.scratchDir("graft_avro")
+        val out = tmp.resolve("part_avro").toString
+        val src = Tables(s, d, "part")
+        graft.sources.Avro.write(src, out)
+        Tables.canon(graft.sources.Avro.read(s, out, src.schema))
+      },
+      Some("SELECT * FROM part ORDER BY ALL NULLS FIRST")),
+
     // JSON file source: same roundtrip through line-delimited JSON.
     "source_json_file" -> Decl(
       (s, d) => {

@@ -71,7 +71,7 @@ object Round6 {
     "graph_pagerank" -> Decl(
       (s, d) => {
         val docs = Tables(s, d, "documents").select(col("doc_id"))
-        val nRows = docs.count()
+        val nRows = Tables.rowCount(s, d, "documents")
         val n = nRows.toDouble
         val e = docs
           .select(col("doc_id").as("src"),

@@ -60,7 +60,7 @@ object Round7 {
     "graph_pagerank_dangling" -> Decl(
       (s, d) => {
         val docs = Tables(s, d, "documents").select(col("doc_id"))
-        val nRows = docs.count()
+        val nRows = Tables.rowCount(s, d, "documents")
         val n = nRows.toDouble
         val nodes = docs.select(col("doc_id").as("nid"))
         val e = docs

@@ -111,7 +111,7 @@ object Round8 {
       (s, d) => {
         val n = s.sparkContext.defaultParallelism
         val docs = Tables(s, d, "documents").select(col("doc_id"))
-        val nRows = docs.count()
+        val nRows = Tables.rowCount(s, d, "documents")
         val raw = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
           .select(col("doc_id").as("src"),
                   explode(sequence(lit(1), (lit(1L) + pmod(col("doc_id"), lit(2L)))
@@ -350,7 +350,7 @@ object Round8 {
       (s, d) => {
         val n = s.sparkContext.defaultParallelism
         val docs = Tables(s, d, "documents").select(col("doc_id"))
-        val nRows = docs.count()
+        val nRows = Tables.rowCount(s, d, "documents")
         val raw = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
           .select(col("doc_id").as("src"),
                   explode(sequence(lit(1), (lit(1L) + pmod(col("doc_id"), lit(2L)))

@@ -183,6 +183,75 @@ object Streams {
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 6) AS sv
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // The PRODUCTION micro-batch sink shape: file stream → foreachBatch →
+    // MERGE INTO the warehouse table (the Sql/Merge copy-on-write
+    // machinery), maxFilesPerTrigger=1 forcing MULTIPLE per-batch merges
+    // that must compose. The update arm uses an ABSOLUTE assignment
+    // (SET price = s.p + 1000, not t.price + 1000) so a replayed
+    // uncommitted batch is idempotent — combined with the checkpointed
+    // source offsets this is the effectively-once upsert discipline
+    // (StreamingSpec additionally proves COMMITTED batches never re-apply
+    // across a stop/restart, using a counting merge that would detect
+    // replay). The DuckDB oracle reproduces the upsert relationally, so
+    // the hash-match proves the streamed merges reach the SQL-standard
+    // result set.
+    "stream_merge_upsert" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = Tables.scratchDir("graft_stream_merge")
+        val srcDir = tmp.resolve("src")
+        java.nio.file.Files.createDirectories(srcDir)
+        val wh = tmp.resolve("wh").toString
+        Tables(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$wh/stream_target")
+        // the urgent orders arrive as a 3-file stream (disjoint keys, so
+        // any batch split reaches the same final table)
+        Tables(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+          .repartition(3)
+          .write.mode("overwrite").parquet(srcDir.toString)
+        val stream = s.readStream
+          .schema(s.read.parquet(srcDir.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+        val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+          batch.createOrReplaceTempView("stream_merge_src")
+          graft.Sql.execute(batch.sparkSession, wh,
+            """MERGE INTO stream_target t
+              |USING (SELECT k, p FROM stream_merge_src) s
+              |ON t.o_orderkey = s.k
+              |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p + 1000
+              |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice)
+              |  VALUES (s.k, s.p)""".stripMargin)
+        }
+        val q = stream.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .foreachBatch(mergeBatch)
+          .start()
+        q.awaitTermination()
+        Tables.canon(
+          s.read.parquet(s"$wh/stream_target")
+            .select(col("o_orderkey"),
+                    round(col("o_totalprice"), 2).as("o_totalprice")))
+      },
+      Some("""WITH f AS (SELECT o_orderkey, o_totalprice FROM orders
+             |           WHERE o_orderstatus = 'F'),
+             |u AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+             |      WHERE o_orderpriority = '1-URGENT')
+             |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
+             |  SELECT f.o_orderkey,
+             |         CASE WHEN u.k IS NULL THEN f.o_totalprice
+             |              ELSE u.p + 1000 END AS o_totalprice
+             |  FROM f LEFT JOIN u ON f.o_orderkey = u.k
+             |  UNION ALL
+             |  SELECT u.k, u.p FROM u LEFT JOIN f ON f.o_orderkey = u.k
+             |  WHERE f.o_orderkey IS NULL)
+             |ORDER BY ALL NULLS FIRST""".stripMargin)),
+
     // Streaming twin of ts_resample_ohlc: the same StreamOps.ohlc runs
     // over MemoryStream in StreamingSpec (stream == batch asserted); the
     // declared batch path gets the DuckDB oracle. Struct-min/max state

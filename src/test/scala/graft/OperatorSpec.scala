@@ -466,4 +466,36 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq
     assert(got == Seq(1 + 3 + 4, 0), s"got $got")
   }
+
+  // source_avro_roundtrip's machinery: schema fidelity (types AND the
+  // null/union encoding), value identity including nulls and non-ASCII
+  // strings, and the splittable multi-file layout (one container file per
+  // partition — the property that gives one task per split at scale).
+  test("avro roundtrip preserves schema, nulls, and partition-file layout") {
+    val sp = spark; import sp.implicits._
+    val tmp = Tables.scratchDir("graft_avro_spec")
+    val out = tmp.resolve("t").toString
+    val df = Seq(
+        (1L, Some("alpha"), Some(1.5), Some(10)),
+        (2L, None, None, None),
+        (3L, Some("naïve 😀"), Some(-0.25), Some(-7)))
+      .toDF("id", "s", "x", "k")
+      .select(col("id"), col("s"), col("x"), col("k").cast("int"))
+      .repartition(3)
+    graft.sources.Avro.write(df, out)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .filter(p => p.getFileName.toString.endsWith(".avro")).count()
+    assert(files == 3, s"expected 3 avro container files, got $files")
+    val back = graft.sources.Avro.read(sp, out, df.schema)
+    assert(back.schema == df.schema,
+      s"schema drifted: ${back.schema} vs ${df.schema}")
+    val got = back.orderBy("id").collect().toSeq
+    val want = df.orderBy("id").collect().toSeq
+    assert(got == want, s"roundtrip values drifted: $got vs $want")
+    // the avro schema itself encodes nullability as union {null, T}
+    val sch = graft.sources.Avro.avroSchemaFor(df.schema, "t")
+    assert(sch.getField("s").schema().getTypes.get(0).getType
+             == org.apache.avro.Schema.Type.NULL,
+      s"nullable field not a null-first union: ${sch.getField("s").schema()}")
+  }
 }

@@ -350,6 +350,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.sorted == expect.sorted, s"resumed output wrong: $rows")
   }
 
+  // The upsert-sink counterpart of the restart test above: foreachBatch +
+  // MERGE with a COUNTING update arm (cnt = t.cnt + 1 — deliberately
+  // non-idempotent so any replay is visible), stop, add a file, restart
+  // from the same checkpoint. Exactly-once means the restarted query
+  // merges ONLY the new file: a key seen in run 1 keeps cnt=1, a key seen
+  // in both files reaches exactly 2.
+  test("foreachBatch MERGE restart applies only uncommitted batches") {
+    val sp = spark; import sp.implicits._
+    val tmp = Tables.scratchDir("graft_stream_mergechk")
+    val src = tmp.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    val wh = tmp.resolve("wh").toString
+    val chk = tmp.resolve("ckpt").toString
+    sp.range(1, 5).selectExpr("id AS k", "CAST(0 AS BIGINT) AS cnt")
+      .write.parquet(s"$wh/t")
+    def addFile(name: String, keys: Seq[Long]): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
+      keys.toDF("k").coalesce(1).write.parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).filter(
+        p => p.getFileName.toString.startsWith("part-")).findFirst.get
+      java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val stream = sp.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+      val mergeBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (batch, _) => {
+          batch.createOrReplaceTempView("mb_src")
+          Sql.execute(batch.sparkSession, wh,
+            """MERGE INTO t tt USING (SELECT k FROM mb_src) s ON tt.k = s.k
+              |WHEN MATCHED THEN UPDATE SET cnt = tt.cnt + 1
+              |WHEN NOT MATCHED THEN INSERT (k, cnt) VALUES (s.k, 1)"""
+              .stripMargin)
+        }
+      val q = stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        .foreachBatch(mergeBatch)
+        .start()
+      q.awaitTermination()
+    }
+    addFile("a", Seq(1L, 2L)); runOnce()
+    addFile("b", Seq(2L, 9L)); runOnce()
+    val got = sp.read.parquet(s"$wh/t").as[(Long, Long)].collect().toMap
+    val expect = Map(1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 0L, 9L -> 1L)
+    assert(got == expect,
+      s"restart replayed or lost a batch: got $got, expected $expect")
+  }
+
   test("session windows merge while gap <= 10 min and split when gap > 10 min") {
     val sp = spark; import sp.implicits._
     val data = Seq(
