@@ -298,9 +298,13 @@ object Pipeline {
             col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val scored = broadcast(cand)
+    // the candidate-pair table grows with the corpus (band-bucket density)
+    // — never broadcast it; both shingle-set joins are pinned shuffle_hash
+    // so every task's build side is one partition, not the corpus
+    val scored = cand
+      .repartition(n, col("id_a"))
       .join(withSh.select(col("doc_id").as("id_a"), col("hs").as("ha"))
-              .repartition(n, col("id_a")), "id_a")
+              .hint("shuffle_hash"), "id_a")
       .join(withSh.select(col("doc_id").as("id_b"), col("hs").as("hb"))
               .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),

@@ -151,13 +151,15 @@ object PipelineExt {
           .select(col("a.label").as("label"),
                   col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
           .distinct()
-        // exact-cosine verify of candidates only; broadcast the small pair
-        // table, stream the embeddings (same shape as sim_ann_lsh; the
-        // id_b side is pinned shuffle_hash so the planner can't broadcast
-        // the raw vector table)
-        broadcast(cand)
+        // exact-cosine verify of candidates only. The candidate-pair table
+        // grows with bucket density (same argument as sim_ann_lsh, round-10
+        // ScaleProbe), so it is never broadcast — both vector joins are
+        // pinned shuffle_hash on the pair keys, bounding every task by its
+        // partition instead of the corpus.
+        cand
+          .repartition(n, col("id_a"))
           .join(all.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-                  .repartition(n, col("id_a")), "id_a")
+                  .hint("shuffle_hash"), "id_a")
           .join(all.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
                   .hint("shuffle_hash"), "id_b")
           .withColumn("cos", round(VectorOps.cosine(col("ea"), col("eb")), 6))
@@ -193,6 +195,19 @@ object PipelineExt {
       (s, d) => {
         val n = s.sparkContext.defaultParallelism
         val emb = Tables(s, d, "embeddings")
+        // Adaptive bit budget: with FIXED bits, vectors-per-bucket grows
+        // linearly with the corpus and candidate pairs quadratically (the
+        // round-10 ScaleProbe measured exactly that). Holding expected
+        // occupancy ~64 (bits = log2(N/64), clamped to [4, 12]) keeps
+        // pairs-per-vector roughly constant — the standard LSH scale
+        // knob; the hyperplanes stay compile-time-deterministic (the LCG
+        // just emits tables × bits of them). At the sf0.001/0.01 fixture
+        // scales the clamp keeps the historical 4 bits, so the recall
+        // bound test and the CORRECTNESS row shape are unchanged.
+        val nVec = Tables.rowCount(s, d, "embeddings")
+        def ceilLog2(x: Long): Int =
+          if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+        val annBits = math.min(12, math.max(SrpBitsPerTable, ceilLog2(nVec / 64)))
         // Dedup candidate id-pairs across tables BEFORE scoring: a pair can
         // collide in up to 8 tables, and shuffling two longs is far cheaper
         // than computing (and carrying) cosines 8×. The bucket self-join is
@@ -203,7 +218,7 @@ object PipelineExt {
         // single-task at sf0.1).
         val withB = emb
           .select(col("vec_id"),
-                  posexplode(srpTableKeys(SrpTables, SrpBitsPerTable)).as(Seq("tbl", "bucket")))
+                  posexplode(srpTableKeys(SrpTables, annBits)).as(Seq("tbl", "bucket")))
           .repartition(n, col("tbl"), col("bucket"))
         val pairs = withB.as("a")
           .join(withB.as("b").hint("shuffle_hash"),
@@ -211,20 +226,24 @@ object PipelineExt {
                 col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
           .distinct()
-        // Scoring join: broadcast the SMALL side — the deduped candidate
-        // pairs — and stream/shuffle the embeddings table (the same shape
-        // dedup_near_minhash uses). Broadcasting `emb` here would OOM at a
-        // billion vectors, so the id_b join is pinned shuffle_hash (without
-        // the hint the planner broadcasts the raw table at bench scale).
-        // Norms are computed ONCE per vector, not per pair — same doubles,
-        // sqrt(dot(v,v)) either way, 1 dot per pair instead of 3.
+        // Scoring join: NOTHING here may broadcast. The embeddings table is
+        // corpus-sized, and the deduped candidate-pair set grows with
+        // bucket DENSITY (pairs-per-bucket is quadratic in vectors-per-
+        // bucket under a fixed bit budget) — the round-10 ScaleProbe
+        // caught an earlier broadcast(pairs) OOMing at just 10× sf0.1.
+        // Both joins are pinned shuffle_hash on the pair keys: each task
+        // builds only its partition's slice, so memory stays bounded by
+        // the partition, not the corpus. Norms are computed ONCE per
+        // vector, not per pair — same doubles, sqrt(dot(v,v)) either way,
+        // 1 dot per pair instead of 3.
         val embV = emb
           .select(col("vec_id"), col("embedding"),
                   sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
-        broadcast(pairs)
+        pairs
+          .repartition(n, col("id_a"))
           .join(embV.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
                             col("nrm").as("na"))
-                  .repartition(n, col("id_a")), "id_a")
+                  .hint("shuffle_hash"), "id_a")
           .join(embV.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
                             col("nrm").as("nb"))
                   .hint("shuffle_hash"), "id_b")

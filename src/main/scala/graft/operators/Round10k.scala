@@ -118,8 +118,10 @@ object Round10k {
           .filter(col("d2") <= 100L * 100L)
           .select("id_a", "id_b", "d2")
           .localCheckpoint(true)
+        // `best` has one row per point — corpus-sized, so the argmin
+        // re-join must shuffle, never broadcast (round-10 probe family)
         val best = cand.groupBy("id_a").agg(min(col("d2")).as("min_d2"))
-        cand.join(broadcast(best), "id_a")
+        cand.join(best.hint("shuffle_hash"), "id_a")
           .filter(col("d2") === col("min_d2"))
           .groupBy(col("id_a").as("c_custkey"))
           .agg(min(col("id_b")).as("nearest_id"), max(col("min_d2")).as("d2"))

@@ -62,11 +62,17 @@ object Round4 {
     // keys don't cover (they see token sets; Levenshtein sees character
     // edits, catching typo-grade dups). Quadratic in the BLOCK, never the
     // corpus: pairs form only within (lang, source) and the distance runs
-    // on a fixed 40-char prefix, so per-pair cost is bounded O(40²). At
-    // 100 TB the block key keeps each group executor-sized; a hotter
-    // corpus would sub-block by length band, same shape. Threshold 20 on a
-    // 40-char prefix admits only the planted near-dups (random word-soup
-    // pairs measure ≥21, probed at sf0.01/sf0.1).
+    // on a fixed 40-char prefix, so per-pair cost is bounded O(40²).
+    // SCALE HONESTY (round-10 ScaleProbe): the fixture's (lang, source)
+    // cardinality is fixed, so blocks grow with the corpus and pair count
+    // grows quadratically — the probe measured 18× time at 10× data. That
+    // is the exact-all-pairs-in-block LOWER BOUND of this declared
+    // semantics (radius 20 of 40 chars defeats every lossless banding:
+    // pigeonhole needs 21 bands of <2 chars). The linear-scaling
+    // production shape is the candidate-gated variant declared right
+    // below (dedup_edit_candidates). Threshold 20 on a 40-char prefix
+    // admits only the planted near-dups (random word-soup pairs measure
+    // ≥21, probed at sf0.01/sf0.1).
     "dedup_edit_distance" -> Decl(
       (s, d) => {
         val p = Tables(s, d, "documents")
@@ -103,6 +109,75 @@ object Round4 {
              |FROM p a JOIN p b
              |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
              |WHERE levenshtein(a.p, b.p) <= 20
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // The LINEAR-scaling edit-distance dedup: candidate pairs come from
+    // the df≤32-capped word-bigram inverted index (dedup_ngram_jaccard's
+    // exact candidate rule — pairs per doc bounded by df·|shingles|, not
+    // block size), then the O(len·threshold) banded Levenshtein verifies
+    // candidates only. The candidate gate is PART of the declared
+    // semantics (mirrored exactly in the oracle), the same contract
+    // discipline as the df cap in dedup_ngram_jaccard: typo-grade dups
+    // share almost all bigrams, so rare-shingle co-occurrence recovers
+    // them without ever enumerating a block. Candidate and verify joins
+    // are all pinned shuffle_hash — nothing corpus-sized broadcasts.
+    "dedup_edit_candidates" -> Decl(
+      (s, d) => {
+        val n = s.sparkContext.defaultParallelism
+        val p = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+                  substring(col("text"), 1, 40).as("p"),
+                  split(col("text"), " ").as("t"))
+        val sh = p.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("lang"), col("source"),
+                  explode(expr("array_distinct(transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', t[i + 1])))"))
+                    .as("g"))
+        val dfc = sh.groupBy("lang", "source", "g").agg(count(lit(1)).as("df"))
+        // the distinct-shingle df table grows with the corpus — pin the
+        // cap join shuffle_hash so it can never broadcast
+        val kept = sh
+          .join(dfc.filter(col("df") <= 32).drop("df").hint("shuffle_hash"),
+                Seq("lang", "source", "g"))
+          .repartition(n, col("lang"), col("source"), col("g"))
+        val cand = kept.as("a")
+          .join(kept.as("b").hint("shuffle_hash"),
+                col("a.lang") === col("b.lang") &&
+                col("a.source") === col("b.source") &&
+                col("a.g") === col("b.g") &&
+                col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        cand
+          .repartition(n, col("id_a"))
+          .join(p.select(col("doc_id").as("id_a"), col("p").as("pa"))
+                  .hint("shuffle_hash"), "id_a")
+          .join(p.select(col("doc_id").as("id_b"), col("p").as("pb"))
+                  .hint("shuffle_hash"), "id_b")
+          .withColumn("dist", levenshtein(col("pa"), col("pb"), 20))
+          .filter(col("dist") >= 0)
+          .select("id_a", "id_b", "dist")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH p AS (SELECT doc_id, lang, source, substring(text, 1, 40) AS p,
+             |                  string_split(text, ' ') AS t
+             |           FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, lang, source, g FROM (
+             |  SELECT doc_id, lang, source,
+             |         unnest(list_transform(generate_series(1, len(t) - 1),
+             |                               i -> t[i] || ' ' || t[i + 1])) AS g
+             |  FROM p WHERE len(t) >= 2)),
+             |dfx AS (SELECT lang, source, g, count(*) AS df
+             |        FROM sh GROUP BY 1, 2, 3),
+             |kept AS (SELECT sh.doc_id, sh.lang, sh.source, sh.g
+             |         FROM sh JOIN dfx USING (lang, source, g) WHERE df <= 32),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM kept a JOIN kept b
+             |           ON a.lang = b.lang AND a.source = b.source
+             |          AND a.g = b.g AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, levenshtein(pa.p, pb.p) AS dist
+             |FROM cand JOIN p pa ON pa.doc_id = id_a
+             |          JOIN p pb ON pb.doc_id = id_b
+             |WHERE levenshtein(pa.p, pb.p) <= 20
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ------------------------------------------------------------- agg

@@ -239,9 +239,12 @@ object Round6 {
                 col("q.band") === col("x.band") && col("q.sig") === col("x.sig"))
           .select(col("q.doc_id").as("delta_id"), col("x.doc_id").as("base_id"))
           .distinct()
-        broadcast(cand)
+        // candidates grow with delta × bucket density — never broadcast;
+        // shuffle_hash keeps each task's build side partition-bounded
+        cand
+          .repartition(n, col("delta_id"))
           .join(withSh.select(col("doc_id").as("delta_id"), col("hs").as("hq"))
-                  .repartition(n, col("delta_id")), "delta_id")
+                  .hint("shuffle_hash"), "delta_id")
           .join(withSh.select(col("doc_id").as("base_id"), col("hs").as("hx"))
                   .hint("shuffle_hash"), "base_id")
           .select(col("delta_id"), col("base_id"),

@@ -467,6 +467,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Seq(1 + 3 + 4, 0), s"got $got")
   }
 
+  // The candidate-gated edit-distance dedup must recover the FULL
+  // all-pairs result on the fixture (typo-grade dups share bigrams, so
+  // the df-capped inverted index loses nothing here) — the linear-scaling
+  // key is only a valid substitute while this recall-1.0 property holds.
+  test("dedup_edit_candidates equals the all-pairs edit-distance result") {
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = pairs("dedup_edit_distance")
+    val gated = pairs("dedup_edit_candidates")
+    assert(gated == full, s"candidate gate lost pairs: full=$full gated=$gated")
+  }
+
   // source_avro_roundtrip's machinery: schema fidelity (types AND the
   // null/union encoding), value identity including nulls and non-ASCII
   // strings, and the splittable multi-file layout (one container file per

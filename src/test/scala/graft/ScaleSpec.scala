@@ -631,6 +631,27 @@ class ScaleSpec extends AnyFunSuite {
       s"agg_lorenz_curve regressed beyond the decile spine: $lorenz")
   }
 
+  // Round-10 (ScaleProbe finding): the pair-verify joins used to
+  // broadcast their candidate-pair tables — which grow with bucket
+  // density / corpus size, OOMing at just 10× sf0.1 (sim_ann_lsh measured
+  // it). Every input of these keys scales with the corpus, so their plans
+  // must contain NO BroadcastExchange at all: candidate and vector/
+  // shingle joins are pinned shuffle_hash, bounding each task's build
+  // side by its partition. A broadcast reappearing here is the
+  // billion-row OOM seed, whatever the local size estimate says.
+  test("pair-pipeline verify joins never broadcast (corpus-growing sides)") {
+    val keys = Seq("sim_ann_lsh", "dedup_embedding_cosine",
+                   "dedup_near_minhash", "dedup_near_incremental",
+                   "dedup_edit_candidates", "join_nearest_geo")
+    val offenders = keys.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastExchange")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"corpus-growing side broadcast in: $offenders")
+  }
+
   // Round-8: the exact-k hash sample must plan as TakeOrderedAndProject —
   // per-partition bounded heaps merged on the driver (k·partitions rows)
   // — never a global Sort exchange, which materializes the full corpus
