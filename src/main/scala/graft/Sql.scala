@@ -118,12 +118,45 @@ object Sql {
     * then recorded in the persistent catalog (recording first would
     * persist ill-typed declarations). DELETE/UPDATE on warehouse tables
     * run as copy-on-write rewrites. Returns the result for rendering. */
+  /** QUALIFY clause support (source-to-source, the same injection
+    * altitude as the ADT grammar): Spark's parser has no QUALIFY, so a
+    * top-level `... QUALIFY <pred> [ORDER BY …] [LIMIT …]` lowers to
+    *
+    *   SELECT * EXCEPT (__qual) FROM (
+    *     SELECT __q.*, (<pred>) AS __qual FROM ( <head> ) AS __q
+    *   ) WHERE __qual [ORDER BY …] [LIMIT …]
+    *
+    * which evaluates window functions in the predicate over the SELECT's
+    * output rows — the standard QUALIFY semantics, with the documented
+    * restriction that the predicate sees selected columns/aliases (not
+    * dropped base columns). Subquery-level QUALIFY is out of scope: the
+    * scan is depth-0 only.
+    */
+  private[graft] def rewriteQualify(text: String): String = {
+    val qIdx = topLevelKeywordIndex(text, "QUALIFY")
+    if (qIdx < 0) return text
+    val head = text.substring(0, qIdx)
+    val rest = text.substring(qIdx + "QUALIFY".length)
+    val stops = Seq("ORDER", "LIMIT")
+      .map(k => topLevelKeywordIndex(rest, k)).filter(_ >= 0)
+    val cut = if (stops.isEmpty) rest.length else stops.min
+    val pred = rest.substring(0, cut).trim
+    val tail = rest.substring(cut)
+    require(pred.nonEmpty, s"QUALIFY: empty predicate in: $text")
+    s"""SELECT * EXCEPT (__qual) FROM (
+       |SELECT __q.*, ($pred) AS __qual FROM ( $head ) AS __q
+       |) WHERE __qual $tail""".stripMargin
+  }
+
   /** Run SQL text through the ADT-aware path: the injected parser if this
-    * session has it, the source-to-source rewriter otherwise. */
-  private[graft] def runSql(spark: SparkSession, text: String): DataFrame =
+    * session has it, the source-to-source rewriter otherwise. QUALIFY
+    * lowers first in both paths (neither parser knows it natively). */
+  private[graft] def runSql(spark: SparkSession, text: String): DataFrame = {
+    val t = rewriteQualify(text)
     if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser])
-      spark.sql(text)
-    else graft.adt.AdtSql.sql(spark, text)
+      spark.sql(t)
+    else graft.adt.AdtSql.sql(spark, t)
+  }
 
   def execute(spark: SparkSession, warehouse: String, stmt: String): DataFrame = {
     def rewriteExpr(text: String): String =
