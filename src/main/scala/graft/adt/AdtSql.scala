@@ -34,7 +34,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AdtSql {
 
-  /** One variant: constructor tag + named, Spark-DDL-typed payload fields. */
+  /** One variant: constructor tag + named, Spark-DDL-typed payload fields.
+    * In a parametric type's template the field-type text may reference the
+    * type parameters by name; [[TypeDef.instantiate]] substitutes them. */
   final case class VariantDef(tag: String, fields: Seq[(String, String)]) {
     def fieldName: String = tag.toLowerCase
     /** DDL of the payload struct (payload-less variants carry `present`
@@ -44,9 +46,44 @@ object AdtSql {
       else fields.map { case (n, t) => s"$n: $t" }.mkString("STRUCT<", ", ", ">")
   }
 
-  final case class TypeDef(name: String, variants: Seq[VariantDef]) {
+  /** `params` non-empty makes this a GENERIC template (`CREATE TYPE
+    * Maybe<T> = Just(value T) | Nothing`): constructors must instantiate it
+    * with concrete Spark-DDL type arguments (`Maybe<BIGINT>.Just(x)`),
+    * while MATCH needs no instantiation at all — pattern lowering only
+    * reads tags and payload accessors, which are parameter-independent. */
+  final case class TypeDef(name: String, variants: Seq[VariantDef],
+                           params: Seq[String] = Nil) {
     def variant(tag: String): Option[VariantDef] =
       variants.find(_.tag.equalsIgnoreCase(tag))
+
+    /** Monomorphize: substitute each parameter word (case-insensitive,
+      * whole-word so `T` never rewrites `TIMESTAMP`) with its concrete
+      * type argument inside every field-type text. */
+    def instantiate(typeArgs: Seq[String]): TypeDef = {
+      if (typeArgs.length != params.length)
+        fail(s"type $name takes ${params.length} type argument(s) " +
+          s"<${params.mkString(", ")}>, got ${typeArgs.length}")
+      val sub = params.map(_.toLowerCase).zip(typeArgs.map(_.trim)).toMap
+      val word = "[A-Za-z_][A-Za-z_0-9]*".r
+      def apply(t: String): String =
+        word.replaceAllIn(t, m => java.util.regex.Matcher.quoteReplacement(
+          sub.getOrElse(m.matched.toLowerCase, m.matched)))
+      val mono = copy(
+        name = s"$name<${typeArgs.mkString(", ")}>",
+        variants = variants.map(v => v.copy(fields = v.fields.map {
+          case (fn, ft) => fn -> apply(ft)
+        })),
+        params = Nil)
+      // validate the substituted DDL eagerly — a bad type argument fails
+      // at the constructor site with the instantiated type named
+      mono.variants.foreach(_.fields.foreach { case (fn, ft) =>
+        try org.apache.spark.sql.types.DataType.fromDDL(ft)
+        catch { case e: Exception =>
+          fail(s"${mono.name}: field $fn has bad instantiated type '$ft': ${e.getMessage}")
+        }
+      })
+      mono
+    }
   }
 
   /** Session-scoped type catalog (the reference's CREATE TYPE registers in
@@ -137,7 +174,7 @@ object AdtSql {
   // ------------------------------------------------------------ CREATE TYPE
 
   private val CreateType =
-    """(?is)^\s*CREATE\s+TYPE\s+([A-Za-z_][A-Za-z_0-9]*)\s*=\s*(.+?)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TYPE\s+([A-Za-z_][A-Za-z_0-9]*)\s*(?:<\s*([A-Za-z_][A-Za-z_0-9]*(?:\s*,\s*[A-Za-z_][A-Za-z_0-9]*)*)\s*>)?\s*=\s*(.+?)\s*;?\s*$""".r
 
   /** Does this statement declare a type? (If so, [[sql]]/the injected parser
     * registers it instead of delegating the text to Spark.) */
@@ -145,23 +182,38 @@ object AdtSql {
 
   /** The declared type name, if the statement is a CREATE TYPE. */
   def createTypeName(text: String): Option[String] = text match {
-    case CreateType(name, _) => Some(name)
+    case CreateType(name, _, _) => Some(name)
     case _ => None
   }
 
   /** `TEXT` is the reference's string type name; everything else must be
     * Spark DDL, validated eagerly so a bad CREATE TYPE fails at declaration
-    * (not first use). */
-  private def normType(t: String): String = {
+    * (not first use). In a generic template, type-parameter words are
+    * stand-ins: validation substitutes STRING for each parameter (any
+    * parameter admits any concrete type, so one witness suffices) and the
+    * raw text — parameters included — is what the template stores. */
+  private def normType(t: String, params: Seq[String]): String = {
     val norm = if (t.trim.equalsIgnoreCase("text")) "STRING" else t.trim
-    try org.apache.spark.sql.types.DataType.fromDDL(norm)
+    val probe =
+      if (params.isEmpty) norm
+      else {
+        val ps = params.map(_.toLowerCase).toSet
+        "[A-Za-z_][A-Za-z_0-9]*".r.replaceAllIn(norm,
+          m => if (ps.contains(m.matched.toLowerCase)) "STRING" else m.matched)
+      }
+    try org.apache.spark.sql.types.DataType.fromDDL(probe)
     catch { case e: Exception => fail(s"bad field type '$t': ${e.getMessage}") }
     norm
   }
 
   /** Parse + register a CREATE TYPE statement; returns the TypeDef. */
   def createType(spark: SparkSession, text: String): TypeDef = text match {
-    case CreateType(name, body) =>
+    case CreateType(name, paramsTxt, body) =>
+      val params: Seq[String] =
+        if (paramsTxt == null) Nil
+        else paramsTxt.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      if (params.map(_.toLowerCase).distinct.length != params.length)
+        fail(s"duplicate type parameters in type $name<${params.mkString(", ")}>")
       // split variants on top-level '|' (parens may nest DECIMAL(10,2) etc)
       val parts = {
         val b = Seq.newBuilder[String]
@@ -179,9 +231,23 @@ object AdtSql {
       val variants = parts.map {
         case VariantRe(tag, null) => VariantDef(tag, Nil)
         case VariantRe(tag, fieldsTxt) =>
-          val fields = fieldsTxt.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { f =>
+          // split fields on commas at zero ()/<> depth — DECIMAL(10,2),
+          // MAP<STRING, BIGINT> and friends keep their inner commas
+          val fieldParts = {
+            val b = Seq.newBuilder[String]
+            var depth = 0; var last = 0
+            for (i <- fieldsTxt.indices) fieldsTxt(i) match {
+              case '(' | '<' => depth += 1
+              case ')' | '>' => depth -= 1
+              case ',' if depth == 0 => b += fieldsTxt.substring(last, i); last = i + 1
+              case _ =>
+            }
+            b += fieldsTxt.substring(last)
+            b.result().map(_.trim).filter(_.nonEmpty)
+          }
+          val fields = fieldParts.map { f =>
             f.split("\\s+", 2) match {
-              case Array(fn, ft) => fn -> normType(ft)
+              case Array(fn, ft) => fn -> normType(ft, params)
               case _ => fail(s"variant $tag: field '$f' needs '<name> <type>'")
             }
           }
@@ -192,7 +258,13 @@ object AdtSql {
       val tags = variants.map(_.tag.toLowerCase)
       if (tags.distinct != tags) fail(s"duplicate variant tags in type $name")
       if (tags.contains("tag")) fail(s"variant name 'tag' collides with the discriminator field")
-      val td = TypeDef(name, variants)
+      if (params.nonEmpty && variants.forall(_.fields.forall { case (_, ft) =>
+            !lex(ft).exists { case Word(_, _, w) =>
+              params.exists(_.equalsIgnoreCase(w)); case _ => false }
+          }))
+        fail(s"type $name<${params.mkString(", ")}> declares parameters " +
+          "but no field uses them — drop the parameter list")
+      val td = TypeDef(name, variants, params)
       registry.keySet.removeIf(_._1.sparkContext.isStopped)
       registry.put((spark, name.toLowerCase), td) // CREATE OR REPLACE semantics
       td
@@ -217,37 +289,108 @@ object AdtSql {
     (s"'tag', '${v.tag}'" +: payloads).mkString("named_struct(", ", ", ")")
   }
 
-  /** Rewrite the FIRST `TypeName.Variant(args)` call; None if there is none. */
+  /** Split a constructor-call argument token span on top-level commas. */
+  private def splitArgs(text: String, inner: Vector[Tok]): Seq[String] =
+    if (inner.isEmpty) Seq.empty[String]
+    else {
+      val b = Seq.newBuilder[String]
+      var depth = 0
+      var segStart = inner.head.start
+      for (t <- inner) t match {
+        case Punct(p, _, ',') if depth == 0 =>
+          b += text.substring(segStart, p); segStart = p + 1
+        case Punct(_, _, '(') => depth += 1
+        case Punct(_, _, ')') => depth -= 1
+        case _ =>
+      }
+      b += text.substring(segStart, inner.last.end)
+      b.result().map(_.trim)
+    }
+
+  /** Index (in `toks`) just past the '>' matching the '<' at `open`, or
+    * -1 if none closes it (then the '<' was a comparison, not type
+    * arguments). Only '<'/'>' adjust depth — type-argument DDL contains
+    * no comparison operators, and parens (DECIMAL(10,2)) pass through
+    * untouched. */
+  private def closeAngle(toks: Vector[Tok], open: Int): Int = {
+    var depth = 0
+    var j = open
+    while (j < toks.length) {
+      toks(j) match {
+        case Punct(_, _, '<') => depth += 1
+        case Punct(_, _, '>') =>
+          depth -= 1
+          if (depth == 0) return j + 1
+        case _ =>
+      }
+      j += 1
+    }
+    -1
+  }
+
+  /** Rewrite the FIRST `TypeName.Variant(args)` or
+    * `TypeName<TypeArgs>.Variant(args)` call; None if there is none. A
+    * generic template instantiates at each constructor site (the
+    * turbofish discipline: the writer names the payload type, nothing is
+    * inferred), and distinct instantiations coexist freely — each call
+    * emits its own concrete struct DDL. */
   private def rewriteOneConstructor(spark: SparkSession, text: String): Option[String] = {
     val toks = lex(text)
     var j = 0
+    // --- generic form: Word '<' … '>' '.' Word '('
+    while (j + 1 < toks.length) {
+      (toks(j), toks(j + 1)) match {
+        case (Word(s0, _, tn), Punct(_, _, '<')) =>
+          val td = registry.get((spark, tn.toLowerCase))
+          val gEnd = if (td != null && td.params.nonEmpty) closeAngle(toks, j + 1) else -1
+          if (gEnd > 0) {
+            (toks.lift(gEnd), toks.lift(gEnd + 1), toks.lift(gEnd + 2)) match {
+              case (Some(Punct(_, _, '.')), Some(Word(_, _, vt)), Some(Punct(_, _, '('))) =>
+                // split type args on commas at zero <>/() depth
+                val inner = toks.slice(j + 2, gEnd - 1)
+                val typeArgs = {
+                  if (inner.isEmpty) fail(s"type ${td.name} needs type arguments")
+                  val b = Seq.newBuilder[String]
+                  var depth = 0
+                  var segStart = inner.head.start
+                  for (t <- inner) t match {
+                    case Punct(p, _, ',') if depth == 0 =>
+                      b += text.substring(segStart, p); segStart = p + 1
+                    case Punct(_, _, '(') | Punct(_, _, '<') => depth += 1
+                    case Punct(_, _, ')') | Punct(_, _, '>') => depth -= 1
+                    case _ =>
+                  }
+                  b += text.substring(segStart, inner.last.end)
+                  b.result().map(_.trim)
+                }
+                val mono = td.instantiate(typeArgs)
+                val v = mono.variant(vt).getOrElse(
+                  fail(s"type ${mono.name} has no variant $vt (has: ${mono.variants.map(_.tag).mkString(", ")})"))
+                val close = closeParen(toks, gEnd + 2)
+                val argToks = toks.slice(gEnd + 3, close - 1)
+                val args = splitArgs(text, argToks)
+                val repl = constructorSql(mono, v, args)
+                return Some(text.substring(0, s0) + repl + text.substring(toks(close - 1).end))
+              case _ => // a '<' comparison against a column named like the type
+            }
+          }
+        case _ =>
+      }
+      j += 1
+    }
+    j = 0
     while (j + 3 < toks.length) {
       (toks(j), toks(j + 1), toks(j + 2), toks(j + 3)) match {
         case (Word(s0, _, tn), Punct(_, _, '.'), Word(_, _, vt), Punct(_, _, '(')) =>
           val td = registry.get((spark, tn.toLowerCase))
+          if (td != null && td.params.nonEmpty)
+            fail(s"type ${td.name} is generic over <${td.params.mkString(", ")}> — " +
+              s"instantiate the constructor: ${td.name}<…>.$vt(…)")
           if (td != null) {
             val v = td.variant(vt).getOrElse(
               fail(s"type ${td.name} has no variant $vt (has: ${td.variants.map(_.tag).mkString(", ")})"))
             val close = closeParen(toks, j + 3)
-            // split args on top-level commas within the call parens
-            val inner = toks.slice(j + 4, close - 1)
-            val args = {
-              if (inner.isEmpty) Seq.empty[String]
-              else {
-                val b = Seq.newBuilder[String]
-                var depth = 0
-                var segStart = inner.head.start
-                for (t <- inner) t match {
-                  case Punct(p, _, ',') if depth == 0 =>
-                    b += text.substring(segStart, p); segStart = p + 1
-                  case Punct(_, _, '(') => depth += 1
-                  case Punct(_, _, ')') => depth -= 1
-                  case _ =>
-                }
-                b += text.substring(segStart, inner.last.end)
-                b.result().map(_.trim)
-              }
-            }
+            val args = splitArgs(text, toks.slice(j + 4, close - 1))
             val repl = constructorSql(td, v, args)
             return Some(text.substring(0, s0) + repl + text.substring(toks(close - 1).end))
           }

@@ -120,5 +120,65 @@ object AdtQueries {
       Some("""SELECT event_id,
              |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
              |json_extract_string(props, '$.k') AS k_str
-             |FROM events ORDER BY ALL NULLS FIRST""".stripMargin)))
+             |FROM events ORDER BY ALL NULLS FIRST""".stripMargin)),
+
+    // PARAMETRIC sum types: `CREATE TYPE Maybe<T>` declares a generic
+    // template; constructors instantiate it per call site
+    // (`Maybe<BIGINT>.Just(x)` — the turbofish discipline, nothing
+    // inferred) while MATCH needs no instantiation because pattern
+    // lowering reads only tags and payload accessors. Output is
+    // primitive (R5), so the oracle is the algebraically-equal CASE —
+    // which is exactly what Catalyst folds the tagged struct into.
+    "adt_parametric_option" -> Decl(
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        graft.adt.AdtSql.sql(s,
+          "CREATE TYPE Maybe<T> = Just(value T) | Nothing")
+        Tables.canon(graft.adt.AdtSql.sql(s,
+          """SELECT o_orderkey,
+            |  MATCH (CASE WHEN o_totalprice > 200000
+            |              THEN Maybe<BIGINT>.Just(CAST(round(o_totalprice * 100) AS BIGINT))
+            |              ELSE Maybe<BIGINT>.Nothing() END)
+            |    WHEN Just(v) THEN v
+            |    WHEN Nothing THEN CAST(-1 AS BIGINT)
+            |  END AS big_price_c
+            |FROM orders""".stripMargin))
+      },
+      Some("""SELECT o_orderkey,
+             |CASE WHEN o_totalprice > 200000
+             |     THEN CAST(round(o_totalprice * 100) AS BIGINT)
+             |     ELSE CAST(-1 AS BIGINT) END AS big_price_c
+             |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+
+    // Two DIFFERENT instantiations of one two-parameter template in the
+    // same query — Result<TIMESTAMP, STRING> and Result<BIGINT, STRING>
+    // coexist because each constructor site emits its own concrete
+    // struct DDL; both MATCHes resolve to the single Result template.
+    "adt_parametric_result" -> Decl(
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        graft.adt.AdtSql.sql(s,
+          "CREATE TYPE Result<O, E> = Ok(value O) | Err(error E)")
+        Tables.canon(graft.adt.AdtSql.sql(s,
+          """SELECT o_orderkey,
+            |  MATCH (CASE WHEN o_orderstatus = 'F'
+            |              THEN Result<TIMESTAMP, STRING>.Ok(o_orderdate)
+            |              ELSE Result<TIMESTAMP, STRING>.Err(o_orderpriority) END)
+            |    WHEN Ok(dt) THEN 'done:' || CAST(year(dt) AS STRING)
+            |    WHEN Err(e) THEN 'pending:' || e
+            |  END AS outcome,
+            |  MATCH (CASE WHEN o_totalprice >= 100000
+            |              THEN Result<BIGINT, STRING>.Ok(CAST(round(o_totalprice * 100) AS BIGINT))
+            |              ELSE Result<BIGINT, STRING>.Err('small') END)
+            |    WHEN Ok(v)  THEN CAST(v AS STRING)
+            |    WHEN Err(e) THEN e
+            |  END AS big_c
+            |FROM orders""".stripMargin))
+      },
+      Some("""SELECT o_orderkey,
+             |CASE WHEN o_orderstatus = 'F' THEN 'done:' || CAST(year(o_orderdate) AS VARCHAR)
+             |     ELSE 'pending:' || o_orderpriority END AS outcome,
+             |CASE WHEN o_totalprice >= 100000 THEN CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             |     ELSE 'small' END AS big_c
+             |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)))
 }

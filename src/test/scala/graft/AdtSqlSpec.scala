@@ -147,4 +147,50 @@ class AdtSqlSpec extends AnyFunSuite {
       spark.sql("SELECT MATCH (x) WHEN Card(n) THEN n ELSE 'other' END FROM t"))
     assert(e.getMessage.contains("ambiguous"))
   }
+
+  test("parametric type: distinct instantiations coexist, MATCH needs none") {
+    spark.sql("CREATE TYPE Opt<T> = Some(value T) | None")
+    // BIGINT and STRING instantiations in one statement; exhaustive MATCH
+    val r = spark.sql(
+      """SELECT
+        |  MATCH (Opt<BIGINT>.Some(41 + 1)) WHEN Some(v) THEN v + 1 WHEN None THEN 0 END AS a,
+        |  MATCH (Opt<STRING>.None()) WHEN Some(v) THEN v WHEN None THEN 'nil' END AS b""".stripMargin)
+      .head
+    assert(r.getLong(0) == 43L && r.getString(1) == "nil")
+    // nested/complex type arguments: ARRAY<BIGINT> flows through the DDL
+    val arr = spark.sql(
+      "SELECT MATCH (Opt<ARRAY<BIGINT>>.Some(array(1, 2, 3))) " +
+      "WHEN Some(v) THEN size(v) WHEN None THEN -1 END AS n").head
+    assert(arr.getInt(0) == 3)
+  }
+
+  test("parametric type errors: arity, uninstantiated use, bad argument, unused param") {
+    spark.sql("CREATE TYPE Pair<A, B> = MkPair(fst A, snd B)")
+    val arity = intercept[IllegalArgumentException](
+      spark.sql("SELECT Pair<BIGINT>.MkPair(1, 2)"))
+    assert(arity.getMessage.contains("takes 2 type argument"))
+    val bare = intercept[IllegalArgumentException](
+      spark.sql("SELECT Pair.MkPair(1, 2)"))
+    assert(bare.getMessage.contains("instantiate"))
+    val bad = intercept[IllegalArgumentException](
+      spark.sql("SELECT Pair<BIGINT, NOT_A_TYPE>.MkPair(1, 2)"))
+    assert(bad.getMessage.contains("bad instantiated type"))
+    val unused = intercept[IllegalArgumentException](
+      spark.sql("CREATE TYPE Phantom<T> = Tagged(label STRING)"))
+    assert(unused.getMessage.contains("no field uses them"))
+    // a '<' comparison against a column sharing a generic type's name
+    // must NOT trigger instantiation
+    val cmp = spark.sql("SELECT count(*) AS n FROM (SELECT 1 AS pair) WHERE pair < 2").head
+    assert(cmp.getLong(0) == 1L)
+  }
+
+  test("parametric constructor encodes the instantiated struct schema") {
+    spark.sql("CREATE TYPE Opt<T> = Some(value T) | None")
+    val df = spark.sql("SELECT Opt<DECIMAL(10,2)>.Some(CAST(1.50 AS DECIMAL(10,2))) AS o")
+    val someField = df.schema("o").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("some").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("value").dataType
+    assert(someField == org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(df.head.getStruct(0).getString(0) == "Some")
+  }
 }
