@@ -148,11 +148,81 @@ object Sql {
        |) WHERE __qual $tail""".stripMargin
   }
 
+  /** Index just past the ')' matching the '(' at `open` (quote-aware). */
+  private def matchParen(text: String, open: Int): Int = {
+    var depth = 0; var i = open
+    while (i < text.length) {
+      text(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          while (i < text.length && text(i) != q) {
+            if (text(i) == '\\' && q != '`' && i + 1 < text.length) i += 2 else i += 1
+          }
+          i += 1
+        case '(' => depth += 1; i += 1
+        case ')' =>
+          depth -= 1; i += 1
+          if (depth == 0) return i
+        case _ => i += 1
+      }
+    }
+    throw new IllegalArgumentException(s"unbalanced parens in: $text")
+  }
+
+  /** DISTINCT ON support (source-to-source, same altitude as QUALIFY):
+    * Spark's parser has no `SELECT DISTINCT ON (keys) …`, so a top-level
+    * occurrence lowers to the standard row_number() window —
+    *
+    *   SELECT * EXCEPT (__rn) FROM (
+    *     SELECT __q.*, row_number() OVER (PARTITION BY keys
+    *                                      ORDER BY sorts) AS __rn
+    *     FROM ( SELECT … ) AS __q
+    *   ) WHERE __rn = 1 ORDER BY sorts [LIMIT …]
+    *
+    * An ORDER BY is REQUIRED: it is what picks the row each group keeps
+    * (DuckDB/Postgres without one keep an arbitrary row — a
+    * nondeterminism this engine's oracle discipline forbids). Sort keys
+    * must be selected columns (the same visibility QUALIFY has); the
+    * scan is depth-0 only, like QUALIFY.
+    */
+  private[graft] def rewriteDistinctOn(text: String): String = {
+    val dIdx = topLevelKeywordIndex(text, "DISTINCT")
+    if (dIdx < 0) return text
+    val afterD = text.substring(dIdx + "DISTINCT".length)
+    val onOff = afterD.takeWhile(_.isWhitespace).length
+    if (!afterD.substring(onOff).toUpperCase.startsWith("ON")) return text
+    val openRel = afterD.indexOf('(', onOff)
+    require(openRel >= 0 && afterD.substring(onOff + 2, openRel).isBlank,
+      s"DISTINCT ON needs a parenthesized key list in: $text")
+    val open = dIdx + "DISTINCT".length + openRel
+    val close = matchParen(text, open)
+    val keys = text.substring(open + 1, close - 1).trim
+    require(keys.nonEmpty, s"DISTINCT ON: empty key list in: $text")
+    val oIdx = topLevelKeywordIndex(text, "ORDER")
+    require(oIdx > close,
+      "DISTINCT ON without ORDER BY keeps an arbitrary row per group — " +
+      s"add a total ORDER BY: $text")
+    val limIdx = topLevelKeywordIndex(text, "LIMIT")
+    val sortsEnd = if (limIdx > oIdx) limIdx else text.length
+    val sorts = {
+      val afterO = text.substring(oIdx + "ORDER".length, sortsEnd).trim
+      require(afterO.toUpperCase.startsWith("BY"), s"expected BY after ORDER in: $text")
+      afterO.substring(2).trim
+    }
+    val limitTail = if (limIdx > oIdx) " " + text.substring(limIdx) else ""
+    val inner = text.substring(0, dIdx) + text.substring(close, oIdx)
+    s"""SELECT * EXCEPT (__rn) FROM (
+       |SELECT __q.*, row_number() OVER (PARTITION BY $keys ORDER BY $sorts) AS __rn
+       |FROM ( $inner ) AS __q
+       |) WHERE __rn = 1 ORDER BY $sorts$limitTail""".stripMargin
+  }
+
   /** Run SQL text through the ADT-aware path: the injected parser if this
-    * session has it, the source-to-source rewriter otherwise. QUALIFY
-    * lowers first in both paths (neither parser knows it natively). */
+    * session has it, the source-to-source rewriter otherwise. QUALIFY and
+    * DISTINCT ON lower first in both paths (neither parser knows them
+    * natively). */
   private[graft] def runSql(spark: SparkSession, text: String): DataFrame = {
-    val t = rewriteQualify(text)
+    val t = rewriteDistinctOn(rewriteQualify(text))
     if (spark.sessionState.sqlParser.isInstanceOf[graft.adt.AdtParser])
       spark.sql(t)
     else graft.adt.AdtSql.sql(spark, t)
