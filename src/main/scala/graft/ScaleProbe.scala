@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * or iterate. A key whose runtime grows super-linearly in FACTOR has a
   * complexity cliff the per-round bench can't see.
   *
-  * Only documents/embeddings-derived keys run here — the TPC-H FK web is
-  * not replicated (remapping orderkey/custkey/partkey consistently is a
-  * fixture-generator job, not a probe's).
+  * Two minting modes: the default replicates documents/embeddings (the
+  * pair-generating/iterative families); `--tpch` replicates the whole
+  * TPC-H FK web with consistent per-replica key offsets ([[mintTpch]])
+  * and defaults to the 22-query suite — the sf1-equivalent scale point
+  * for the relational families.
   *
-  * Usage: runMain graft.ScaleProbe <sfDir> <workDir> <factor> [keys...]
+  * Usage: runMain graft.ScaleProbe <sfDir> <workDir> <factor> [--tpch] [keys...]
   * Prints one JSON line: {"factor":N,"queries":{name:sec,...}}.
   */
 object ScaleProbe {
@@ -58,9 +60,57 @@ object ScaleProbe {
       }
   }
 
+  /** The whole TPC-H suite as declared keys (Q1 = agg_groupby_pricing). */
+  val tpchKeys: Seq[String] =
+    "agg_groupby_pricing" +: (2 to 22).map(i => s"tpch_q$i")
+
+  /** Replicate the TPC-H web ×factor with CONSISTENT key offsets: every
+    * replica shifts orderkey/custkey/partkey/suppkey by r·(max+1) of its
+    * domain, so all FK edges stay inside the replica — the join
+    * selectivities and per-key group sizes of the original are preserved
+    * exactly while facts AND dimensions grow ×factor (what a bigger SF
+    * does). nation/region (and the doc-side tables) stay fixed. */
+  def mintTpch(spark: SparkSession, sfDir: String, workDir: String,
+               factor: Int): Unit = {
+    def load(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+    def domain(df: DataFrame, c: String): Long =
+      df.agg(max(c)).head.getLong(0) + 1
+    val orders = load("orders"); val lineitem = load("lineitem")
+    val customer = load("customer"); val part = load("part")
+    val supplier = load("supplier")
+    val nO = domain(orders, "o_orderkey"); val nC = domain(customer, "c_custkey")
+    val nP = domain(part, "p_partkey"); val nS = domain(supplier, "s_suppkey")
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    def shift(df: DataFrame, offsets: Map[String, Long]): DataFrame = {
+      val cols = df.columns.map { c =>
+        offsets.get(c).map(m => (col(c) + col("rep") * m).as(c)).getOrElse(col(c))
+      }
+      df.crossJoin(reps).select(cols.toIndexedSeq: _*)
+    }
+    shift(orders, Map("o_orderkey" -> nO, "o_custkey" -> nC))
+      .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
+    shift(lineitem, Map("l_orderkey" -> nO, "l_partkey" -> nP, "l_suppkey" -> nS))
+      .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+    shift(customer, Map("c_custkey" -> nC))
+      .write.mode("overwrite").parquet(s"$workDir/customer.parquet")
+    shift(part, Map("p_partkey" -> nP))
+      .write.mode("overwrite").parquet(s"$workDir/part.parquet")
+    shift(supplier, Map("s_suppkey" -> nS))
+      .write.mode("overwrite").parquet(s"$workDir/supplier.parquet")
+    Seq("nation", "region", "events", "documents", "embeddings").foreach { n =>
+      val from = java.nio.file.Paths.get(s"$sfDir/$n.parquet")
+      val to = java.nio.file.Paths.get(s"$workDir/$n.parquet")
+      java.nio.file.Files.deleteIfExists(to)
+      java.nio.file.Files.createSymbolicLink(to, from)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val workDir = args(1); val factor = args(2).toInt
-    val keys = if (args.length > 3) args.drop(3).toSeq else defaultKeys
+    val tpchMode = args.length > 3 && args(3) == "--tpch"
+    val rest = args.drop(if (tpchMode) 4 else 3).toSeq
+    val keys =
+      if (rest.nonEmpty) rest else if (tpchMode) tpchKeys else defaultKeys
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,7 +120,8 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    mint(spark, sfDir, workDir, factor)
+    if (tpchMode) mintTpch(spark, sfDir, workDir, factor)
+    else mint(spark, sfDir, workDir, factor)
     val times = keys.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
