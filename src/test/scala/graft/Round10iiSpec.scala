@@ -50,10 +50,13 @@ class Round10iiSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out.foreach(r => assert(expect(r.getLong(0)) == r.getLong(1)))
     assert(out.length == expect.size)
-    // the rn=1 filter plans as a window group limit, not a full window sort
+    // the rn=1 filter plans bounded: WindowGroupLimit on a stock session,
+    // or graft's native TopKPerKey when the session carries GraftExtensions
+    // (suite order decides which session getOrCreate returns)
     val plan = SparkEntry.queries("sql_distinct_on")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), plan.linesIterator.take(12).mkString("\n"))
+    assert(plan.contains("WindowGroupLimit") || plan.contains("TopKPerKey"),
+      plan.linesIterator.take(12).mkString("\n"))
   }
 
   test("INTERSECT ALL and EXCEPT ALL obey min(m,n) / max(m-n,0) multiset arithmetic") {
