@@ -32,6 +32,45 @@ object PrefixSum {
                  out: String): DataFrame =
     cumsumLongs(df, order, Seq(value -> out))
 
+  /** Append column `out` = running MIN of `value` over all STRICT
+    * predecessors in the total order `order` (exclusive — the current row
+    * does not see itself; the first row gets Long.MaxValue, the "no
+    * predecessor" sentinel). Same two-pass shape as the cumsum: local
+    * exclusive scan + inclusive per-partition totals, then a window over
+    * the ≤#partitions totals and one broadcast join back. The skyline
+    * operator's dominance test is exactly this scan.
+    */
+  def cumminLongExclusive(df: DataFrame, order: Seq[Column], value: Column,
+                          out: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(spark.sparkContext.defaultParallelism, 1)
+    val parted = df.withColumn("__pmv", value.cast("bigint"))
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val vIdx = parted.schema.fieldIndex("__pmv")
+    val schema = parted.schema
+      .add("__lx", LongType, nullable = false)  // exclusive running min
+      .add("__lc", LongType, nullable = false)  // inclusive running min
+    val local = parted.mapPartitions { rows =>
+      var acc = Long.MaxValue
+      rows.map { r =>
+        val prior = acc
+        acc = math.min(acc, r.getLong(vIdx))
+        Row.fromSeq(r.toSeq ++ Seq(prior, acc))
+      }
+    }(Encoders.row(schema)).localCheckpoint(true)
+    val wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(min(col("__lc")).as("__pt"))
+      .select(col("__pid"),
+              coalesce(min(col("__pt")).over(wo), lit(Long.MaxValue))
+                .as("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(out, least(col("__lx"), col("__off")))
+      .drop("__pid", "__pmv", "__lx", "__lc", "__off")
+  }
+
   /** Multi-column variant: several running sums sharing ONE total order
     * and therefore one range exchange + one local pass (text_vocab_growth
     * needs cumulative tokens AND cumulative vocabulary over the same
