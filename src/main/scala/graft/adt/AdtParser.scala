@@ -30,6 +30,24 @@ class AdtParser(session: SparkSession, delegate: ParserInterface)
       delegate.parsePlan(s"SELECT '${td.name}' AS type_created")
     } else delegate.parsePlan(AdtSql.rewrite(session, sqlText))
 
+  /** Spark 4.1 routes `spark.sql(text, args)` through this entry point so
+    * parameter markers bind DURING parsing; the trait's default silently
+    * drops the `ParameterContext` (every `:name` / `?` then surfaces as
+    * UNBOUND_SQL_PARAMETER at analysis). Delegate it explicitly — the
+    * rewrite is still applied, so ADT syntax and bind parameters compose.
+    */
+  override def parsePlanWithParameters(
+      sqlText: String,
+      parameterContext: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    if (AdtSql.isCreateType(sqlText)) {
+      val td = AdtSql.createType(session, sqlText)
+      delegate.parsePlan(s"SELECT '${td.name}' AS type_created")
+    } else {
+      delegate.parsePlanWithParameters(AdtSql.rewrite(session, sqlText),
+                                       parameterContext)
+    }
+
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(AdtSql.rewrite(session, sqlText))
 
