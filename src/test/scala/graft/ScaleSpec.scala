@@ -570,6 +570,7 @@ class ScaleSpec extends AnyFunSuite {
       }
     val allowed: Map[String, String] = Map(
       "agg_benford_deviation"   -> "9 leading digits",
+      "agg_propensity_matching" -> "per-user activity-count grid (behavior domain, not corpus rows)",
       "agg_benjamini_hochberg"  -> "25-nation grid (nation enum, never corpus rows)",
       "agg_best_split_gini"     -> "$50-step threshold spine capped at 20 buckets",
       "agg_ecdf_grid"           -> "fixed $50k grid, <= 11 buckets",
