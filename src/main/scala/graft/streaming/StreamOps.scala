@@ -29,6 +29,18 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sv"))
 
+  /** 1-hour sliding (15-min) distinct-user estimate per window — the
+    * streaming cardinality shape: exact distinct needs unbounded per-key
+    * state, the HLL++ sketch keeps it at a few KB per window and merges
+    * associatively across partitions AND micro-batches (register-wise
+    * max — order-independent, so stream == batch exactly).
+    */
+  def slidingDistinct(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("w.start").as("wstart"), col("approx_users"))
+
   /** Per-user session windows with a 10-minute gap. Spark's boundary
     * semantics (verified in StreamingSpec): the session absorbs events while
     * the gap to the previous event is <= 10 min; only a strictly greater gap
