@@ -28,8 +28,8 @@ object PipelineExt {
   // all 16 signs to agree (collision prob (1-θ/π)^16 ≈ 0.0006 at cos 0.4 —
   // measured empty output); banding trades precision work for recall
   // exactly like MinHash bands.
-  private val SrpTables = 8
-  private val SrpBitsPerTable = 4
+  private[operators] val SrpTables = 8
+  private[operators] val SrpBitsPerTable = 4
   private val SrpBits = SrpTables * SrpBitsPerTable
   // Near-dup prefilter (cos ≥ 0.95) needs BOTH recall ≈ 1 (the exact-verify
   // output must reproduce the all-pairs oracle) and real pruning. Wider
@@ -56,7 +56,7 @@ object PipelineExt {
     * result: pos = table id, value = packed bucket. Shared by the ANN
     * search and the near-dup prefilter.
     */
-  private def srpTableKeys(tables: Int, bitsPerTable: Int): org.apache.spark.sql.Column =
+  private[operators] def srpTableKeys(tables: Int, bitsPerTable: Int): org.apache.spark.sql.Column =
     VectorOps.srpBuckets(
       col("embedding"),
       hyperplanes(tables * bitsPerTable).map(_.toArray).toArray,

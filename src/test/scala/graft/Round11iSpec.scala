@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave-65 bounds: multiprobe candidates are a strict superset of the
+  * single-probe key's (so recall can only rise) and hit a recall floor
+  * against the exact >=0.90 pair set; the Misra-Gries two-pass answer
+  * equals the exact heavy-hitter set by brute force.
+  */
+class Round11iSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.icu.caseMappings.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sim_ann_lsh_multiprobe recalls at least the single-probe pairs") {
+    val multi = SparkEntry.queries("sim_ann_lsh_multiprobe")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // single-probe key reports pairs down to cos 0.3; compare at the
+    // multiprobe key's 0.90 threshold so the superset claim is like-for-like
+    val single = SparkEntry.queries("sim_ann_lsh")(spark, sf)
+      .filter(col("cos") >= 0.90)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi),
+           s"missing ${single -- multi} single-probe pairs")
+
+    // exact >= 0.90 pair set (brute force at sf0.001)
+    val emb = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      i <- emb.indices; j <- (i + 1) until emb.length
+      if cos(emb(i)._2, emb(j)._2) >= 0.90
+    } yield {
+      val (x, y) = (emb(i)._1, emb(j)._1)
+      (math.min(x, y), math.max(x, y))
+    }).toSet
+    if (truth.nonEmpty) {
+      val recall = truth.count(multi).toDouble / truth.size
+      assert(recall >= 0.9, s"multiprobe recall $recall over ${truth.size}")
+      // and strictly no worse than single-probe recall
+      assert(truth.count(multi) >= truth.count(single))
+    }
+  }
+
+  test("agg_heavy_hitters_mg_exact equals the exact heavy-hitter set") {
+    val rows = SparkEntry.queries("agg_heavy_hitters_mg_exact")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val counts = Tables(spark, sf, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = counts.values.sum
+    val want = counts.filter { case (_, c) => c * 64L > n }
+    assert(want.nonEmpty, "fixture has no heavy hitters — test is vacuous")
+    assert(rows == want, s"got ${rows.size} vs ${want.size} exact")
+  }
+}
