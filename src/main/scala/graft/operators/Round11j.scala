@@ -24,56 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Round11j {
 
-  /** Hash-min label propagation to fixpoint over an undirected link set
-    * (c, l) × (src, dst): the contraction step of Borůvka. Labels only
-    * decrease, so a DECIMAL sum probe detects convergence in one cheap
-    * aggregate per pass (the dedup_connected_components discipline —
-    * PipelineExt.scala). Chosen-edge graphs are Borůvka pseudo-forests
-    * (≤1 out-link per component), so the diameter — and the pass count —
-    * is the longest chosen-edge chain, log-bounded in practice; the cap
-    * fails loudly rather than returning a half-contracted forest.
-    */
-  private def minLabelFixpoint(init: DataFrame, links: DataFrame,
-                               cap: Int): DataFrame = {
-    var labels = init.persist()
-    var prev: Option[DataFrame] = None
-    var prevSum = java.math.BigDecimal.valueOf(-1L)
-    var changed = true
-    var iter = 0
-    while (changed && iter < cap) {
-      val nbrMin = labels.join(links, col("c") === col("src"))
-        .groupBy(col("dst")).agg(min(col("l")).as("nbr_min"))
-        .select(col("dst").as("nbr_id"), col("nbr_min"))
-      val step = labels.join(nbrMin, col("c") === col("nbr_id"), "left")
-        .select(col("c"),
-                least(col("l"), coalesce(col("nbr_min"), col("l"))).as("l"))
-      val next =
-        if (iter % 5 == 4) step.localCheckpoint(true) else step.persist()
-      val sumNow = next
-        .agg(coalesce(sum(col("l").cast("decimal(38,0)")),
-                      lit(java.math.BigDecimal.ZERO)))
-        .first().getDecimal(0)
-      changed = prevSum.compareTo(sumNow) != 0
-      prevSum = sumNow
-      prev.foreach(_.unpersist())
-      prev = Some(next)
-      labels = next
-      iter += 1
-    }
-    if (changed) throw new IllegalStateException(
-      s"label propagation did not converge within $cap passes")
-    val out = labels.localCheckpoint(true)
-    prev.foreach(_.unpersist())
-    out
-  }
-
   val decls: Map[String, Decl] = Map(
     // Minimum spanning FOREST of the minted undirected doc graph (same
     // edge recipe as graph_triangle_count, Round8.scala:110) under
     // deterministic integer weights w = (a·31 + b·17) mod 997. Per
     // Borůvka round: one aggregate finds each component's lexicographic-
     // min (w, a, b) outgoing edge, the chosen pseudo-forest contracts by
-    // hash-min label propagation over COMPONENT ids (a set that at least
+    // pointer doubling over COMPONENT ids (a set that at least
     // halves per round — the corpus-sized vertex list never re-enters
     // the loop), and cross-component edges shrink monotonically. No
     // priority queue, no sequential pass — every step is a groupBy or a
@@ -97,57 +54,120 @@ object Round11j {
           .withColumn("w", pmod(col("a") * 31 + col("b") * 17, lit(997L)))
           .repartition(n, col("a"))
           .localCheckpoint(true)
-        // components over the vertices that HAVE edges (isolated docs can
-        // never contribute an MST edge — they stay out of the loop)
-        var comp = edges.select(col("a").as("v"))
-          .unionAll(edges.select(col("b").as("v")))
-          .distinct()
-          .select(col("v"), col("v").as("c"))
-          .persist()
+        // Contracted-edge-list Borůvka: `cur` carries each surviving edge
+        // with its endpoints' CURRENT component labels (a,b,w,ca,cb) and
+        // only ever shrinks — intra-component edges are dropped for good
+        // at relabel time, so round r's work is O(|crossing edges at r|),
+        // not O(|E|) (the earlier edges×vertex-label re-join paid the
+        // full edge list every round). The vertex table is never needed:
+        // the output is the edge set, and labels live on the edges.
+        var cur = edges
+          .select(col("a"), col("b"), col("w"),
+                  col("a").as("ca"), col("b").as("cb"))
+          .localCheckpoint(true)
         var mst: DataFrame = edges.filter(lit(false))
           .select(col("a"), col("b"), col("w"))
+        // chosen-edge frames stay persisted until the final mst
+        // materialization (mst's lazy union reads them once more there)
+        val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        val bcastRows = 2000000L
         var rounds = 0
-        var crossing = 1L
+        var crossing = cur.count()
         while (crossing > 0 && rounds < 15) {
-          val ce = edges
-            .join(comp.select(col("v").as("a"), col("c").as("ca")), "a")
-            .join(comp.select(col("v").as("b"), col("c").as("cb")), "b")
-            .filter(col("ca") =!= col("cb"))
+          // lightest outgoing edge per component, lexicographic (w,a,b);
+          // carry the partner component so the chosen set doubles as the
+          // contraction's parent function t(g) = partner
+          val pick = struct(col("w"), col("a"), col("b"))
+          val chosen = cur
+            .select(col("ca").as("g"), col("cb").as("partner"), pick.as("p"))
+            .unionAll(cur.select(col("cb").as("g"), col("ca").as("partner"),
+                                 pick.as("p")))
+            .groupBy("g")
+            .agg(min(struct(col("p"), col("partner"))).as("m"))
+            .select(col("g"), col("m.p.w").as("w"), col("m.p.a").as("a"),
+                    col("m.p.b").as("b"), col("m.partner").as("t"))
             .persist()
-          crossing = ce.count()
-          if (crossing > 0) {
-            // lightest outgoing edge per component, lexicographic (w,a,b)
-            val pick = struct(col("w"), col("a"), col("b"))
-            val chosen = ce.select(col("ca").as("g"), pick.as("p"))
-              .unionAll(ce.select(col("cb").as("g"), pick.as("p")))
-              .groupBy("g").agg(min(col("p")).as("p"))
-              .select(col("p.w").as("w"), col("p.a").as("a"), col("p.b").as("b"))
-              .distinct()
-              .localCheckpoint(true)
-            mst = mst.unionAll(chosen.select(col("a"), col("b"), col("w")))
-            // contract: min-label over the chosen component links
-            val links = ce
-              .join(chosen, Seq("a", "b"), "left_semi")
-              .select(col("ca").as("src"), col("cb").as("dst"))
-              .unionAll(ce.join(chosen, Seq("a", "b"), "left_semi")
-                          .select(col("cb").as("src"), col("ca").as("dst")))
-              .distinct()
-            val compIds = comp.select(col("c")).distinct()
-              .select(col("c"), col("c").as("l"))
-            val lab = minLabelFixpoint(compIds, links, 30)
-            val next = comp
-              .join(lab.select(col("c"), col("l")), "c")
-              .select(col("v"), col("l").as("c"))
-              .localCheckpoint(true)
-            comp.unpersist()
-            comp = next
-          }
-          ce.unpersist()
+          pinned += chosen
+          mst = mst.unionAll(chosen.select(col("a"), col("b"), col("w"))
+                                   .distinct())
+          // Contract the chosen pseudo-forest (out-degree 1, exactly one
+          // mutual-min 2-cycle per tree — the total (w,a,b) edge order
+          // guarantees it) to per-component roots. Two paths, picked by
+          // the MEASURED crossing count:
+          //  * small rounds — exactly the rows a broadcast exchange would
+          //    ship to the driver anyway — run a driver union-find
+          //    (path-halving; 2-cycle roots at the min endpoint) and
+          //    broadcast the root map back: one job, no log-depth chain.
+          //  * large rounds (100 TB early rounds) pointer-double
+          //    distributed: two lazy squarings per materialized batch
+          //    with a carried change flag.
+          val roots: DataFrame =
+            if (crossing <= bcastRows) {
+              val par = new scala.collection.mutable.HashMap[Long, Long]()
+              chosen.select(col("g"), col("t")).collect()
+                .foreach(r => par(r.getLong(0)) = r.getLong(1))
+              def root(x: Long): Long = {
+                var a = x
+                var b = par(a)
+                while (par(b) != a && b != a) { // walk to the 2-cycle
+                  val n = par(b); par(a) = n; a = b; b = n // path-halving
+                }
+                math.min(a, b)
+              }
+              val rows = par.keys.toArray.map(g => (g, root(g))).toSeq
+              import s.implicits._
+              broadcast(rows.toDF("g", "r"))
+            } else {
+              val t0 = chosen.select(col("g"), col("t"))
+              var par = t0.as("x")
+                .join(t0.as("y"), col("x.t") === col("y.g"), "left")
+                .select(col("x.g").as("c"),
+                        when(col("y.t") === col("x.g") && col("x.g") < col("x.t"),
+                             col("x.g")).otherwise(col("x.t")).as("p"))
+                .persist()
+              var jumping = true
+              var batches = 0
+              while (jumping && batches < 10) {
+                def square(q: DataFrame): DataFrame = q.as("x")
+                  .join(q.as("y"), col("x.p") === col("y.c"), "left")
+                  .select(col("x.c").as("c"),
+                          coalesce(col("y.p"), col("x.p")).as("p"))
+                val q1 = square(par)
+                val p2 = q1.as("x")
+                  .join(q1.as("y"), col("x.p") === col("y.c"), "left")
+                  .select(col("x.c").as("c"),
+                          coalesce(col("y.p"), col("x.p")).as("p"),
+                          (coalesce(col("y.p"), col("x.p")) =!= col("x.p")).as("ch"))
+                  .persist()
+                jumping = p2.agg(max(col("ch"))).first().getBoolean(0)
+                par = p2.select(col("c"), col("p"))
+                batches += 1
+              }
+              if (jumping) throw new IllegalStateException(
+                s"Borůvka pointer doubling did not converge within $batches batches")
+              par.select(col("c").as("g"), col("p").as("r"))
+            }
+          // relabel surviving edges through the root map and drop the
+          // now-intra-component ones permanently; ReuseExchange ships the
+          // broadcast once for both sides
+          val prev = cur
+          cur = cur
+            .join(roots.select(col("g").as("ca"), col("r").as("ra")), Seq("ca"), "left")
+            .join(roots.select(col("g").as("cb"), col("r").as("rb")), Seq("cb"), "left")
+            .select(col("a"), col("b"), col("w"),
+                    coalesce(col("ra"), col("ca")).as("ca"),
+                    coalesce(col("rb"), col("cb")).as("cb"))
+            .filter(col("ca") =!= col("cb"))
+            .localCheckpoint(true)
+          prev.unpersist()
+          crossing = cur.count()
           rounds += 1
         }
         if (crossing > 0) throw new IllegalStateException(
           s"Borůvka did not converge within $rounds rounds")
-        mst.localCheckpoint(true).orderBy("a", "b")
+        val out = mst.localCheckpoint(true)
+        pinned.foreach(_.unpersist())
+        out.orderBy("a", "b")
       },
       None),
 
