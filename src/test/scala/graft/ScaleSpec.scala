@@ -579,6 +579,7 @@ class ScaleSpec extends AnyFunSuite {
       "agg_mann_whitney"        -> "2-dp RAW-value grid (same domain-saturation argument)",
       "agg_lorenz_curve"        -> "10-row decile spine (the cents-of-sums grid is PrefixSum'd)",
       "agg_runs_test"           -> "calendar hour spine (grows with time span, not rows)",
+      "agg_sprt_sequential"     -> "calendar day spine (the cumulative LLR walks 30 daily rows)",
       "agg_spearman_corr"       -> "quantity (<=50) and discount (11) grids",
       "topk_skyline_pareto"     -> "price-band spine: price domain div 1000",
       "ts_discrete_hazard"      -> "inter-purchase week bucket capped at k=12",
