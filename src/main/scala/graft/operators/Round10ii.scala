@@ -61,16 +61,39 @@ object Round10ii {
       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
       |ORDER BY o_custkey, o_orderpriority""".stripMargin
 
-  /** percent_rank / cume_dist of customer balance within nation —
-    * rank-derived rationals (k−1)/(n−1) and k/n, exact in IEEE double
-    * for the same integer rank inputs, rounded 6 dp terminally. */
+  /** percent_rank / cume_dist of customer balance within nation. The
+    * hashed columns are EXACT half-up ppm rationals rebuilt from
+    * rank()/count() in integer arithmetic — round(pr, 6) itself is
+    * engine-divergent when (k−1)/(n−1) lands on a decimal midpoint
+    * (sf0.1 hit 333/640 = 0.5203125: Spark's BigDecimal.valueOf rounds
+    * the shortest string up, DuckDB rounds the binary double down).
+    * The real window functions stay in the query and `fn_consistent`
+    * pins them to within half an ulp-of-ppm of the exact rationals in
+    * BOTH engines. */
   private val PercentRankCume =
-    """SELECT c_custkey, c_nationkey,
-      |       round(percent_rank() OVER w, 6) AS pr,
-      |       round(cume_dist() OVER w, 6) AS cd
-      |FROM customer
-      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
-      |ORDER BY c_custkey""".stripMargin
+    """WITH r AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         percent_rank() OVER w AS pr,
+      |         cume_dist() OVER w AS cd,
+      |         CAST(rank() OVER w AS BIGINT) AS rk,
+      |         CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)),
+      |p AS (
+      |  SELECT c_custkey, c_nationkey, pr, cd,
+      |         CASE WHEN n = 1 THEN 0
+      |              ELSE ((rk - 1) * 2000000 + (n - 1) -
+      |                    (((rk - 1) * 2000000 + (n - 1)) % (2 * (n - 1)))) /
+      |                   (2 * (n - 1)) END AS prq,
+      |         (rk * 2000000 + n - ((rk * 2000000 + n) % (2 * n))) /
+      |           (2 * n) AS cdq
+      |  FROM r)
+      |SELECT c_custkey, c_nationkey,
+      |       CAST(prq AS BIGINT) AS pr_ppm,
+      |       CAST(cdq AS BIGINT) AS cd_ppm,
+      |       abs(pr * 1000000 - prq) < 1 AND abs(cd * 1000000 - cdq) < 1
+      |         AS fn_consistent
+      |FROM p ORDER BY c_custkey""".stripMargin
 
   val decls: Map[String, Decl] = Map(
     "sql_distinct_on" -> Decl((s, d) => q(s, d, DistinctOn), Some(DistinctOn)),
