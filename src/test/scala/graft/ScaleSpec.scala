@@ -577,6 +577,7 @@ class ScaleSpec extends AnyFunSuite {
       "agg_gini_concentration"  -> "per-source grid over the bounded source enum",
       "agg_ks_test"             -> "2-dp RAW-value grid: saturates with the value domain, not the corpus",
       "agg_mann_whitney"        -> "2-dp RAW-value grid (same domain-saturation argument)",
+      "agg_kruskal_wallis"      -> "2-dp RAW-value grid (mann_whitney's machinery, k groups)",
       "agg_lorenz_curve"        -> "10-row decile spine (the cents-of-sums grid is PrefixSum'd)",
       "agg_runs_test"           -> "calendar hour spine (grows with time span, not rows)",
       "agg_sprt_sequential"     -> "calendar day spine (the cumulative LLR walks 30 daily rows)",
