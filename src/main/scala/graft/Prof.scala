@@ -15,6 +15,11 @@ object Prof {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.files.minPartitionNum", 32)
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // NOTE (measured, round 11): forcing size-based AQE coalescing
+      // (parallelismFirst=false, advisory 16m) made the iterative SCC
+      // operator 5× SLOWER here (62 s vs 9-13 s warm) — single-task
+      // stages serialize the superstep chain and re-plan/codegen per
+      // stage boundary dominates. The default stays.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

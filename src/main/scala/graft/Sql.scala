@@ -190,7 +190,13 @@ object Sql {
     if (dIdx < 0) return text
     val afterD = text.substring(dIdx + "DISTINCT".length)
     val onOff = afterD.takeWhile(_.isWhitespace).length
-    if (!afterD.substring(onOff).toUpperCase.startsWith("ON")) return text
+    val rest = afterD.substring(onOff)
+    // Token must be exactly ON (next char whitespace or '('), else a select
+    // item that merely starts with "on" (ontime, only_id) would misparse.
+    val isOnToken = rest.length > 2 &&
+      rest.substring(0, 2).equalsIgnoreCase("ON") &&
+      (rest(2).isWhitespace || rest(2) == '(')
+    if (!isOnToken) return text
     val openRel = afterD.indexOf('(', onOff)
     require(openRel >= 0 && afterD.substring(onOff + 2, openRel).isBlank,
       s"DISTINCT ON needs a parenthesized key list in: $text")

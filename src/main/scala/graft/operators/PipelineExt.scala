@@ -28,8 +28,8 @@ object PipelineExt {
   // all 16 signs to agree (collision prob (1-θ/π)^16 ≈ 0.0006 at cos 0.4 —
   // measured empty output); banding trades precision work for recall
   // exactly like MinHash bands.
-  private[operators] val SrpTables = 8
-  private[operators] val SrpBitsPerTable = 4
+  private[graft] val SrpTables = 8
+  private[graft] val SrpBitsPerTable = 4
   private val SrpBits = SrpTables * SrpBitsPerTable
   // Near-dup prefilter (cos ≥ 0.95) needs BOTH recall ≈ 1 (the exact-verify
   // output must reproduce the all-pairs oracle) and real pruning. Wider

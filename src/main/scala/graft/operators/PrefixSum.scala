@@ -25,8 +25,9 @@ import org.apache.spark.sql.types.LongType
   */
 object PrefixSum {
 
-  /** Append column `out` = running sum of `value` (a BIGINT expression)
-    * over the total order `order`. Every input column is preserved.
+  /** Append column `out` = running sum of `value` (a BIGINT expression,
+    * any sign; NULL contributes 0) over the total order `order`. Every
+    * input column is preserved.
     */
   def cumsumLong(df: DataFrame, order: Seq[Column], value: Column,
                  out: String): DataFrame =
@@ -44,7 +45,9 @@ object PrefixSum {
                           out: String): DataFrame = {
     val spark = df.sparkSession
     val n = math.max(spark.sparkContext.defaultParallelism, 1)
-    val parted = df.withColumn("__pmv", value.cast("bigint"))
+    // NULL is the min-identity (skipped), same null discipline as cumsum
+    val parted = df.withColumn("__pmv",
+        coalesce(value.cast("bigint"), lit(Long.MaxValue)))
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
@@ -59,7 +62,13 @@ object PrefixSum {
         acc = math.min(acc, r.getLong(vIdx))
         Row.fromSeq(r.toSeq ++ Seq(prior, acc))
       }
-    }(Encoders.row(schema)).localCheckpoint(true)
+    }(Encoders.row(schema))
+      // Lazy persist, NOT localCheckpoint: checkpoint (even eager=false)
+      // finalizes the AQE plan and runs every upstream stage at BUILD time.
+      // persist defers to the first action, then both consumers (offsets
+      // aggregate + final join) share ONE materialization — which also
+      // pins the range boundaries and __pid assignment they must agree on.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid"))
       .agg(min(col("__lc")).as("__pt"))
@@ -82,7 +91,8 @@ object PrefixSum {
     val n = math.max(spark.sparkContext.defaultParallelism, 1)
     val k = values.size
     val withV = values.zipWithIndex.foldLeft(df) { case (d, ((v, _), i)) =>
-      d.withColumn(s"__psv$i", v.cast("bigint"))
+      // NULL contributes 0, matching sum() OVER's null-skipping semantics
+      d.withColumn(s"__psv$i", coalesce(v.cast("bigint"), lit(0L)))
     }
     val parted = withV
       .repartitionByRange(n, order: _*)
@@ -103,13 +113,22 @@ object PrefixSum {
         while (i < k) { acc(i) += r.getLong(vIdx(i)); i += 1 }
         Row.fromSeq(r.toSeq ++ acc)
       }
-    }(Encoders.row(schema)).localCheckpoint(true)
+    }(Encoders.row(schema))
+      // Lazy persist, NOT localCheckpoint: checkpoint (even eager=false)
+      // finalizes the AQE plan and runs every upstream stage at BUILD time.
+      // persist defers to the first action, then both consumers (offsets
+      // aggregate + final join) share ONE materialization — which also
+      // pins the range boundaries and __pid assignment they must agree on.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pass 2: one row per partition; the unpartitioned window below runs
     // over ≤ #partitions rows (cluster-bounded, never data-bounded).
     val wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    // Partition totals are sum(value), NOT max(running sum): the two only
+    // coincide for non-negative inputs, and the contract allows negatives
+    // (net change, refunds).
     val offsets = local.groupBy(col("__pid"))
-      .agg(max(col("__lc0")).as("__pt0"),
-           (1 until k).map(i => max(col(s"__lc$i")).as(s"__pt$i")): _*)
+      .agg(sum(col("__psv0")).as("__pt0"),
+           (1 until k).map(i => sum(col(s"__psv$i")).as(s"__pt$i")): _*)
       .select(col("__pid") +:
         (0 until k).map(i =>
           coalesce(sum(col(s"__pt$i")).over(wo), lit(0L)).as(s"__off$i")): _*)

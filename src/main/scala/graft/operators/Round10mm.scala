@@ -48,8 +48,10 @@ object Round10mm {
       },
       Some(s"""SELECT lang, doc_id, toks, density, cum_toks FROM (
              |  SELECT lang, doc_id, toks, density,
-             |         sum(toks) OVER (PARTITION BY lang
-             |                         ORDER BY density DESC, doc_id) AS cum_toks
+             |         -- R12: window sum is HUGEINT in DuckDB; cast to BIGINT
+             |         CAST(sum(toks) OVER (PARTITION BY lang
+             |                              ORDER BY density DESC, doc_id)
+             |              AS BIGINT) AS cum_toks
              |  FROM (
              |    SELECT doc_id, lang,
              |           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,

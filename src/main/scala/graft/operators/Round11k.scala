@@ -57,87 +57,116 @@ object Round11k {
     "graph_scc_coloring" -> Decl(
       (s, d) => {
         val n = s.sparkContext.defaultParallelism
+        // Superstep latency, not data volume, bounds this operator at test
+        // scale (round-10 profile: ~575 stages, 13 s warm from one job per
+        // hop). So both fixpoint loops FUSE several hops into each
+        // materialization job (same shuffle count, ~Hops× fewer jobs), and
+        // convergence is read off the LAST hop of the SAME materialization
+        // — min-propagation is monotone, so "the final hop changed
+        // nothing" proves the fixpoint with no extra confirm pass. Hops
+        // values are latency dials only; correctness is the fixpoint,
+        // reached for any value ≥ 1.
+        val Hops = 5   // forward-coloring hops per fused pass
+        val BHops = 7  // backward-sweep hops per fused pass
         val edges = blockEdges(s, d)
           .repartition(n, col("src"))
           .localCheckpoint(true)
         var remaining = edges.select(col("src").as("v"))
           .unionAll(edges.select(col("dst").as("v")))
           .distinct()
-          .persist()
+          .localCheckpoint(true)
         var scc: DataFrame = remaining.filter(lit(false))
           .select(col("v"), col("v").as("scc"))
         var rounds = 0
         var left = remaining.count()
         while (left > 0 && rounds < 12) {
-          val er = edges
-            .join(remaining.select(col("v").as("src")), Seq("src"), "left_semi")
-            .join(remaining.select(col("v").as("dst")), Seq("dst"), "left_semi")
-            .localCheckpoint(true)
+          // round 0's semi-joins are no-ops (remaining == all endpoints)
+          val er =
+            if (rounds == 0) edges
+            else edges
+              .join(remaining.select(col("v").as("src")), Seq("src"), "left_semi")
+              .join(remaining.select(col("v").as("dst")), Seq("dst"), "left_semi")
+              .localCheckpoint(true)
           // forward min-ancestor coloring to fixpoint (labels flow along
-          // edge direction; DECIMAL-sum convergence probe, loud cap)
-          var color = remaining.select(col("v"), col("v").as("c")).persist()
-          var prevSum = java.math.BigDecimal.valueOf(-1L)
-          var changed = true
-          var pass = 0
-          while (changed && pass < 12) {
-            val nbrMin = color.join(er, col("v") === col("src"))
+          // edge direction); the fused pass's last hop carries a `chg`
+          // flag, so one tiny agg on the checkpointed step decides
+          // convergence
+          def colorStep(cd: DataFrame, withChg: Boolean): DataFrame = {
+            val nbrMin = cd.join(er, col("v") === col("src"))
               .groupBy(col("dst")).agg(min(col("c")).as("m"))
-            val step = color
-              .join(nbrMin, col("v") === col("dst"), "left")
-              .select(col("v"), least(col("c"), coalesce(col("m"), col("c"))).as("c"))
-              .persist()
-            val sumNow = step
-              .agg(coalesce(sum(col("c").cast("decimal(38,0)")),
-                            lit(java.math.BigDecimal.ZERO)))
-              .first().getDecimal(0)
-            changed = prevSum.compareTo(sumNow) != 0
-            prevSum = sumNow
-            color.unpersist()
-            color = step
+            val j = cd.join(nbrMin, col("v") === col("dst"), "left")
+            if (withChg)
+              j.select(col("v"),
+                       least(col("c"), coalesce(col("m"), col("c"))).as("c"),
+                       (coalesce(col("m"), col("c")) < col("c"))
+                         .cast("long").as("chg"))
+            else
+              j.select(col("v"),
+                       least(col("c"), coalesce(col("m"), col("c"))).as("c"))
+          }
+          var color = remaining.select(col("v"), col("v").as("c"))
+          var converged = false
+          var pass = 0
+          while (!converged && pass < 12) {
+            var cur = color
+            for (_ <- 1 until Hops) cur = colorStep(cur, withChg = false)
+            val step = colorStep(cur, withChg = true).localCheckpoint(true)
+            converged = step
+              .agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0) == 0L
+            color = step.select(col("v"), col("c"))
             pass += 1
           }
-          if (changed) throw new IllegalStateException(
+          if (!converged) throw new IllegalStateException(
             s"SCC coloring fixpoint did not converge within $pass passes")
           // peel: backward sweep from each color's root, restricted to
           // the color (sound: every SCC member shares the root's color
-          // and every v→root path stays inside the SCC)
-          val colored = color.localCheckpoint(true)
+          // and every v→root path stays inside the SCC). `color` projects
+          // the last fixpoint step, already checkpointed above. Each
+          // fused pass stamps rows with the hop that first found them;
+          // "nothing new at the final hop" proves the frontier is dead
+          // (monotone growth), read in the same tiny agg as the size.
+          val colored = color
           val ce = er
             .join(colored.select(col("v").as("src"), col("c").as("cs")), "src")
             .join(colored.select(col("v").as("dst"), col("c").as("cd")), "dst")
             .filter(col("cs") === col("cd"))
             .select(col("src"), col("dst"), col("cs").as("c"))
             .localCheckpoint(true)
-          var reached = colored.filter(col("v") === col("c")).persist()
+          var reached = colored.filter(col("v") === col("c"))
+            .select(col("v"), col("c"), lit(0L).as("h"))
           var grew = true
           var bp = 0
-          var sz = reached.count()
+          var reachedCnt = 0L
           while (grew && bp < 12) {
-            val nxt = reached
-              .unionAll(ce.join(reached.select(col("v").as("dst"), col("c")),
-                                Seq("dst", "c"), "left_semi")
-                          .select(col("src").as("v"), col("c")))
-              .distinct()
-              .persist()
-            val szN = nxt.count()
-            grew = szN != sz
-            sz = szN
-            reached.unpersist()
-            reached = nxt
+            var cur = reached
+            for (hh <- 1 to BHops) {
+              val add = ce
+                .join(cur.select(col("v").as("dst"), col("c")),
+                      Seq("dst", "c"), "left_semi")
+                .select(col("src").as("v"), col("c"), lit(hh.toLong).as("h"))
+              cur = cur.unionAll(add)
+                .groupBy("v", "c").agg(min(col("h")).as("h"))
+            }
+            val nxt = cur.localCheckpoint(true)
+            val st = nxt
+              .agg(count(lit(1)),
+                   coalesce(sum((col("h") === BHops).cast("long")), lit(0L)))
+              .first()
+            reachedCnt = st.getLong(0)
+            grew = st.getLong(1) > 0L
+            // reset the stamps so next pass's hop numbers start fresh
+            reached = nxt.select(col("v"), col("c"), lit(0L).as("h"))
             bp += 1
           }
           if (grew) throw new IllegalStateException(
             s"SCC backward sweep did not converge within $bp passes")
           scc = scc.unionAll(reached.select(col("v"), col("c").as("scc")))
-          val rest = remaining
+          remaining = remaining
             .join(reached.select(col("v")), Seq("v"), "left_anti")
             .localCheckpoint(true)
-          remaining.unpersist()
-          reached.unpersist()
-          colored.unpersist()
-          remaining = rest
-          left = remaining.count()
+          left -= reachedCnt
           rounds += 1
+          if (sys.env.contains("GRAFT_SCC_DEBUG")) System.err.println(s"[scc] round=$rounds coloringPasses=$pass backwardPasses=$bp reached=$reachedCnt left=$left")
         }
         if (left > 0) throw new IllegalStateException(
           s"SCC peeling did not converge within $rounds rounds")

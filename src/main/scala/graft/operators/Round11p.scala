@@ -51,13 +51,20 @@ object Round11p {
           .crossJoin(broadcast(fit))
           .select(abs(col("yc") - round(col("slope") * col("x") + col("icept"))
                         .cast("bigint")).as("resc"))
-        val nCal = cal.count()
-        val k = math.ceil(0.9 * (nCal + 1)).toLong
+        // n_cal and k computed RELATIONALLY (a 1-row aggregate broadcast),
+        // exactly like the oracle's nc/kk CTEs — no eager .count() at
+        // DataFrame-build time (round-10 verdict: the eager probe ran two
+        // jobs, including the crossJoin, before the query even started).
+        val kk = cal.agg(count(lit(1)).as("n_cal"))
+          .withColumn("k",
+            ceil(lit(0.9) * (col("n_cal") + 1)).cast("bigint"))
         val counts = cal.groupBy("resc").agg(count(lit(1)).as("cnt"))
         val qhat = PrefixSum.cumsumLong(counts, Seq(col("resc").asc),
                                         col("cnt"), "cum")
-          .filter(col("cum") >= k)
-          .agg(min(col("resc")).as("qhat_cents"))
+          .crossJoin(broadcast(kk))
+          .filter(col("cum") >= col("k"))
+          .agg(min(col("resc")).as("qhat_cents"),
+               first(col("n_cal")).as("n_cal"))
         // held-out coverage: P(|residual| <= qhat) on the test split
         val test = li.filter(col("split") === 2)
           .crossJoin(broadcast(fit))
@@ -65,11 +72,12 @@ object Round11p {
                         .cast("bigint")).as("resc"))
         test.crossJoin(broadcast(qhat))
           .agg(first(col("qhat_cents")).as("qhat_cents"),
+               first(col("n_cal")).as("n_cal"),
                count(lit(1)).as("n_test"),
                sum(when(col("resc") <= col("qhat_cents"), 1L).otherwise(0L))
                  .as("covered"))
           .crossJoin(broadcast(fit))
-          .select(lit(nCal).as("n_cal"), col("n_test"),
+          .select(col("n_cal"), col("n_test"),
                   round(col("slope"), 6).as("slope"),
                   round(col("icept"), 6).as("intercept_cents"),
                   col("qhat_cents"),
@@ -154,7 +162,9 @@ object Round11p {
       },
       Some(s"""WITH daily AS (
               |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
-              |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              |         -- R12: sum(CASE …) is HUGEINT in DuckDB; cast to BIGINT
+              |         CAST(sum(CASE WHEN event_type = 'purchase'
+              |                       THEN 1 ELSE 0 END) AS BIGINT)
               |           AS conv
               |  FROM events GROUP BY 1),
               |scored AS (SELECT *,

@@ -188,13 +188,14 @@ object Streams {
     // machinery), maxFilesPerTrigger=1 forcing MULTIPLE per-batch merges
     // that must compose. The update arm uses an ABSOLUTE assignment
     // (SET price = s.p + 1000, not t.price + 1000) so a replayed
-    // uncommitted batch is idempotent — combined with the checkpointed
-    // source offsets this is the effectively-once upsert discipline
-    // (StreamingSpec additionally proves COMMITTED batches never re-apply
-    // across a stop/restart, using a counting merge that would detect
-    // replay). The DuckDB oracle reproduces the upsert relationally, so
-    // the hash-match proves the streamed merges reach the SQL-standard
-    // result set.
+    // uncommitted batch's UPDATEs are idempotent. The INSERT arm is NOT
+    // self-idempotent (a replayed batch would match its own insert and
+    // bump it to p+1000) — exactly-once for inserts rests on the
+    // checkpointed source offsets, which StreamingSpec proves: COMMITTED
+    // batches never re-apply across a stop/restart (a counting merge
+    // there would detect any replay). The DuckDB oracle reproduces the
+    // upsert relationally, so the hash-match proves the streamed merges
+    // reach the SQL-standard result set.
     "stream_merge_upsert" -> Decl(
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger

@@ -80,14 +80,18 @@ class Round10iiSpec extends AnyFunSuite {
     }
   }
 
-  test("percent_rank/cume_dist endpoints and monotonicity within a nation") {
+  test("percent_rank/cume_dist ppm endpoints and monotonicity within a nation") {
+    // the key emits exact integer ppm (BIGINT pr_ppm/cd_ppm) plus a
+    // fn_consistent flag asserting the doubles round-trip to the same ppm
     val rows = SparkEntry.queries("window_percent_rank_cume")(spark, sf)
-      .collect().map(r => (r.getAs[Number](1).longValue, r.getDouble(2), r.getDouble(3)))
+      .collect().map(r => (r.getAs[Number](1).longValue,
+        r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty && rows.forall(_._4), "fn_consistent must hold everywhere")
     val byNation = rows.groupBy(_._1)
     byNation.values.foreach { g =>
       val prs = g.map(_._2); val cds = g.map(_._3)
-      assert(prs.min == 0.0 && (g.length == 1 || prs.max == 1.0))
-      assert(cds.max == 1.0 && cds.forall(_ > 0.0))
+      assert(prs.min == 0L && (g.length == 1 || prs.max == 1000000L))
+      assert(cds.max == 1000000L && cds.forall(_ > 0L))
     }
   }
 }

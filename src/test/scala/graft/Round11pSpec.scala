@@ -66,4 +66,46 @@ class Round11pSpec extends AnyFunSuite {
       else assert(decision == "continue")
     }
   }
+
+  test("agg_conformal_interval builds lazily — zero jobs before an action") {
+    // round-10 verdict: an eager .count() inside the builder ran two jobs
+    // (one with the crossJoin) at build time. Listener proves it's gone.
+    Tables(spark, sf, "lineitem") // warm the metadata (file-listing job)
+    val canaryJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val buildJobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // prior tests' jobs are synchronous, so anything submitted before
+    // tStart is backlog the async listener bus may still deliver — skip it
+    val tStart = System.currentTimeMillis()
+    val Canary = "graft-lazy-canary"
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.time >= tStart) {
+          val desc = Option(js.properties)
+            .map(_.getProperty("spark.job.description", "")).getOrElse("")
+          if (desc == Canary) canaryJobs.incrementAndGet()
+          else buildJobs.add(
+            js.stageInfos.lastOption.map(_.name).getOrElse("?"))
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("agg_conformal_interval")(spark, sf)
+      // canary: the listener bus is FIFO, so once the canary's jobs land,
+      // any build-time job-start would already be counted. The canary's
+      // OWN jobs (AQE splits even range(1).count() into several) are
+      // identified by job description and excluded.
+      spark.sparkContext.setJobDescription(Canary)
+      try spark.range(1).count()
+      finally spark.sparkContext.setJobDescription(null)
+      val deadline = System.currentTimeMillis() + 30000
+      while (canaryJobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(canaryJobs.get() >= 1, "canary never ran — listener broken")
+      assert(buildJobs.isEmpty,
+             s"${buildJobs.size} job(s) ran at DataFrame-build time: " +
+             buildJobs.toArray.mkString("; "))
+      assert(df.columns.contains("qhat_cents")) // still a live plan
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

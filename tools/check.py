@@ -93,6 +93,22 @@ def main(sf, out):
     for name in sorted(oracles):
         sql = oracles[name]
         try:
+            # R12 lint, mechanized (rounds 8 + 10 both shipped HUGEINT
+            # oracles): Python's fetchall renders HUGEINT as int so the
+            # row compare below can't see the problem, but the DRIVER's
+            # pandas bridge renders it float64 and hash-mismatches
+            # Spark's int64. Reject at the TYPE level before fetching.
+            rel = con.sql(sql)
+            risky_t = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                       if any(x in str(t).upper()
+                              for x in ("HUGEINT", "DECIMAL"))]
+            if risky_t:
+                print(f"FAIL {name}: oracle output column(s) {risky_t} are "
+                      f"HUGEINT/DECIMAL (R12) — the driver's pandas bridge "
+                      f"renders these as float64/object and hash-mismatches "
+                      f"Spark; CAST to BIGINT/DOUBLE in the oracle SQL")
+                n_bad += 1
+                continue
             duck = con.execute(sql)
             dcols = [c[0] for c in duck.description]
             drows = duck.fetchall()
