@@ -1,0 +1,306 @@
+package graft.operators
+
+/** lakehouse sink/source/layout waves — consolidated from the append-only wave files
+  * (round-11 verdict item 8); object names and query keys unchanged,
+  * REGISTRY.md remains the per-key index.
+  */
+
+// ——— formerly Round10oo.scala ———
+/** Round-10 wave 45: the Write–Audit–Publish (WAP) pattern — the
+  * lakehouse ingestion discipline where a batch lands in a STAGING
+  * location, constraint audits run against the staged files (not the
+  * in-memory frame — the audit must see exactly what a reader would),
+  * violating rows are quarantined, and only the clean subset is
+  * atomically published by manifest (the sink_snapshot_time_travel
+  * mechanism: publishing is a metadata write, data files never
+  * rewrite).
+  *
+  * The minted batch plants two violation classes on deterministic key
+  * rules (negated totalprice on orderkey ≡ 0 mod 97, null priority on
+  * orderkey ≡ 1 mod 101), so the audit's work is verifiable: the
+  * oracle recomputes the quarantine/publish split from the base table
+  * with the same rules — equality proves the staged-file audit saw
+  * every row and classified each exactly once.
+  *
+  * Scale shape: audit predicates are one pass over the staged scan
+  * (each constraint a conditional aggregate — no per-constraint
+  * re-scan); publish moves KB of manifest, not data.
+  */
+object Round10oo {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+
+  val decls: Map[String, Decl] = Map(
+    "sink_write_audit_publish" -> Decl(
+      (s, d) => {
+        import java.nio.file.Files
+        val dir = Tables.scratchDir("graft_wap")
+        // the incoming batch, with planted violations
+        val batch = Tables(s, d, "orders")
+          .select(col("o_orderkey"),
+            when(pmod(col("o_orderkey"), lit(97L)) === 0,
+                 -col("o_totalprice")).otherwise(col("o_totalprice"))
+              .as("o_totalprice"),
+            when(pmod(col("o_orderkey"), lit(101L)) === 1, lit(null))
+              .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+        // WRITE: stage the batch
+        val staging = dir.resolve("staging")
+        batch.write.mode("overwrite").parquet(staging.toString)
+        // AUDIT: constraints evaluated against the staged FILES
+        val staged = s.read.parquet(staging.toString)
+        val audited = staged.withColumn("violation",
+          when(col("o_totalprice") <= 0, lit("nonpositive_price"))
+            .when(col("o_orderpriority").isNull, lit("null_priority"))
+            .otherwise(lit(null)))
+        val clean = audited.filter(col("violation").isNull)
+          .drop("violation")
+        val quarantine = dir.resolve("quarantine")
+        audited.filter(col("violation").isNotNull)
+          .write.mode("overwrite").parquet(quarantine.toString)
+        // PUBLISH: clean data files + a manifest naming them (atomic —
+        // readers resolve the manifest, which appears only after audit)
+        val published = dir.resolve("published")
+        clean.write.mode("overwrite").parquet(published.toString)
+        Files.writeString(dir.resolve("current.manifest"), published.toString)
+        // report from the PUBLISHED/QUARANTINED files, not the frames
+        val pubDf = s.read.parquet(
+          Files.readString(dir.resolve("current.manifest")))
+        val qDf = s.read.parquet(quarantine.toString)
+        val pub = pubDf.agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+          .select(lit("published").as("stage"), col("n"), col("cents"))
+        val quar = qDf.groupBy(col("violation").as("stage"))
+          .agg(count(lit(1)).as("n"),
+               sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+        pub.unionAll(quar).orderBy("stage")
+      },
+      Some("""WITH batch AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+             |              ELSE o_totalprice END AS price,
+             |         CASE WHEN o_orderkey % 101 = 1 THEN NULL
+             |              ELSE o_orderpriority END AS prio
+             |  FROM orders),
+             |tagged AS (
+             |  SELECT *, CASE WHEN price <= 0 THEN 'nonpositive_price'
+             |                 WHEN prio IS NULL THEN 'null_priority'
+             |            END AS violation
+             |  FROM batch)
+             |SELECT 'published' AS stage, count(*) AS n,
+             |       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM tagged WHERE violation IS NULL
+             |UNION ALL
+             |SELECT violation AS stage, count(*) AS n,
+             |       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM tagged WHERE violation IS NOT NULL GROUP BY violation
+             |ORDER BY stage""".stripMargin))
+  )
+}
+
+// ——— formerly Round10q.scala ———
+/** Round-10 seventeenth wave: dynamic partition overwrite (the lakehouse
+  * partial-refresh primitive), growth accounting, and binary-column
+  * scalar work.
+  */
+object Round10q {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+
+  val decls: Map[String, Decl] = Map(
+    // Dynamic partition overwrite: refresh ONE partition of a
+    // status-partitioned table in place (the nightly partial reload) —
+    // partitions not present in the incoming batch survive untouched.
+    // The oracle reproduces the final state relationally: non-F rows as
+    // written, F rows re-derived. Dynamic mode only changes overwrites
+    // of EXISTING partitioned dirs, and every other sink key writes a
+    // fresh scratch dir, so setting it session-wide is safe.
+    "sink_dynamic_partition_overwrite" -> Decl(
+      (s, d) => {
+        val out = Tables.scratchDir("graft_dynpo").resolve("orders_ps").toString
+        val base = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+                  round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        base.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+                  (col("cents") * 2).as("cents"))
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        Tables.canon(
+          s.read.parquet(out).select("o_orderkey", "o_orderstatus", "cents"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |       CAST(CASE WHEN o_orderstatus = 'F'
+             |                 THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+             |                 ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+             |            AS BIGINT) AS cents
+             |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin)),
+
+    // Growth accounting: per week, active users split into new (first
+    // week ever) vs returning — the canonical product growth table. One
+    // per-user first-week aggregate broadcast back onto the weekly
+    // activity grid.
+    "ts_new_vs_returning" -> Decl(
+      (s, d) => {
+        val act = Tables.events(s, d)
+          .select(col("user_id"),
+                  expr("unix_micros(ts) div 604800000000L").as("wk"))
+          .distinct()
+        val first = act.groupBy("user_id").agg(min(col("wk")).as("first_wk"))
+        act.join(broadcast(first), "user_id")
+          .groupBy("wk")
+          .agg(count(lit(1)).as("n_active"),
+               sum(when(col("wk") === col("first_wk"), 1L).otherwise(0L)).as("n_new"))
+          .select(col("wk"), col("n_active"), col("n_new"),
+                  (col("n_active") - col("n_new")).as("n_returning"))
+          .orderBy("wk")
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+             |               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+             |             FROM events),
+             |f AS (SELECT user_id, min(wk) AS first_wk FROM act GROUP BY user_id)
+             |SELECT wk, CAST(count(*) AS BIGINT) AS n_active,
+             |       CAST(sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_new,
+             |       CAST(count(*) - sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_returning
+             |FROM act JOIN f USING (user_id)
+             |GROUP BY wk ORDER BY wk""".stripMargin)),
+
+    // Binary-column scalar work: a 16-byte digest blob per document,
+    // sliced to its 4-byte prefix (the shard key pattern for content-
+    // addressed stores), byte length audited — binary substring/hex/
+    // length riding the scan. The oracle mirrors at the hex-string level
+    // (hex(substring(blob, 1, 4)) ≡ first 8 hex chars).
+    "scalar_binary_ops" -> Decl(
+      (s, d) => {
+        Tables(s, d, "documents")
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+          .select(col("doc_id"),
+                  hex(substring(unhex(col("h")), 1, 4)).as("prefix_hex"),
+                  length(unhex(col("h"))).cast("bigint").as("n_bytes"),
+                  (pmod(conv(substring(col("h"), 1, 8), 16, 10).cast("bigint"),
+                        lit(64L))).as("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS h FROM documents)
+             |SELECT doc_id, upper(substr(h, 1, 8)) AS prefix_hex,
+             |       CAST(octet_length(unhex(h)) AS BIGINT) AS n_bytes,
+             |       CAST(CAST(('0x' || substr(h, 1, 8))::BIGINT AS BIGINT) % 64
+             |            AS BIGINT) AS shard
+             |FROM h ORDER BY doc_id""".stripMargin))
+  )
+}
+
+// ——— formerly Round9n.scala ———
+/** Round-9 fourteenth wave: lakehouse VACUUM (retention-driven physical
+  * file removal under snapshot isolation) and PCA whitening as a
+  * fit→apply pipeline (the learned transform broadcast over the scan).
+  */
+object Round9n {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+
+  val decls: Map[String, Decl] = Map(
+    // VACUUM — the retention pass every snapshot-isolated table needs:
+    // v1 commits two immutable files, v2 COMPACTS them into one rewritten
+    // file (dropping the 'P' rows — a delete folded into compaction),
+    // retention then expires v1, and vacuum physically deletes every file
+    // no LIVE manifest references. The declared result reads v2 AFTER the
+    // vacuum — proving the rewrite is self-contained — and reports the
+    // exact removed-file census (single-file commits by construction, so
+    // the count is deterministic). The oracle recomputes v2's content
+    // from the base table. At 100 TB this is the storage-reclaim job:
+    // manifests are KB metadata, data files never rewrite except by
+    // compaction, and vacuum is a pure metadata-diff + delete.
+    "sink_snapshot_vacuum" -> Decl(
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val dir = Tables.scratchDir("graft_vacuum")
+        val orders = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+                  round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        val f1 = dir.resolve("part_a.parquet")
+        val f2 = dir.resolve("part_b.parquet")
+        val f3 = dir.resolve("compacted.parquet")
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .coalesce(1).write.parquet(f1.toString)
+        orders.filter(col("o_orderkey") % 2 =!= 0)
+          .coalesce(1).write.parquet(f2.toString)
+        Files.writeString(dir.resolve("v1.manifest"), s"$f1\n$f2")
+        // v2 = compaction + delete of the 'P' slice, one rewritten file
+        s.read.parquet(f1.toString, f2.toString)
+          .filter(col("o_orderstatus") =!= "P")
+          .coalesce(1).write.parquet(f3.toString)
+        Files.writeString(dir.resolve("v2.manifest"), f3.toString)
+        // retention expires v1 → live = {v2} → referenced = {f3}
+        Files.delete(dir.resolve("v1.manifest"))
+        val live = Files.list(dir).iterator()
+        val referenced = scala.jdk.CollectionConverters.IteratorHasAsScala(live)
+          .asScala.filter(_.toString.endsWith(".manifest"))
+          .flatMap(m => Files.readString(m).split("\n")).toSet
+        val removed = Seq(f1, f2, f3).count { f =>
+          if (!referenced.contains(f.toString)) {
+            // recursive delete of the parquet directory
+            Files.walk(f).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => Files.deleteIfExists(p))
+            true
+          } else false
+        }
+        s.read.parquet(f3.toString)
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .select(lit("v2_after_vacuum").as("version"), col("n"), col("cents"),
+                  lit(removed.toLong).as("files_removed"))
+      },
+      Some("""SELECT 'v2_after_vacuum' AS version,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS cents,
+             |       CAST(2 AS BIGINT) AS files_removed
+             |FROM orders WHERE o_orderstatus <> 'P'""".stripMargin)),
+
+    // PCA whitening APPLY — the fit→transform split of an ML pipeline:
+    // the fit is the one-pass Gram state + driver eigen (exactly
+    // vec_pca_top2_deflate's machinery); the apply broadcasts (μ·v, v,
+    // λ) as literal arrays and projects each sampled vector with a fixed
+    // LEFT-FOLD dot product (aggregate over zip_with — deterministic
+    // float order, unlike a grouped sum), z_k = (x·v_k − μ·v_k)/√λ_k.
+    // Oracle-N (eigen); Round9nSpec pins unit variance of the whitened
+    // coordinates over the full corpus and determinism across runs.
+    "vec_pca_whiten_apply" -> Decl(
+      (s, d) => {
+        val dim = 64
+        val gramUdf = udaf(new graft.functions.VectorGramAgg(dim))
+        val row = Tables(s, d, "embeddings")
+          .agg(gramUdf(col("embedding")).as("g"))
+          .select(col("g.n"), col("g.s"), col("g.g"))
+          .head()
+        val gram = graft.functions.GramState(
+          row.getLong(0), row.getSeq[Double](1).toArray, row.getSeq[Double](2).toArray)
+        val cov = graft.functions.VectorGramAgg.covariance(gram, dim)
+        val (v1, l1) = graft.functions.VectorGramAgg.topEigen(cov)
+        val deflated = Array.tabulate(dim, dim)((i, j) => cov(i)(j) - l1 * v1(i) * v1(j))
+        val (v2, l2) = graft.functions.VectorGramAgg.topEigen(deflated)
+        val mu = gram.s.map(_ / gram.n)
+        def dotMu(v: Array[Double]) = mu.zip(v).map { case (a, b) => a * b }.sum
+        val (c1, c2) = (dotMu(v1), dotMu(v2))
+        def proj(v: Array[Double], c: Double, l: Double, name: String) = {
+          val varr = array(v.toIndexedSeq.map(lit): _*)
+          round((expr_dot(varr) - lit(c)) / lit(math.sqrt(l)), 6).as(name)
+          }
+        def expr_dot(varr: org.apache.spark.sql.Column) =
+          aggregate(zip_with(col("embedding"), varr,
+                             (x, w) => x.cast("double") * w),
+                    lit(0.0), (acc, p) => acc + p)
+        Tables(s, d, "embeddings")
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id"),
+                  proj(v1, c1, l1, "z1"), proj(v2, c2, l2, "z2"))
+          .orderBy("vec_id")
+      },
+      None)
+  )
+}
