@@ -7257,3 +7257,191 @@ object RegressionWave85 {
              |FROM best WHERE rn = 1 ORDER BY tau""".stripMargin))
   )
 }
+
+// ——— round-11 wave 89 ———
+/** Round-11 wave 89: resampling and empirical-Bayes inference — a
+  * deterministic PERMUTATION test of the cohort spend difference (the
+  * assumption-free significance answer when nothing about the
+  * distribution is trusted: re-randomize labels B=200 times, count how
+  * often the permuted |difference| beats the observed one) and
+  * beta-binomial shrinkage of daily conversion rates (the
+  * empirical-Bayes fix for "day 7 had 3 events and looks like a 100%
+  * conversion day": method-of-moments prior from the 30-day rate
+  * spread, posterior-mean shrinkage toward it).
+  *
+  * Determinism: permutation labels are the PARITY OF THE LAST HEX
+  * CHAR of md5(event_id:b) — the same string in every engine, so the
+  * B=200 re-randomizations are identical everywhere; each permuted
+  * difference flows through the same exact-integer-sums → one-double
+  * tree as the observed one, so the ≥ comparisons agree bit-for-bit.
+  * The beta prior folds Σp and Σ(p−p̄)² in day order (sorted-fold
+  * rule); everything else is integer counts.
+  *
+  * Scale shape: the permutation fan-out is a broadcast crossJoin (one
+  * scan read B times map-side, combined to B×2 partial sums before the
+  * only shuffle — 400 rows cross the wire, not B×N). The shrinkage key
+  * reduces the corpus to the 30-day spine in one aggregate.
+  */
+object StatsWave89 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    // Two-sided permutation test, B = 200: is the even-user cohort's
+    // mean purchase (cents) different from the odd-user cohort's?
+    // p = (1 + #{|T_b| ≥ |T_obs|}) / (B + 1), the add-one-in rule that
+    // keeps the p-value valid at any B.
+    "agg_permutation_test" -> Decl(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"),
+                  round(col("value") * 100).cast("bigint").as("c"),
+                  (pmod(col("user_id"), lit(2L)) === 0).as("isA"))
+        def diff(sa: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
+                 sb: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+          sa.cast("double") / na - sb.cast("double") / nb
+        val obs = ev.agg(
+            sum(when(col("isA"), col("c")).otherwise(0L)).as("sa"),
+            sum(when(col("isA"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("isA"), col("c")).otherwise(0L)).as("sb"),
+            sum(when(!col("isA"), 1L).otherwise(0L)).as("nb"))
+          .select(col("na"), col("nb"),
+                  diff(col("sa"), col("na"), col("sb"), col("nb")).as("t_obs"))
+        val perms = s.range(200).select(col("id").as("b"))
+        val permT = ev.crossJoin(broadcast(perms))
+          .withColumn("lab",
+            substring(md5(concat(col("event_id").cast("string"), lit(":"),
+                                 col("b").cast("string"))), 32, 1)
+              .isin("0", "2", "4", "6", "8", "a", "c", "e"))
+          .groupBy("b")
+          .agg(sum(when(col("lab"), col("c")).otherwise(0L)).as("sa"),
+               sum(when(col("lab"), 1L).otherwise(0L)).as("na"),
+               sum(when(!col("lab"), col("c")).otherwise(0L)).as("sb"),
+               sum(when(!col("lab"), 1L).otherwise(0L)).as("nb"))
+          .select(col("b"),
+                  diff(col("sa"), col("na"), col("sb"), col("nb")).as("t"))
+        permT.crossJoin(broadcast(obs))
+          .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+               round(first(col("t_obs")), 6).as("t_obs"),
+               count(lit(1)).as("b_perms"),
+               sum(when(abs(col("t")) >= abs(col("t_obs")), 1L).otherwise(0L))
+                 .as("exceed"))
+          .withColumn("p_value",
+            round((col("exceed") + 1).cast("double") / (col("b_perms") + 1), 6))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id,
+             |         CAST(round(value * 100) AS BIGINT) AS c,
+             |         user_id % 2 = 0 AS isa
+             |  FROM events WHERE event_type = 'purchase'),
+             |obs AS (
+             |  SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_a,
+             |         CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_b,
+             |         CAST(CAST(sum(CASE WHEN isa THEN c ELSE 0 END)
+             |                   AS BIGINT) AS DOUBLE) /
+             |           CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) -
+             |         CAST(CAST(sum(CASE WHEN NOT isa THEN c ELSE 0 END)
+             |                   AS BIGINT) AS DOUBLE) /
+             |           CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END)
+             |                AS BIGINT) AS t_obs
+             |  FROM ev),
+             |perms AS (SELECT unnest(range(0, 200)) AS b),
+             |lab AS (
+             |  SELECT b,
+             |         substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+             |                    CAST(b AS VARCHAR)), 32, 1)
+             |           IN ('0','2','4','6','8','a','c','e') AS lab,
+             |         c
+             |  FROM ev CROSS JOIN perms),
+             |pt AS (
+             |  SELECT b,
+             |         CAST(CAST(sum(CASE WHEN lab THEN c ELSE 0 END)
+             |                   AS BIGINT) AS DOUBLE) /
+             |           CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) -
+             |         CAST(CAST(sum(CASE WHEN NOT lab THEN c ELSE 0 END)
+             |                   AS BIGINT) AS DOUBLE) /
+             |           CAST(sum(CASE WHEN NOT lab THEN 1 ELSE 0 END)
+             |                AS BIGINT) AS t
+             |  FROM lab GROUP BY b)
+             |SELECT obs.n_a, obs.n_b, round(obs.t_obs, 6) AS t_obs,
+             |       count(*) AS b_perms,
+             |       CAST(sum(CASE WHEN abs(pt.t) >= abs(obs.t_obs)
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS exceed,
+             |       round(CAST(CAST(sum(CASE WHEN abs(pt.t) >= abs(obs.t_obs)
+             |                               THEN 1 ELSE 0 END) AS BIGINT) + 1
+             |                  AS DOUBLE) / (count(*) + 1), 6) AS p_value
+             |FROM pt CROSS JOIN obs
+             |GROUP BY obs.n_a, obs.n_b, obs.t_obs""".stripMargin)),
+
+    // Beta-binomial empirical-Bayes shrinkage of the daily purchase
+    // share: MoM prior (α̂, β̂) from the 30 daily rates, posterior-mean
+    // shrunk_t = (conv_t + α̂)/(n_t + α̂ + β̂). Low-n days move most —
+    // the spec asserts the contraction property per day.
+    "agg_beta_binomial_shrinkage" -> Decl(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(datediff(col("ts").cast("date"), to_date(lit("2023-12-31")))
+                     .cast("bigint").as("t"))
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                 .as("conv"))
+          .withColumn("p", col("conv").cast("double") / col("n"))
+        val prior = daily.agg(
+            count(lit(1)).as("tt"),
+            expr("aggregate(array_sort(collect_list(struct(t, p))), " +
+                 "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)").as("sp"),
+            expr("aggregate(array_sort(collect_list(struct(t, p))), " +
+                 "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p * x.p)").as("spp"))
+          .withColumn("pbar", col("sp") / col("tt"))
+          .withColumn("v",
+            (col("spp") - col("sp") * col("sp") / col("tt")) /
+              (col("tt") - 1))
+          .withColumn("m",
+            col("pbar") * (lit(1.0) - col("pbar")) / col("v") - 1)
+          .select((col("pbar") * col("m")).as("alpha"),
+                  ((lit(1.0) - col("pbar")) * col("m")).as("beta"))
+        daily.crossJoin(broadcast(prior))
+          .select(col("t"), col("n"), col("conv"),
+                  round(col("p"), 6).as("rate_raw"),
+                  round((col("conv") + col("alpha")) /
+                        (col("n") + col("alpha") + col("beta")), 6)
+                    .as("rate_shrunk"),
+                  round(col("alpha"), 6).as("alpha"),
+                  round(col("beta"), 6).as("beta"))
+          .orderBy("t")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(CAST(ts AS DATE) - DATE '2023-12-31' AS BIGINT)
+             |           AS t,
+             |         count(*) AS n,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS conv
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT t, n, conv, CAST(conv AS DOUBLE) / n AS p
+             |      FROM daily),
+             |prior AS (
+             |  SELECT count(*) AS tt,
+             |         list_sum(list(p ORDER BY t)) AS sp,
+             |         list_sum(list(p * p ORDER BY t)) AS spp
+             |  FROM r),
+             |ab AS (
+             |  SELECT (sp / tt) *
+             |           ((sp / tt) * (1 - sp / tt) /
+             |            ((spp - sp * sp / tt) / (tt - 1)) - 1) AS alpha,
+             |         (1 - sp / tt) *
+             |           ((sp / tt) * (1 - sp / tt) /
+             |            ((spp - sp * sp / tt) / (tt - 1)) - 1) AS beta
+             |  FROM prior)
+             |SELECT t, n, conv,
+             |       round(p, 6) AS rate_raw,
+             |       round((conv + alpha) / (n + alpha + beta), 6)
+             |         AS rate_shrunk,
+             |       round(alpha, 6) AS alpha,
+             |       round(beta, 6) AS beta
+             |FROM r CROSS JOIN ab
+             |ORDER BY t""".stripMargin))
+  )
+}

@@ -432,3 +432,74 @@ object Round11o {
              |ORDER BY freq""".stripMargin))
   )
 }
+
+// ——— round-11 wave 90 ———
+/** Round-11 wave 90: corpus-order n-gram novelty — for every document,
+  * the fraction of its distinct 3-grams that NO lower-doc_id document
+  * contains. This is the curation signal behind "is this shard adding
+  * new text or re-treading the corpus?": dedup says same/different,
+  * novelty says HOW MUCH is new, per document, against everything
+  * before it.
+  *
+  * Determinism: pure integer counts (distinct grams, grams whose
+  * corpus-wide min(doc_id) is this document) and one 6-dp ratio.
+  *
+  * Scale shape: the naive formulation ("join every doc against all
+  * earlier docs") is quadratic; this one is two hash aggregates — the
+  * gram → min(doc_id) first-occurrence index (ONE shuffle on the gram
+  * key, the same shape as dedup_exact's hash-first rule), then a
+  * per-(doc, gram) distinct + per-doc count. Nothing is ever compared
+  * pairwise.
+  */
+object TextWave90 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    "text_ngram_novelty_rate" -> Decl(
+      (s, d) => {
+        val grams = Pipeline.docsWithTokens(s, d)
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+                  explode(expr(
+                    "transform(sequence(0, size(toks) - 3), " +
+                    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+                    .as("gram"))
+          .distinct()  // novelty is over DISTINCT grams per doc
+        val firstSeen = grams.groupBy("gram")
+          .agg(min(col("doc_id")).as("first_doc"))
+        grams.join(firstSeen, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+               sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+                 .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+                  round(col("n_novel").cast("double") / col("n_grams"), 6)
+                    .as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, gram FROM (
+             |    SELECT doc_id,
+             |           unnest(list_transform(
+             |             generate_series(1, len(tk) - 2),
+             |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+             |             AS gram
+             |    FROM toks)),
+             |fs AS (SELECT gram, min(doc_id) AS first_doc
+             |       FROM grams GROUP BY gram)
+             |SELECT g.doc_id,
+             |       count(*) AS n_grams,
+             |       CAST(sum(CASE WHEN fs.first_doc = g.doc_id
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |       round(CAST(CAST(sum(CASE WHEN fs.first_doc = g.doc_id
+             |                               THEN 1 ELSE 0 END) AS BIGINT)
+             |                  AS DOUBLE) / count(*), 6) AS novelty
+             |FROM grams g JOIN fs USING (gram)
+             |GROUP BY g.doc_id
+             |ORDER BY g.doc_id""".stripMargin))
+  )
+}
