@@ -587,7 +587,10 @@ class ScaleSpec extends AnyFunSuite {
       "ts_peak_concurrency"     -> "calendar minute spine (sweep line over per-minute counts)",
       "ts_seasonal_additive"    -> "calendar hour spine",
       "ts_survival_km"          -> "shipping-latency week spine (latency domain, ~18 weeks)",
-      "window_cusum_changepoint" -> "calendar hour spine")
+      "window_cusum_changepoint" -> "calendar hour spine",
+      "agg_wilcoxon_signed_rank" -> "|daily-diff| grid over the 30-day calendar spine (<=30 rows)",
+      "ts_pettitt_test"          -> "calendar day spine (U_t cumulates 30 daily sign sums)",
+      "sample_stratified_neyman" -> "5-row stratum enum (largest-remainder ranking)")
     // (agg_lorenz_curve stays listed for its 10-row DECILE spine only —
     // its unbounded cents-of-sums grid is PrefixSum'd and re-checked
     // below with the other fixed keys.)
