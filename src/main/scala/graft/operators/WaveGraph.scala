@@ -228,16 +228,25 @@ object Round10m {
         val pdeg = edges.groupBy("p").agg(count(lit(1)).as("df"))
           .filter(col("df") <= MaxPartDf && col("df") >= 2)
         val e = edges.join(pdeg, "p").repartition(n, col("p"))
-          .localCheckpoint(true)
         // the weight 1/ln(df) takes ≤39 distinct values (df ∈ 2..40), so
         // the float NEVER rides the corpus: aggregate exact integer
         // (df, count) cells per pair, then fold the ≤39 terms in df
         // order — same sorted-fold determinism, none of the per-row
-        // double-list collection (10.9 s → aggregate-only)
-        val contrib = e.as("x")
-          .join(e.as("y"),
-                col("x.p") === col("y.p") && col("x.c") < col("y.c"))
-          .groupBy(col("x.c").as("a"), col("y.c").as("b"), col("x.df").as("df"))
+        // double-list collection (10.9 s → aggregate-only).
+        // Pair generation is a per-part sorted collect + codegen'd
+        // combination explode, NOT an e⋈e self-join: the join shuffled
+        // the capped edge list twice and hash-probed ~Σdf² rows (880 s
+        // of task CPU on the round-11 regenerated fixture); this emits
+        // each unordered pair exactly once (C(df,2) rows) inside one
+        // groupBy(p) stage. Per-part state is ≤ MaxPartDf ids — bounded
+        // by the cap, never by the corpus.
+        val contrib = e.groupBy("p", "df")
+          .agg(sort_array(collect_list(col("c"))).as("cs"))
+          .select(col("df"), explode(expr(
+            "flatten(transform(cs, (a, i) -> " +
+            "transform(slice(cs, i + 2, size(cs)), b -> struct(a, b))))"))
+            .as("pr"))
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"), col("df"))
           .agg(count(lit(1)).as("cnt"))
         contrib.groupBy("a", "b")
           .agg(sum(col("cnt")).as("common"),
