@@ -1377,3 +1377,88 @@ object GraphWave87 {
              |ORDER BY d.doc_id""".stripMargin))
   )
 }
+
+// ——— round-11 wave 92 ———
+/** Round-11 wave 92: HITS hub/authority scores — the link-analysis
+  * companion to PageRank (Kleinberg's mutual reinforcement: good hubs
+  * point at good authorities and vice versa) on the minted directed
+  * block graph, with TWO unrolled update rounds.
+  *
+  * Determinism: normalization is deferred to the very end, so every
+  * intermediate score is an EXACT BIGINT (h⁰ = 1 ⇒ a¹ = in-degree,
+  * h¹ = Σ a¹ over out-edges, a² = Σ h¹, h² = Σ a²) — no float ever
+  * rides the graph; the final hub/auth columns are single divisions by
+  * the corpus max through identical IEEE trees. (Classical HITS
+  * normalizes per round; with ≤2 rounds the unnormalized recursion is
+  * the same ranking, and exactness is worth more here than the
+  * convention.)
+  *
+  * Scale shape: four hash join+aggregate passes over the edge list —
+  * straight-line dataflow, no driver loop, no window; Catalyst reuses
+  * the scanned edge exchange across rounds.
+  */
+object GraphWave92 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    "graph_hits_hub_authority" -> Decl(
+      (s, d) => {
+        val edges = Round11k.blockEdges(s, d)
+        val a1 = edges.groupBy(col("dst").as("v"))
+          .agg(count(lit(1)).as("a1"))
+        val h1 = edges.join(a1.withColumnRenamed("v", "dst"), "dst")
+          .groupBy(col("src").as("v")).agg(sum(col("a1")).as("h1"))
+        val a2 = edges.join(h1.withColumnRenamed("v", "src"), "src")
+          .groupBy(col("dst").as("v")).agg(sum(col("h1")).as("a2"))
+        val h2 = edges.join(a2.withColumnRenamed("v", "dst"), "dst")
+          .groupBy(col("src").as("v")).agg(sum(col("a2")).as("h2"))
+        val scored = Tables(s, d, "documents")
+          .select(col("doc_id"))
+          .join(a2.select(col("v").as("doc_id"), col("a2")), Seq("doc_id"), "left")
+          .join(h2.select(col("v").as("doc_id"), col("h2")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("a2"), lit(0L)).as("auth_raw"),
+                  coalesce(col("h2"), lit(0L)).as("hub_raw"))
+        val mx = scored.agg(max(col("auth_raw")).as("ma"),
+                            max(col("hub_raw")).as("mh"))
+        scored.crossJoin(broadcast(mx))
+          .select(col("doc_id"), col("auth_raw"), col("hub_raw"),
+                  round(col("auth_raw").cast("double") / col("ma"), 6)
+                    .as("authority"),
+                  round(col("hub_raw").cast("double") / col("mh"), 6)
+                    .as("hub"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH nn AS (SELECT count(*) AS ni FROM documents),
+             |e AS (SELECT DISTINCT src, dst FROM (
+             |  SELECT doc_id AS src,
+             |         (doc_id // 8) * 8 +
+             |         ((doc_id - (doc_id // 8) * 8) * 3 + t.k) %
+             |           least(8, nn.ni - (doc_id // 8) * 8) AS dst
+             |  FROM documents CROSS JOIN nn, (VALUES (1), (2)) t(k)
+             |  WHERE doc_id % 4 <> 0 AND t.k <= 1 + doc_id % 2) x
+             |  WHERE src <> dst),
+             |a1 AS (SELECT dst AS v, count(*) AS a1 FROM e GROUP BY dst),
+             |h1 AS (SELECT e.src AS v, CAST(sum(a1.a1) AS BIGINT) AS h1
+             |       FROM e JOIN a1 ON e.dst = a1.v GROUP BY e.src),
+             |a2 AS (SELECT e.dst AS v, CAST(sum(h1.h1) AS BIGINT) AS a2
+             |       FROM e JOIN h1 ON e.src = h1.v GROUP BY e.dst),
+             |h2 AS (SELECT e.src AS v, CAST(sum(a2.a2) AS BIGINT) AS h2
+             |       FROM e JOIN a2 ON e.dst = a2.v GROUP BY e.src),
+             |scored AS (
+             |  SELECT d.doc_id,
+             |         coalesce(a2.a2, 0) AS auth_raw,
+             |         coalesce(h2.h2, 0) AS hub_raw
+             |  FROM documents d
+             |  LEFT JOIN a2 ON a2.v = d.doc_id
+             |  LEFT JOIN h2 ON h2.v = d.doc_id),
+             |mx AS (SELECT max(auth_raw) AS ma, max(hub_raw) AS mh
+             |       FROM scored)
+             |SELECT doc_id, auth_raw, hub_raw,
+             |       round(CAST(auth_raw AS DOUBLE) / ma, 6) AS authority,
+             |       round(CAST(hub_raw AS DOUBLE) / mh, 6) AS hub
+             |FROM scored CROSS JOIN mx
+             |ORDER BY doc_id""".stripMargin))
+  )
+}
