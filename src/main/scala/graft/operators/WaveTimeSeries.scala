@@ -2998,3 +2998,211 @@ object TsWave86 {
               |FROM best b CROSS JOIN nn WHERE b.rn = 1""".stripMargin))
   )
 }
+
+// ——— round-11 wave 93 ———
+/** Round-11 wave 93: the technical-analysis trio every market-data
+  * stack ships — Wilder's RSI(14) (the bounded momentum oscillator:
+  * smoothed average gain vs loss), MACD(12,26,9) (trend-following
+  * crossover: fast EMA − slow EMA with a signal EMA and histogram),
+  * and historical Value-at-Risk / Expected Shortfall (the loss
+  * quantile and tail mean of the day-over-day change distribution) —
+  * all on the daily purchase-cents close series.
+  *
+  * Determinism: the EMA/Wilder recursions run on the driver over the
+  * bounded 30-day spine (the croston/holt_winters documented
+  * driver-fixpoint class) and the oracles replay the IDENTICAL
+  * recursion as recursive CTEs with the smoothing constants
+  * interpolated as the same Scala literals into both engines. VaR/ES
+  * are order statistics of INTEGER cent diffs (limit-k, no window) and
+  * an exact tail mean.
+  *
+  * Scale shape: one corpus aggregate to the calendar spine per key;
+  * recursions/folds touch ≤30 rows. VaR's order statistic is a
+  * bounded limit-2 sort, not a data-sized window.
+  */
+object FinanceWave93 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  // smoothing constants — ONE Scala literal each, interpolated into
+  // BOTH engines (1−k precomputed too, so neither engine derives it)
+  private val W13 = 13.0 / 14.0   // Wilder keep-weight
+  private val W1  = 1.0 / 14.0    // Wilder new-weight
+  private val K12 = 2.0 / 13.0
+  private val J12 = 1 - K12
+  private val K26 = 2.0 / 27.0
+  private val J26 = 1 - K26
+  private val K9  = 2.0 / 10.0
+  private val J9  = 1 - K9
+
+  private def dailyClose(s: org.apache.spark.sql.SparkSession,
+                         d: String): Array[Long] = {
+    val m = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(datediff(col("ts").cast("date"), to_date(lit("2023-12-31")))
+                 .cast("bigint").as("t"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 30).map(t => m.getOrElse(t.toLong, 0L)).toArray
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  val decls: Map[String, Decl] = Map(
+    // Wilder RSI(14): seed = simple mean of gains/losses over days
+    // 2..15, then ag ← (13·ag + gain)/14. Rows t = 15..30.
+    "window_rsi_wilder" -> Decl(
+      (s, d) => {
+        val c = dailyClose(s, d)
+        val gains = (1 until 30).map(i => math.max(c(i) - c(i - 1), 0L))
+        val losses = (1 until 30).map(i => math.max(c(i - 1) - c(i), 0L))
+        var ag = gains.take(14).sum / 14.0
+        var al = losses.take(14).sum / 14.0
+        val rows = (15 to 30).map { t =>
+          if (t > 15) {
+            ag = W13 * ag + W1 * gains(t - 2)
+            al = W13 * al + W1 * losses(t - 2)
+          }
+          val rsi = if (al == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + ag / al)
+          (t.toLong, c(t - 1), r6(ag), r6(al), r6(rsi))
+        }
+        import s.implicits._
+        rows.toDF("t", "close_cents", "avg_gain", "avg_loss", "rsi")
+          .orderBy("t")
+      },
+      Some(s"""WITH RECURSIVE daily AS (
+             |  SELECT date_diff('day', DATE '2023-12-31', CAST(ts AS DATE)) AS t,
+             |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |spine AS (
+             |  SELECT g.t, CAST(coalesce(c, 0) AS BIGINT) AS c
+             |  FROM generate_series(1, 30) g(t) LEFT JOIN daily ON daily.t = g.t),
+             |cl AS (SELECT list(c ORDER BY t) AS l FROM spine),
+             |gl AS (SELECT list_transform(generate_series(2, 30),
+             |                i -> greatest(l[i] - l[i-1], 0)) AS g,
+             |              list_transform(generate_series(2, 30),
+             |                i -> greatest(l[i-1] - l[i], 0)) AS lo,
+             |              l
+             |       FROM cl),
+             |w(t, ag, al) AS (
+             |  SELECT 15,
+             |         CAST(list_sum(g[1:14]) AS DOUBLE) / 14.0,
+             |         CAST(list_sum(lo[1:14]) AS DOUBLE) / 14.0
+             |  FROM gl
+             |  UNION ALL
+             |  SELECT t + 1,
+             |         CAST($W13 AS DOUBLE) * ag + CAST($W1 AS DOUBLE) * gl.g[t],
+             |         CAST($W13 AS DOUBLE) * al + CAST($W1 AS DOUBLE) * gl.lo[t]
+             |  FROM w CROSS JOIN gl WHERE t < 30)
+             |SELECT w.t AS t, gl.l[w.t] AS close_cents,
+             |       round(ag, 6) AS avg_gain, round(al, 6) AS avg_loss,
+             |       round(CASE WHEN al = 0.0 THEN 100.0
+             |                  ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6)
+             |         AS rsi
+             |FROM w CROSS JOIN gl
+             |ORDER BY t""".stripMargin)),
+
+    // MACD(12,26,9): EMAs seeded at day 1 (ema₁ = close₁, signal₁ =
+    // macd₁); histogram = macd − signal. All 30 days.
+    "window_macd_signal" -> Decl(
+      (s, d) => {
+        val c = dailyClose(s, d)
+        var e12 = c(0).toDouble; var e26 = c(0).toDouble
+        var sig = 0.0
+        val rows = (1 to 30).map { t =>
+          if (t > 1) {
+            e12 = K12 * c(t - 1) + J12 * e12
+            e26 = K26 * c(t - 1) + J26 * e26
+          }
+          val macd = e12 - e26
+          if (t == 1) sig = macd else sig = K9 * macd + J9 * sig
+          (t.toLong, c(t - 1), r6(e12), r6(e26), r6(macd), r6(sig),
+           r6(macd - sig))
+        }
+        import s.implicits._
+        rows.toDF("t", "close_cents", "ema12", "ema26", "macd", "signal",
+                  "histogram")
+          .orderBy("t")
+      },
+      Some(s"""WITH RECURSIVE daily AS (
+             |  SELECT date_diff('day', DATE '2023-12-31', CAST(ts AS DATE)) AS t,
+             |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |spine AS (
+             |  SELECT g.t, CAST(coalesce(c, 0) AS BIGINT) AS c
+             |  FROM generate_series(1, 30) g(t) LEFT JOIN daily ON daily.t = g.t),
+             |cl AS (SELECT list(c ORDER BY t) AS l FROM spine),
+             |m(t, e12, e26, sig) AS (
+             |  SELECT 1, CAST(l[1] AS DOUBLE), CAST(l[1] AS DOUBLE),
+             |         CAST(l[1] AS DOUBLE) - CAST(l[1] AS DOUBLE)
+             |  FROM cl
+             |  UNION ALL
+             |  SELECT t + 1,
+             |         CAST($K12 AS DOUBLE) * cl.l[t+1] + CAST($J12 AS DOUBLE) * e12,
+             |         CAST($K26 AS DOUBLE) * cl.l[t+1] + CAST($J26 AS DOUBLE) * e26,
+             |         CAST($K9 AS DOUBLE) *
+             |           (CAST($K12 AS DOUBLE) * cl.l[t+1] + CAST($J12 AS DOUBLE) * e12 -
+             |            (CAST($K26 AS DOUBLE) * cl.l[t+1] + CAST($J26 AS DOUBLE) * e26)) +
+             |         CAST($J9 AS DOUBLE) * sig
+             |  FROM m CROSS JOIN cl WHERE t < 30)
+             |SELECT m.t AS t, cl.l[m.t] AS close_cents,
+             |       round(e12, 6) AS ema12, round(e26, 6) AS ema26,
+             |       round(e12 - e26, 6) AS macd, round(sig, 6) AS signal,
+             |       round(e12 - e26 - sig, 6) AS histogram
+             |FROM m CROSS JOIN cl
+             |ORDER BY t""".stripMargin)),
+
+    // Historical VaR/ES on the 29 day-over-day cent changes: VaR95 =
+    // −(2nd smallest), VaR99 = −(smallest), ES95 = −mean of the 2
+    // smallest (exact .5-grid double). Order statistics via bounded
+    // limit-k sorts — no data-sized window.
+    "agg_value_at_risk" -> Decl(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(datediff(col("ts").cast("date"), to_date(lit("2023-12-31")))
+                     .cast("bigint").as("t"))
+          .agg(sum(round(col("value") * 100).cast("bigint")).as("c"))
+        val spine = s.range(1, 31).select(col("id").as("t"))
+          .join(daily, Seq("t"), "left")
+          .select(col("t"), coalesce(col("c"), lit(0L)).as("c"))
+        val rets = spine.as("a")
+          .join(spine.as("b"), col("a.t") === col("b.t") + 1)
+          .select((col("a.c") - col("b.c")).as("r"))
+        val tail2 = rets.orderBy(col("r").asc).limit(2)
+          .agg(count(lit(1)).as("k"),
+               max(col("r")).as("second_min"),
+               min(col("r")).as("first_min"),
+               sum(col("r")).as("tail_sum"))
+        rets.agg(count(lit(1)).as("n_rets"))
+          .crossJoin(broadcast(tail2))
+          .select(col("n_rets"),
+                  (-col("second_min")).as("var95_cents"),
+                  (-col("first_min")).as("var99_cents"),
+                  round(-(col("tail_sum").cast("double") / col("k")), 6)
+                    .as("es95_cents"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(CAST(ts AS DATE) - DATE '2023-12-31' AS BIGINT)
+             |           AS t,
+             |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |           AS c
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |spine AS (
+             |  SELECT g.t, CAST(coalesce(c, 0) AS BIGINT) AS c
+             |  FROM generate_series(1, 30) g(t) LEFT JOIN daily ON daily.t = g.t),
+             |rets AS (SELECT a.c - b.c AS r
+             |         FROM spine a JOIN spine b ON a.t = b.t + 1),
+             |tail2 AS (SELECT count(*) AS k,
+             |                 max(r) AS second_min, min(r) AS first_min,
+             |                 CAST(sum(r) AS BIGINT) AS tail_sum
+             |          FROM (SELECT r FROM rets ORDER BY r ASC LIMIT 2)),
+             |n AS (SELECT count(*) AS n_rets FROM rets)
+             |SELECT n.n_rets,
+             |       -second_min AS var95_cents,
+             |       -first_min AS var99_cents,
+             |       round(-(CAST(tail_sum AS DOUBLE) / k), 6) AS es95_cents
+             |FROM n CROSS JOIN tail2""".stripMargin))
+  )
+}
