@@ -7445,3 +7445,66 @@ object StatsWave89 {
              |ORDER BY t""".stripMargin))
   )
 }
+
+// ——— round-11 wave 94 ———
+/** Round-11 wave 94: the Wilson score interval — the binomial CI
+  * that actually behaves at small n and extreme rates, unlike the
+  * Wald interval every naive dashboard ships. (CUPED and
+  * diff-in-diff were drafted here too; the Waves duplicate-key guard
+  * caught that both already shipped in an earlier wave — exactly the
+  * failure mode the loud check exists for.)
+  *
+  * Determinism: integer (k, n) per group through identical IEEE
+  * trees; the z constant is one literal in both engines.
+  *
+  * Scale shape: one per-group hash aggregate, then ≤5-row arithmetic.
+  */
+object StatsWave94 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  private val Z = 1.959964
+
+  val decls: Map[String, Decl] = Map(
+    // Wilson 95% score interval for the even-user share per event
+    // type: integer (k, n) per group, one literal z in both engines.
+    "agg_wilson_ci" -> Decl(
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(when(pmod(col("user_id"), lit(2L)) === 0, 1L)
+                     .otherwise(0L)).as("k"))
+          .withColumn("p", col("k").cast("double") / col("n"))
+          .withColumn("z2n", lit(Z) * lit(Z) / col("n"))
+          .withColumn("center", (col("p") + col("z2n") / 2) / (lit(1.0) + col("z2n")))
+          .withColumn("half",
+            lit(Z) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+                          col("z2n") / (lit(4.0) * col("n"))) /
+              (lit(1.0) + col("z2n")))
+        per.select(col("event_type"), col("n"), col("k"),
+                   round(col("p"), 6).as("p_hat"),
+                   round(col("center") - col("half"), 6).as("ci_lo"),
+                   round(col("center") + col("half"), 6).as("ci_hi"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH per AS (
+             |  SELECT event_type, count(*) AS n,
+             |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS k
+             |  FROM events GROUP BY event_type),
+             |t AS (SELECT event_type, n, k,
+             |             CAST(k AS DOUBLE) / n AS p,
+             |             $Z * $Z / n AS z2n
+             |      FROM per)
+             |SELECT event_type, n, k,
+             |       round(p, 6) AS p_hat,
+             |       round((p + z2n / 2) / (1.0 + z2n) -
+             |             $Z * sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)) /
+             |               (1.0 + z2n), 6) AS ci_lo,
+             |       round((p + z2n / 2) / (1.0 + z2n) +
+             |             $Z * sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)) /
+             |               (1.0 + z2n), 6) AS ci_hi
+             |FROM t ORDER BY event_type""".stripMargin))
+  )
+}
