@@ -304,3 +304,72 @@ object Round9n {
       None)
   )
 }
+
+// ——— round-11 wave 95 ———
+/** Round-11 wave 95: materialized-view acceleration — build a
+  * (event_type, day) rollup of the events projection, register it with
+  * `graft.plans.MvCatalog`, attach `MvRewrite` to the session's
+  * extraOptimizations, and run a plain groupBy(event_type) aggregate
+  * over the BASE. The optimizer rewrites it to roll up the summary
+  * (the spec proves the physical scan reads the MV parquet, plus a
+  * negative control on a non-dimension grouping), while the DuckDB
+  * oracle computes the same answer from the RAW table — the hash match
+  * proves the rewrite value-exact end to end.
+  *
+  * 100 TB shape: the rewritten plan reads |event_type × day| rows
+  * instead of the corpus — THE lever for repeated dashboard
+  * aggregates; counts/sums roll up integer-exactly.
+  */
+object LakehouseWave95 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  /** The registered base projection + its summary, shared with the spec
+    * so both sides register the identical plans.
+    */
+  private[graft] def setupMv(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), to_date(lit("2023-12-31")))
+                .cast("bigint").as("day"),
+              round(col("value") * 100).cast("bigint").as("cents"))
+    val dir = Tables.scratchDir("graft_mv").resolve("mv_events").toString
+    base.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+           min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .write.mode("overwrite").parquet(dir)
+    val mv = s.read.parquet(dir)
+    graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
+      base.queryExecution.analyzed, mv.queryExecution.analyzed,
+      dims = Set("event_type", "day"), countCol = "n",
+      sumMap = Map("cents" -> "sc"),
+      minMap = Map("cents" -> "mn"), maxMap = Map("cents" -> "mx")))
+    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    base
+  }
+
+  val decls: Map[String, Decl] = Map(
+    "sql_mv_rewrite" -> Decl(
+      (s, d) => {
+        val base = setupMv(s, d)
+        base.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+               sum(col("cents")).as("sum_cents"),
+               min(col("cents")).as("min_cents"),
+               max(col("cents")).as("max_cents"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |       count(*) AS n_events,
+             |       CAST(sum(c) AS BIGINT) AS sum_cents,
+             |       min(c) AS min_cents,
+             |       max(c) AS max_cents
+             |FROM (SELECT event_type,
+             |             CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave-95 invariants: the MV rewrite FIRES (the physical scan reads
+  * the summary parquet, not the events table), never fires for a
+  * non-dimension grouping or a filtered base (the conservative-scope
+  * negative controls), and the rewritten answer equals the raw-table
+  * aggregate bit for bit.
+  */
+class LakehouseWave95Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.icu.caseMappings.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+
+  test("the aggregate is rewritten onto the MV and matches the raw answer") {
+    val q = SparkEntry.queries("sql_mv_rewrite")(spark, sf)
+    val leaves = scans(q)
+    assert(leaves.exists(_.contains("mv_events")),
+           s"physical scan must read the MV parquet:\n${leaves.mkString("\n")}")
+    assert(!leaves.exists(_.contains("events.parquet")),
+           "the corpus-sized events scan must be GONE after the rewrite")
+    // value-exactness vs the raw table, computed independently
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+                                    r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = Tables.events(spark, sf)
+      .select(col("event_type"),
+              round(col("value") * 100).cast("bigint").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"), min("c").as("mn"),
+           max("c").as("mx"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("negative controls: non-dimension grouping and filtered base do not rewrite") {
+    val base = graft.operators.LakehouseWave95.setupMv(spark, sf)
+    // grouping by a non-dimension expression — must read the base
+    val nonDim = base.groupBy((col("cents") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    assert(!scans(nonDim).exists(_.contains("mv_events")),
+           "a non-dimension grouping must NOT be rewritten")
+    // a filter between aggregate and base — out of v1 scope, must not fire
+    val filtered = base.filter(col("day") <= 10)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(!scans(filtered).exists(_.contains("mv_events")),
+           "a filtered base must NOT be rewritten (v1 scope)")
+    // avg() is not MV-derivable in v1 — must not fire
+    val avgQ = base.groupBy("event_type").agg(avg(col("cents")).as("m"))
+    assert(!scans(avgQ).exists(_.contains("mv_events")),
+           "avg is not derivable in v1 and must NOT be rewritten")
+  }
+}
