@@ -135,8 +135,26 @@ object MvRewrite extends Rule[LogicalPlan] {
         Some(Alias(mvOut(a.name), a.name)(exprId = a.exprId))
       case al: Alias => al.child match {
         case ag: AggregateExpression if ag.filter.isEmpty && !ag.isDistinct =>
-          mapFn(ag.aggregateFunction)
-            .map(nf => Alias(ag.copy(aggregateFunction = nf), al.name)(exprId = al.exprId))
+          ag.aggregateFunction match {
+            // avg(metric) → sum(sum_col) / sum(count_col). NOTE: Spark's
+            // Average over integral input accumulates a DOUBLE sum
+            // (merge-order-dependent); the rewrite divides the EXACT
+            // integer rollup sums instead — deterministic and at least
+            // as accurate, asserted within 1e-6 relative in the spec
+            case av: Average => av.child match {
+              case a: AttributeReference if d.sumMap.contains(a.name) &&
+                  mvOut.contains(d.sumMap(a.name)) =>
+                val sumE = ag.copy(aggregateFunction = Sum(mvOut(d.sumMap(a.name))))
+                val cntE = AggregateExpression(Sum(cnt), ag.mode, isDistinct = false)
+                Some(Alias(
+                  Divide(Cast(sumE, org.apache.spark.sql.types.DoubleType),
+                         Cast(cntE, org.apache.spark.sql.types.DoubleType)),
+                  al.name)(exprId = al.exprId))
+              case _ => None
+            }
+            case f => mapFn(f).map(nf =>
+              Alias(ag.copy(aggregateFunction = nf), al.name)(exprId = al.exprId))
+          }
         case a: AttributeReference if d.dims.contains(a.name) =>
           Some(Alias(mvOut(a.name), al.name)(exprId = al.exprId))
         case _ => None

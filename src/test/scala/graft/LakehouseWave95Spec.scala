@@ -59,9 +59,27 @@ class LakehouseWave95Spec extends AnyFunSuite {
       .groupBy("event_type").agg(count(lit(1)).as("n"))
     assert(!scans(filtered).exists(_.contains("mv_events")),
            "a filtered base must NOT be rewritten (v1 scope)")
-    // avg() is not MV-derivable in v1 — must not fire
+    // stddev is not MV-derivable from (n, sum, min, max) — must not fire
+    val sdQ = base.groupBy("event_type").agg(stddev_samp(col("cents")).as("sd"))
+    assert(!scans(sdQ).exists(_.contains("mv_events")),
+           "stddev is not derivable and must NOT be rewritten")
+  }
+
+  test("avg decomposes onto the MV as sum(sc)/sum(n) and matches raw") {
+    val base = graft.operators.LakehouseWave95.setupMv(spark, sf)
     val avgQ = base.groupBy("event_type").agg(avg(col("cents")).as("m"))
-    assert(!scans(avgQ).exists(_.contains("mv_events")),
-           "avg is not derivable in v1 and must NOT be rewritten")
+      .orderBy("event_type")
+    assert(scans(avgQ).exists(_.contains("mv_events")),
+           "avg(metric) must rewrite onto the MV")
+    val got = avgQ.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = Tables.events(spark, sf)
+      .select(col("event_type"),
+              round(col("value") * 100).cast("bigint").as("c"))
+      .groupBy("event_type").agg(avg(col("c")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (g, m) =>
+      assert(math.abs(m - want(g)) <= 1e-6 * math.abs(want(g)),
+             s"avg at $g: MV $m vs raw ${want(g)}")
+    }
   }
 }
