@@ -22,8 +22,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     BY exprId with one of the base's outputs (Catalyst's column
   *     pruning preserves exprIds, so a pruned base still matches; an
   *     unrelated-but-similar plan never does);
-  *   - no Filter/Join/Window between the Aggregate and the leaf (a
-  *     dimension-only filter is rollup-safe in principle — future work);
+  *   - Filters between the Aggregate and the leaf are allowed iff
+  *     DIMENSION-ONLY: each condition, fully expanded to leaf attributes
+  *     (the form predicate pushdown leaves it in) and with every
+  *     subexpression canonically equal to a dim's definition replaced by
+  *     the MV's dim column, must reference only MV attributes; it is
+  *     then re-applied over the summary before rolling up. A condition
+  *     touching any non-dim column blocks the rewrite. No Join/Window;
   *   - groupings must be bare attributes of the MV's dimension set;
   *   - DISTINCT / FILTER-clause aggregates never match.
   *
@@ -61,7 +66,7 @@ object MvCatalog {
   def clear(): Unit = defs.clear()
 }
 
-object MvRewrite extends Rule[LogicalPlan] {
+object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate =>
@@ -80,23 +85,140 @@ object MvRewrite extends Rule[LogicalPlan] {
     * Project/SubqueryAlias above it, every projected NamedExpression
     * carrying an exprId the base's own projection tree already defines.
     */
-  private def matchesBase(child: LogicalPlan, base: LogicalPlan): Boolean = {
-    if (child.sameResult(base)) return true
+  /** Fully expand every attribute of `p`'s output down to the leaf's
+    * attributes by substituting alias definitions through each Project —
+    * the same form predicate pushdown leaves filter conditions in, so
+    * dim definitions and pushed conditions become canonically comparable.
+    */
+  private def expansions(p: LogicalPlan): Map[ExprId, Expression] = p match {
+    case Project(pl, c) =>
+      val below = expansions(c)
+      pl.map { ne =>
+        val expanded = ne match {
+          case al: Alias => al.child.transformUp {
+            case a: AttributeReference => below.getOrElse(a.exprId, a)
+          }
+          case a: AttributeReference => below.getOrElse(a.exprId, a)
+          case other => other
+        }
+        ne.exprId -> expanded
+      }.toMap
+    case SubqueryAlias(_, c) => expansions(c)
+    case Filter(_, c) => expansions(c)
+    case l => l.output.map(a => a.exprId -> (a: Expression)).toMap
+  }
+
+  /** child is the base or a column-pruning of it — possibly with Filters
+    * in between (predicate pushdown moves them around freely). Returns
+    * the collected filter conditions, each FULLY EXPANDED to leaf
+    * attributes, when the shape matches; None otherwise.
+    */
+  private def matchesBase(child: LogicalPlan, base: LogicalPlan): Option[Seq[Expression]] = {
+    if (child.sameResult(base)) return Some(Nil)
     val baseIds: Set[ExprId] = base.collect {
       case p: Project => p.projectList.map(_.exprId)
     }.flatten.toSet ++ base.output.map(_.exprId)
-    def prunedOnly(p: LogicalPlan): Boolean = p match {
-      case Project(pl, c) =>
-        pl.forall(ne => baseIds.contains(ne.exprId)) && prunedOnly(c)
-      case SubqueryAlias(_, c) => prunedOnly(c)
-      case l => l.sameResult(leaf(base))
+    def walk(p: LogicalPlan): Option[Seq[Expression]] = p match {
+      case Project(pl, c) if pl.forall(ne => baseIds.contains(ne.exprId)) =>
+        walk(c)
+      case SubqueryAlias(_, c) => walk(c)
+      case Filter(cond, c) =>
+        walk(c).map { rest =>
+          val env = expansions(c)
+          cond.transformUp {
+            case a: AttributeReference => env.getOrElse(a.exprId, a)
+          } +: rest
+        }
+      case l if l.sameResult(leaf(base)) => Some(Nil)
+      case _ => None
     }
-    prunedOnly(child)
+    walk(child)
   }
 
+  private def dbg(msg: => String): Unit =
+    if (sys.env.contains("GRAFT_MV_DEBUG")) System.err.println(s"[mv] $msg")
+
   private def rewrite(agg: Aggregate, d: MvCatalog.MvDef): Option[Aggregate] = {
-    if (!matchesBase(agg.child, d.base)) return None
+    val conds = matchesBase(agg.child, d.base) match {
+      case None => dbg(s"no base match for child:\n${agg.child.treeString}"); return None
+      case Some(cs) => cs
+    }
     val mvOut = d.mv.output.map(a => a.name -> a).toMap
+    // A filter is rollup-safe iff, after replacing every subexpression
+    // that canonically equals a DIM's fully-expanded definition with the
+    // MV's dim attribute, it references ONLY MV attributes (a residual
+    // base reference means it constrains a non-dim column — no rewrite).
+    // constant-fold foldable subtrees: the registered base is an ANALYZED
+    // plan (to_date('2023-12-31') still a function call) while the
+    // conditions arrive OPTIMIZED (already folded to a date literal) —
+    // canonical comparison needs both in the folded form
+    def fold(e: Expression): Expression = e.transformUp {
+      // RuntimeReplaceable (to_date, …) only evaluates via its
+      // replacement — swap it in so the literal fold below can run
+      case rr: RuntimeReplaceable => rr.replacement
+    }.transformUp {
+      case f if f.foldable && f.deterministic =>
+        Literal.create(f.eval(), f.dataType)
+    }
+    val dimDefs: Seq[(Expression, Expression)] = {
+      val env = expansions(d.base)
+      d.base.output.collect {
+        case a if d.dims.contains(a.name) && mvOut.contains(a.name) =>
+          val defE = fold(env(a.exprId))
+          val direct: Seq[(Expression, Expression)] =
+            Seq(defE -> (mvOut(a.name): Expression))
+          // UnwrapCastInBinaryComparison strips an up-cast off pushed
+          // conditions (cast(x as bigint) <= 10L becomes x <= 10), so a
+          // dim defined as an up-cast must ALSO match its cast-free
+          // inner form; the inverse down-cast is exact because every MV
+          // value came through the up-cast
+          val unwrapped = defE match {
+            case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) =>
+              Seq(c.child -> (Cast(mvOut(a.name), c.child.dataType): Expression))
+            case _ => Nil
+          }
+          direct ++ unwrapped
+      }.flatten
+    }
+    def substitute(c: Expression): Option[Expression] = {
+      val sub = c.transformDown {
+        case e if dimDefs.exists(_._1.semanticEquals(e)) =>
+          dimDefs.find(_._1.semanticEquals(e)).get._2
+      }
+      if (sub.references.subsetOf(AttributeSet(d.mv.output))) Some(sub) else None
+    }
+    // c rejects null-a rows: every path from c's root to an occurrence of
+    // `a` goes through nullIntolerant nodes only (null in ⇒ null out ⇒
+    // the filter drops the row), so an IsNotNull(a) conjunct is implied
+    val conjuncts = conds.flatMap(splitConjunctivePredicates)
+    def nullRejects(c: Expression, a: Attribute): Boolean = {
+      def walk(e: Expression): Boolean =
+        e match {
+          case att: Attribute => att.semanticEquals(a)
+          case _ if !e.references.contains(a) => true
+          case _ =>
+            e.nullIntolerant &&
+              e.children.filter(_.references.contains(a)).forall(walk)
+        }
+      c.references.contains(a) && walk(c)
+    }
+    val mvConds = conjuncts.map { c =>
+      substitute(c) match {
+        case Some(sub) => Some(Some(sub))
+        case None => c match {
+          case _ if { dbg(s"conjunct not substitutable: $c ; dimDefs=${dimDefs.map(_._1).mkString(" | ")}"); false } => None
+          // inferred/redundant IsNotNull on a column feeding a dim:
+          // droppable iff a retained substitutable conjunct already
+          // rejects nulls of that column
+          case IsNotNull(a: Attribute)
+              if conjuncts.exists(o => !o.semanticEquals(c) &&
+                   substitute(o).isDefined && nullRejects(o, a)) =>
+            Some(None)
+          case _ => None
+        }
+      }
+    }
+    if (mvConds.exists(_.isEmpty)) { dbg("blocked by non-dim conjunct"); return None }
     // groupings: bare attributes within the dimension set
     val gAttrs = agg.groupingExpressions.map {
       case a: AttributeReference if d.dims.contains(a.name) && mvOut.contains(a.name) => Some(a)
@@ -165,6 +287,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     val newAe = agg.aggregateExpressions.map(mapNamed)
     if (newAe.exists(_.isEmpty)) return None
     val newGe: Seq[Expression] = gAttrs.flatten.map(a => mvOut(a.name))
-    Some(Aggregate(newGe, newAe.map(_.get), d.mv))
+    val mvChild = mvConds.map(_.get).flatten match {
+      case Nil => d.mv
+      case cs => Filter(cs.reduce(And), d.mv)
+    }
+    Some(Aggregate(newGe, newAe.map(_.get), mvChild))
   }
 }

@@ -54,15 +54,37 @@ class LakehouseWave95Spec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
     assert(!scans(nonDim).exists(_.contains("mv_events")),
            "a non-dimension grouping must NOT be rewritten")
-    // a filter between aggregate and base — out of v1 scope, must not fire
-    val filtered = base.filter(col("day") <= 10)
+    // a METRIC filter constrains a non-dim column — must not fire
+    val metricFiltered = base.filter(col("cents") > 1000L)
       .groupBy("event_type").agg(count(lit(1)).as("n"))
-    assert(!scans(filtered).exists(_.contains("mv_events")),
-           "a filtered base must NOT be rewritten (v1 scope)")
+    assert(!scans(metricFiltered).exists(_.contains("mv_events")),
+           "a metric-filtered base must NOT be rewritten")
     // stddev is not MV-derivable from (n, sum, min, max) — must not fire
     val sdQ = base.groupBy("event_type").agg(stddev_samp(col("cents")).as("sd"))
     assert(!scans(sdQ).exists(_.contains("mv_events")),
            "stddev is not derivable and must NOT be rewritten")
+  }
+
+  test("a DIMENSION filter rolls up through the MV and matches raw") {
+    val base = graft.operators.LakehouseWave95.setupMv(spark, sf)
+    val q = base.filter(col("day") <= 10 && col("event_type") =!= "error")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .orderBy("event_type")
+    assert(scans(q).exists(_.contains("mv_events")),
+           s"dim-filtered aggregate must rewrite:\n${scans(q).mkString("\n")}")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = Tables.events(spark, sf)
+      .select(col("event_type"),
+              datediff(col("ts").cast("date"), to_date(lit("2023-12-31")))
+                .cast("bigint").as("day"),
+              round(col("value") * 100).cast("bigint").as("c"))
+      .filter(col("day") <= 10 && col("event_type") =!= "error")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
   }
 
   test("avg decomposes onto the MV as sum(sc)/sum(n) and matches raw") {
