@@ -335,19 +335,14 @@ object LakehouseWave95 {
                 .cast("bigint").as("day"),
               round(col("value") * 100).cast("bigint").as("cents"))
     val dir = Tables.scratchDir("graft_mv").resolve("mv_events").toString
-    base.groupBy("event_type", "day")
+    val defn = base.groupBy("event_type", "day")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
            min(col("cents")).as("mn"), max(col("cents")).as("mx"))
-      .write.mode("overwrite").parquet(dir)
-    val mv = s.read.parquet(dir)
-    graft.plans.MvCatalog.register(graft.plans.MvCatalog.MvDef(
-      base.queryExecution.analyzed, mv.queryExecution.analyzed,
-      dims = Set("event_type", "day"), countCol = "n",
-      sumMap = Map("cents" -> "sc"),
-      minMap = Map("cents" -> "mn"), maxMap = Map("cents" -> "mx")))
-    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    defn.write.mode("overwrite").parquet(dir)
+    // the user-facing path: dims/count/sum/min/max derived FROM the
+    // defining aggregate, no hand-written metric mapping
+    graft.plans.Mv.register(base, defn, s.read.parquet(dir))
+    graft.plans.Mv.enable(s)
     base
   }
 

@@ -294,3 +294,73 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     Some(Aggregate(newGe, newAe.map(_.get), mvChild))
   }
 }
+
+/** User-facing registration: derive the MvDef FROM the defining
+  * aggregate instead of hand-listing dims and metric mappings.
+  *
+  *   val base = spark.read.parquet(...).select(...)      // projection
+  *   val defn = base.groupBy("d1", "d2").agg(count(lit(1)).as("n"),
+  *                sum($"m").as("sm"), min($"m").as("mn"))
+  *   defn.write.parquet(mvPath)
+  *   Mv.register(base, defn, spark.read.parquet(mvPath))
+  *
+  * dims = the grouping attributes, countCol = the count(const) alias,
+  * sum/min/max maps = each aggregate alias keyed by its input metric
+  * column. Registration REQUIRES a count(const) alias (rollups of
+  * counts and averages need it) and rejects definitions whose child is
+  * not the given base. Aggregates beyond count/sum/min/max are simply
+  * not derivable and are ignored for rewrite purposes (queries using
+  * them won't match).
+  */
+object Mv {
+  import org.apache.spark.sql.DataFrame
+
+  def register(base: DataFrame, definition: DataFrame,
+               summaryScan: DataFrame): Unit = {
+    val basePlan = base.queryExecution.analyzed
+    val defPlan = definition.queryExecution.analyzed
+    val agg = defPlan match {
+      case a: Aggregate => a
+      case Project(_, a: Aggregate) => a
+      case other => throw new IllegalArgumentException(
+        s"MV definition must be an aggregate over the base, got:\n$other")
+    }
+    require(agg.child.sameResult(basePlan),
+      "the MV definition must aggregate the registered base directly")
+    val dims = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case other => throw new IllegalArgumentException(
+        s"MV dimensions must be bare base columns, got: $other")
+    }.toSet
+    var countCol: Option[String] = None
+    var sumMap = Map.empty[String, String]
+    var minMap = Map.empty[String, String]
+    var maxMap = Map.empty[String, String]
+    agg.aggregateExpressions.foreach {
+      case al @ Alias(ae: AggregateExpression, _)
+          if ae.filter.isEmpty && !ae.isDistinct =>
+        ae.aggregateFunction match {
+          case c: Count if c.children.nonEmpty &&
+              c.children.forall(e => e.foldable && e.eval() != null) =>
+            countCol = Some(al.name)
+          case Sum(a: AttributeReference, _) => sumMap += a.name -> al.name
+          case Min(a: AttributeReference) => minMap += a.name -> al.name
+          case Max(a: AttributeReference) => maxMap += a.name -> al.name
+          case _ => () // not derivable — fine, just never matched
+        }
+      case _ => () // grouping pass-throughs
+    }
+    require(countCol.isDefined,
+      "the MV definition must include a count(lit(1)) column — count and " +
+      "avg rollups derive from it")
+    MvCatalog.register(MvCatalog.MvDef(
+      basePlan, summaryScan.queryExecution.analyzed,
+      dims, countCol.get, sumMap, minMap, maxMap))
+  }
+
+  /** Attach the rewrite rule to this session (idempotent). */
+  def enable(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite
+}
