@@ -53,6 +53,8 @@ object Sql {
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z_0-9]*)\s*(.*)$""".r
   private val UpdateStmt =
     """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z_0-9]*)\s+SET\s+(.+)$""".r
+  private val CreateMvStmt =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.+)$""".r
 
   /** Index of the first occurrence of keyword `kw` at paren depth 0 and
     * outside quoted spans, or -1 — a regex would match a 'where' inside a
@@ -254,6 +256,20 @@ object Sql {
       case None => ()
     }
     stmt match {
+      // CREATE MATERIALIZED VIEW <name> AS <aggregate query>: run the
+      // defining query, persist the summary under the warehouse, and
+      // register it with the MvRewrite rule — from then on matching
+      // aggregates over the same base are silently served from the
+      // summary (see graft.plans.MvRewrite; dims/metrics are DERIVED
+      // from the defining aggregate, which must carry a count(*) column)
+      case CreateMvStmt(name, query) =>
+        val defn = runSql(query)
+        val dir = s"$warehouse/$name"
+        defn.write.mode("overwrite").parquet(dir)
+        val scan = spark.read.parquet(dir)
+        graft.plans.Mv.registerFromDefinition(defn, scan)
+        graft.plans.Mv.enable(spark)
+        scan
       case DeleteStmt(table, rest) =>
         val pred = predOf(rest)
         // keep rows where the predicate is NOT TRUE: a NULL-valued

@@ -368,3 +368,50 @@ object LakehouseWave95 {
              |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
+
+// ——— round-11 wave 96 ———
+/** Round-11 wave 96: the MV feature as SQL surface — `CREATE
+  * MATERIALIZED VIEW name AS <aggregate query>` through `graft.Sql
+  * .execute` persists the summary under the warehouse, derives
+  * dims/metrics from the defining aggregate, registers it with the
+  * rewrite rule, and from then on matching SQL-text aggregates over
+  * the same view are silently served from the summary (spec proves
+  * the scan switch; the oracle computes from the RAW table).
+  */
+object LakehouseWave96 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    "sql_mv_ddl" -> Decl(
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_type"),
+                  datediff(col("ts").cast("date"), to_date(lit("2023-12-31")))
+                    .cast("bigint").as("day"),
+                  round(col("value") * 100).cast("bigint").as("cents"))
+          .createOrReplaceTempView("ev_mvddl")
+        val wh = Tables.scratchDir("graft_mvddl").toString
+        graft.Sql.execute(s, wh,
+          """CREATE MATERIALIZED VIEW mv_ddl_events AS
+            |SELECT event_type, day, count(*) AS n, sum(cents) AS sc,
+            |       min(cents) AS mn, max(cents) AS mx
+            |FROM ev_mvddl GROUP BY event_type, day""".stripMargin)
+        // this aggregate is rewritten onto the summary by MvRewrite
+        s.sql("""SELECT event_type, count(*) AS n_events,
+                |       sum(cents) AS sum_cents,
+                |       min(cents) AS min_cents, max(cents) AS max_cents
+                |FROM ev_mvddl GROUP BY event_type
+                |ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |       count(*) AS n_events,
+             |       CAST(sum(c) AS BIGINT) AS sum_cents,
+             |       min(c) AS min_cents,
+             |       max(c) AS max_cents
+             |FROM (SELECT event_type,
+             |             CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}

@@ -78,6 +78,7 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def leaf(p: LogicalPlan): LogicalPlan = p match {
     case Project(_, c) => leaf(c)
     case SubqueryAlias(_, c) => leaf(c)
+    case v: View => leaf(v.child)
     case other => other
   }
 
@@ -104,6 +105,7 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         ne.exprId -> expanded
       }.toMap
     case SubqueryAlias(_, c) => expansions(c)
+    case v: View => expansions(v.child)
     case Filter(_, c) => expansions(c)
     case l => l.output.map(a => a.exprId -> (a: Expression)).toMap
   }
@@ -113,15 +115,52 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * the collected filter conditions, each FULLY EXPANDED to leaf
     * attributes, when the shape matches; None otherwise.
     */
+  /** Constant-fold foldable subtrees, swapping RuntimeReplaceable
+    * (to_date, …) for its replacement first so the fold can evaluate —
+    * registered bases are ANALYZED plans while matched subtrees arrive
+    * OPTIMIZED (already folded), and canonical comparison needs both in
+    * the folded form.
+    */
+  private def foldE(e: Expression): Expression = e.transformUp {
+    case rr: RuntimeReplaceable => rr.replacement
+  }.transformUp {
+    case f if f.foldable && f.deterministic =>
+      Literal.create(f.eval(), f.dataType)
+  }
+
   private def matchesBase(child: LogicalPlan, base: LogicalPlan): Option[Seq[Expression]] = {
     if (child.sameResult(base)) return Some(Nil)
     val baseIds: Set[ExprId] = base.collect {
       case p: Project => p.projectList.map(_.exprId)
     }.flatten.toSet ++ base.output.map(_.exprId)
+    // name + folded-expansion fallback: a temp view re-resolved in a NEW
+    // SQL statement mints fresh alias exprIds (only relation attributes
+    // keep theirs), so a by-id match fails across statements even though
+    // the projection is semantically the registered base's
+    lazy val baseDefsByName: Map[String, Expression] = {
+      val env = expansions(base)
+      base.output.map(a => a.name -> foldE(env(a.exprId))).toMap
+    }
+    def projOk(pl: Seq[NamedExpression], c: LogicalPlan): Boolean =
+      pl.forall(ne => baseIds.contains(ne.exprId)) || {
+        val env = expansions(c)
+        pl.forall { ne =>
+          baseDefsByName.get(ne.name).exists { bd =>
+            val expanded = ne match {
+              case al: Alias => al.child.transformUp {
+                case a: AttributeReference => env.getOrElse(a.exprId, a)
+              }
+              case a: AttributeReference => env.getOrElse(a.exprId, a)
+              case other => other
+            }
+            bd.semanticEquals(foldE(expanded))
+          }
+        }
+      }
     def walk(p: LogicalPlan): Option[Seq[Expression]] = p match {
-      case Project(pl, c) if pl.forall(ne => baseIds.contains(ne.exprId)) =>
-        walk(c)
+      case Project(pl, c) if projOk(pl, c) => walk(c)
       case SubqueryAlias(_, c) => walk(c)
+      case v: View => walk(v.child)
       case Filter(cond, c) =>
         walk(c).map { rest =>
           val env = expansions(c)
@@ -140,7 +179,7 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(agg: Aggregate, d: MvCatalog.MvDef): Option[Aggregate] = {
     val conds = matchesBase(agg.child, d.base) match {
-      case None => dbg(s"no base match for child:\n${agg.child.treeString}"); return None
+      case None => dbg(s"no base match for child:\n${agg.child.treeString}base:\n${d.base.treeString}"); return None
       case Some(cs) => cs
     }
     val mvOut = d.mv.output.map(a => a.name -> a).toMap
@@ -148,23 +187,11 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // that canonically equals a DIM's fully-expanded definition with the
     // MV's dim attribute, it references ONLY MV attributes (a residual
     // base reference means it constrains a non-dim column — no rewrite).
-    // constant-fold foldable subtrees: the registered base is an ANALYZED
-    // plan (to_date('2023-12-31') still a function call) while the
-    // conditions arrive OPTIMIZED (already folded to a date literal) —
-    // canonical comparison needs both in the folded form
-    def fold(e: Expression): Expression = e.transformUp {
-      // RuntimeReplaceable (to_date, …) only evaluates via its
-      // replacement — swap it in so the literal fold below can run
-      case rr: RuntimeReplaceable => rr.replacement
-    }.transformUp {
-      case f if f.foldable && f.deterministic =>
-        Literal.create(f.eval(), f.dataType)
-    }
     val dimDefs: Seq[(Expression, Expression)] = {
       val env = expansions(d.base)
       d.base.output.collect {
         case a if d.dims.contains(a.name) && mvOut.contains(a.name) =>
-          val defE = fold(env(a.exprId))
+          val defE = foldE(env(a.exprId))
           val direct: Seq[(Expression, Expression)] =
             Seq(defE -> (mvOut(a.name): Expression))
           // UnwrapCastInBinaryComparison strips an up-cast off pushed
@@ -318,15 +345,32 @@ object Mv {
   def register(base: DataFrame, definition: DataFrame,
                summaryScan: DataFrame): Unit = {
     val basePlan = base.queryExecution.analyzed
-    val defPlan = definition.queryExecution.analyzed
-    val agg = defPlan match {
-      case a: Aggregate => a
-      case Project(_, a: Aggregate) => a
-      case other => throw new IllegalArgumentException(
-        s"MV definition must be an aggregate over the base, got:\n$other")
-    }
+    val agg = aggregateOf(definition.queryExecution.analyzed)
     require(agg.child.sameResult(basePlan),
       "the MV definition must aggregate the registered base directly")
+    derive(agg, basePlan, summaryScan)
+  }
+
+  /** DDL path (CREATE MATERIALIZED VIEW … AS <query>): the base is
+    * whatever the defining aggregate computes over — no separate base
+    * handle needed.
+    */
+  def registerFromDefinition(definition: DataFrame,
+                             summaryScan: DataFrame): Unit = {
+    val agg = aggregateOf(definition.queryExecution.analyzed)
+    derive(agg, agg.child, summaryScan)
+  }
+
+  private def aggregateOf(defPlan: LogicalPlan): Aggregate = defPlan match {
+    case a: Aggregate => a
+    case Project(_, a: Aggregate) => a
+    case SubqueryAlias(_, c) => aggregateOf(c)
+    case other => throw new IllegalArgumentException(
+      s"MV definition must be an aggregate over the base, got:\n$other")
+  }
+
+  private def derive(agg: Aggregate, basePlan: LogicalPlan,
+                     summaryScan: DataFrame): Unit = {
     val dims = agg.groupingExpressions.map {
       case a: AttributeReference => a.name
       case other => throw new IllegalArgumentException(

@@ -104,4 +104,24 @@ class LakehouseWave95Spec extends AnyFunSuite {
              s"avg at $g: MV $m vs raw ${want(g)}")
     }
   }
+
+  test("CREATE MATERIALIZED VIEW DDL registers and the SQL aggregate rewrites") {
+    val q = SparkEntry.queries("sql_mv_ddl")(spark, sf)
+    val leaves = scans(q)
+    assert(leaves.exists(l => l.contains("mv_ddl") || l.contains("graft_mvddl")),
+           s"SQL aggregate must be served from the DDL-created summary:\n${leaves.mkString("\n")}")
+    assert(!leaves.exists(_.contains("events.parquet")),
+           "the corpus-sized events scan must be GONE after the rewrite")
+    // a definition without count(*) must be rejected loudly
+    Tables.events(spark, sf)
+      .select(col("event_type"),
+              round(col("value") * 100).cast("bigint").as("cents"))
+      .createOrReplaceTempView("ev_mvddl_bad")
+    val wh = Tables.scratchDir("graft_mvddl_bad").toString
+    val e = intercept[IllegalArgumentException](
+      graft.Sql.execute(spark, wh,
+        "CREATE MATERIALIZED VIEW bad_mv AS SELECT event_type, sum(cents) AS sc FROM ev_mvddl_bad GROUP BY event_type"))
+    assert(e.getMessage.contains("count"))
+  }
 }
+
