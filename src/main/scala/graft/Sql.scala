@@ -55,6 +55,10 @@ object Sql {
     """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z_0-9]*)\s+SET\s+(.+)$""".r
   private val CreateMvStmt =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.+)$""".r
+  private val RefreshMvStmt =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
+  private val DropMvStmt =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
 
   /** Index of the first occurrence of keyword `kw` at paren depth 0 and
     * outside quoted spans, or -1 — a regex would match a 'where' inside a
@@ -113,6 +117,23 @@ object Sql {
     // refresh whichever registration this session has for the name
     spark.catalog.refreshByPath(dir.toString)
     try spark.catalog.refreshTable(table) catch { case _: Exception => () }
+    // refreshByPath only recaches cached DATASETS; the shared
+    // FileStatusCache still serves the OLD file listing to any path that
+    // was read before the mutation (a pre-DML reader then sees deleted
+    // files after the swap — found by the MV-lifecycle spec). The cache
+    // object is private[sql], so invalidate via reflection — version-
+    // pinned jars make this stable, and failing soft keeps DML working
+    // even if the internal moves.
+    try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.datasources.FileStatusCache$")
+      val module = cls.getField("MODULE$").get(null)
+      val get = cls.getMethods.find(_.getName == "getOrCreate").get
+      val cache = get.invoke(module, spark)
+      cache.getClass.getMethod("invalidateAll").invoke(cache)
+    } catch { case e: Exception =>
+      System.err.println(s"[sql] file-status cache invalidation failed: $e")
+    }
     spark.sql(s"SELECT CAST($n AS BIGINT) AS rows_after")
   }
 
@@ -263,13 +284,38 @@ object Sql {
       // summary (see graft.plans.MvRewrite; dims/metrics are DERIVED
       // from the defining aggregate, which must carry a count(*) column)
       case CreateMvStmt(name, query) =>
+        // a re-CREATE over a registered base must not have its defining
+        // query rewritten onto the OLD summary — pull the stale def first
+        graft.plans.MvCatalog.forget(name)
         val defn = runSql(query)
         val dir = s"$warehouse/$name"
         defn.write.mode("overwrite").parquet(dir)
         val scan = spark.read.parquet(dir)
-        graft.plans.Mv.registerFromDefinition(defn, scan)
+        val basePlan = graft.plans.Mv.registerFromDefinition(defn, scan)
+        graft.plans.MvCatalog.remember(name, query, dir, basePlan)
         graft.plans.Mv.enable(spark)
         scan
+      // REFRESH re-runs the remembered defining query and atomically
+      // replaces both the summary files and the registration (the base
+      // may have changed under copy-on-write DML)
+      case RefreshMvStmt(name) =>
+        val (query, dir, _) = graft.plans.MvCatalog.recall(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown materialized view: $name"))
+        // unregister BEFORE recomputing: otherwise the defining query is
+        // itself rewritten onto the stale summary and the refresh
+        // rebuilds the MV from itself (caught by the lifecycle spec)
+        graft.plans.MvCatalog.forget(name)
+        val defn = runSql(query)
+        defn.write.mode("overwrite").parquet(dir)
+        val scan = spark.read.parquet(dir)
+        val basePlan = graft.plans.Mv.registerFromDefinition(defn, scan)
+        graft.plans.MvCatalog.remember(name, query, dir, basePlan)
+        scan
+      case DropMvStmt(name) =>
+        graft.plans.MvCatalog.recall(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown materialized view: $name"))
+        graft.plans.MvCatalog.forget(name)
+        spark.range(0).toDF("dropped")
       case DeleteStmt(table, rest) =>
         val pred = predOf(rest)
         // keep rows where the predicate is NOT TRUE: a NULL-valued

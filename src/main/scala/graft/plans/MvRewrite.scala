@@ -55,6 +55,25 @@ object MvCatalog {
       maxMap: Map[String, String])
 
   private val defs = new java.util.concurrent.CopyOnWriteArrayList[MvDef]()
+  // DDL bookkeeping: view name -> (defining SQL, summary dir, base plan)
+  private val named =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, LogicalPlan)]()
+
+  def remember(name: String, sql: String, dir: String,
+               base: LogicalPlan): Unit = named.put(name, (sql, dir, base))
+  def recall(name: String): Option[(String, String, LogicalPlan)] =
+    Option(named.get(name))
+  /** Unregister by name; keeps the remembered definition only if asked
+    * (REFRESH forgets then re-remembers; DROP forgets for good). */
+  def forget(name: String): Unit = {
+    recall(name).foreach { case (_, _, base) =>
+      val it = defs.iterator()
+      while (it.hasNext) {
+        val e = it.next(); if (e.base.sameResult(base)) defs.remove(e)
+      }
+    }
+    named.remove(name)
+  }
 
   /** Replaces any definition registered for the same base plan. */
   def register(d: MvDef): Unit = {
@@ -356,9 +375,10 @@ object Mv {
     * handle needed.
     */
   def registerFromDefinition(definition: DataFrame,
-                             summaryScan: DataFrame): Unit = {
+                             summaryScan: DataFrame): LogicalPlan = {
     val agg = aggregateOf(definition.queryExecution.analyzed)
     derive(agg, agg.child, summaryScan)
+    agg.child
   }
 
   private def aggregateOf(defPlan: LogicalPlan): Aggregate = defPlan match {

@@ -123,5 +123,49 @@ class LakehouseWave95Spec extends AnyFunSuite {
         "CREATE MATERIALIZED VIEW bad_mv AS SELECT event_type, sum(cents) AS sc FROM ev_mvddl_bad GROUP BY event_type"))
     assert(e.getMessage.contains("count"))
   }
+
+  test("REFRESH rebuilds the summary after base DML; DROP unregisters") {
+    // a standalone warehouse table so copy-on-write DML can mutate it
+    val wh = Tables.scratchDir("graft_mvlc").toString
+    Tables.events(spark, sf)
+      .select(col("event_type"),
+              round(col("value") * 100).cast("bigint").as("cents"))
+      .write.mode("overwrite").parquet(s"$wh/ev_lc")
+    spark.read.parquet(s"$wh/ev_lc").createOrReplaceTempView("ev_lc")
+    graft.Sql.execute(spark, wh,
+      "CREATE MATERIALIZED VIEW mv_lc AS SELECT event_type, count(*) AS n, " +
+      "sum(cents) AS sc FROM ev_lc GROUP BY event_type")
+    def mvTotal(): Long =
+      spark.read.parquet(s"$wh/mv_lc")
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+    val before = mvTotal()
+    // mutate the BASE table (copy-on-write DELETE), then refresh
+    graft.Sql.execute(spark, wh, "DELETE FROM ev_lc WHERE event_type = 'error'")
+    spark.read.parquet(s"$wh/ev_lc").createOrReplaceTempView("ev_lc")
+    // count the raw rows WITHOUT an Aggregate node: a plain count() here
+    // would itself be MV-rewritten (empty grouping ⊆ dims) and served
+    // from the not-yet-refreshed summary — which is exactly the classic
+    // stale-until-REFRESH contract this test pins down
+    val rawAfter = spark.read.parquet(s"$wh/ev_lc").collect().length.toLong
+    assert(rawAfter < before, s"the DELETE itself must shrink the base: $rawAfter")
+    // and the STALE serving itself: a rewritable count over the mutated
+    // base still answers from the old summary until REFRESH
+    val stale = spark.sql("SELECT count(*) AS n FROM ev_lc").collect()(0).getLong(0)
+    assert(stale == before, s"before REFRESH the MV serves the old total, got $stale")
+    graft.Sql.execute(spark, wh, "REFRESH MATERIALIZED VIEW mv_lc")
+    val after = mvTotal()
+    assert(after < before, s"refresh must reflect the delete: $after vs $before")
+    assert(after == rawAfter, "refreshed summary counts must tile the base")
+    val fresh = spark.sql("SELECT count(*) AS n FROM ev_lc").collect()(0).getLong(0)
+    assert(fresh == rawAfter, "after REFRESH the rewritten count is current")
+    // DROP unregisters: the aggregate goes back to scanning the base
+    graft.Sql.execute(spark, wh, "DROP MATERIALIZED VIEW mv_lc")
+    val q = spark.sql("SELECT event_type, count(*) AS n FROM ev_lc GROUP BY event_type")
+    assert(!scans(q).exists(_.contains("mv_lc")),
+           "after DROP the aggregate must not touch the summary")
+    val e = intercept[IllegalArgumentException](
+      graft.Sql.execute(spark, wh, "REFRESH MATERIALIZED VIEW mv_lc"))
+    assert(e.getMessage.contains("unknown"))
+  }
 }
 
