@@ -114,26 +114,11 @@ object Sql {
     // swap: drop the old generation, move staging into place
     GraftCatalog.deleteRecursively(dir)
     Files.move(staging, dir)
-    // refresh whichever registration this session has for the name
-    spark.catalog.refreshByPath(dir.toString)
+    // refresh whichever registration this session has for the name, then
+    // drop the shared file-status listing (see MvMaintain.invalidateListing
+    // — the same stale-listing hazard applies to every summary overwrite)
     try spark.catalog.refreshTable(table) catch { case _: Exception => () }
-    // refreshByPath only recaches cached DATASETS; the shared
-    // FileStatusCache still serves the OLD file listing to any path that
-    // was read before the mutation (a pre-DML reader then sees deleted
-    // files after the swap — found by the MV-lifecycle spec). The cache
-    // object is private[sql], so invalidate via reflection — version-
-    // pinned jars make this stable, and failing soft keeps DML working
-    // even if the internal moves.
-    try {
-      val cls = Class.forName(
-        "org.apache.spark.sql.execution.datasources.FileStatusCache$")
-      val module = cls.getField("MODULE$").get(null)
-      val get = cls.getMethods.find(_.getName == "getOrCreate").get
-      val cache = get.invoke(module, spark)
-      cache.getClass.getMethod("invalidateAll").invoke(cache)
-    } catch { case e: Exception =>
-      System.err.println(s"[sql] file-status cache invalidation failed: $e")
-    }
+    graft.plans.MvMaintain.invalidateListing(spark, dir.toString)
     spark.sql(s"SELECT CAST($n AS BIGINT) AS rows_after")
   }
 
@@ -286,35 +271,31 @@ object Sql {
       case CreateMvStmt(name, query) =>
         // a re-CREATE over a registered base must not have its defining
         // query rewritten onto the OLD summary — pull the stale def first
-        graft.plans.MvCatalog.forget(name)
+        graft.plans.MvCatalog.forget(spark, name)
         val defn = runSql(query)
         val dir = s"$warehouse/$name"
         defn.write.mode("overwrite").parquet(dir)
+        // a re-CREATE overwrites the summary dir — drop any stale listing
+        // this session holds for it (same hazard as DML copy-on-write)
+        graft.plans.MvMaintain.invalidateListing(spark, dir)
         val scan = spark.read.parquet(dir)
-        val basePlan = graft.plans.Mv.registerFromDefinition(defn, scan)
-        graft.plans.MvCatalog.remember(name, query, dir, basePlan)
+        val basePlan = graft.plans.Mv.registerFromDefinition(name, defn, scan)
+        graft.plans.MvCatalog.remember(spark, name, graft.plans.MvCatalog.NamedMv(
+          query, dir, basePlan,
+          graft.plans.MvMaintain.manifestOf(spark, basePlan),
+          graft.plans.Mv.isFullyMergeable(defn)))
         graft.plans.Mv.enable(spark)
         scan
-      // REFRESH re-runs the remembered defining query and atomically
-      // replaces both the summary files and the registration (the base
-      // may have changed under copy-on-write DML)
+      // REFRESH merges the base's append-only DELTA into the summary when
+      // provably safe (storage-backed base, mergeable aggregates, intact
+      // manifest), and falls back to a full recompute otherwise — see
+      // graft.plans.MvMaintain for the contract
       case RefreshMvStmt(name) =>
-        val (query, dir, _) = graft.plans.MvCatalog.recall(name).getOrElse(
-          throw new IllegalArgumentException(s"unknown materialized view: $name"))
-        // unregister BEFORE recomputing: otherwise the defining query is
-        // itself rewritten onto the stale summary and the refresh
-        // rebuilds the MV from itself (caught by the lifecycle spec)
-        graft.plans.MvCatalog.forget(name)
-        val defn = runSql(query)
-        defn.write.mode("overwrite").parquet(dir)
-        val scan = spark.read.parquet(dir)
-        val basePlan = graft.plans.Mv.registerFromDefinition(defn, scan)
-        graft.plans.MvCatalog.remember(name, query, dir, basePlan)
-        scan
+        graft.plans.MvMaintain.refresh(spark, name, runSql)
       case DropMvStmt(name) =>
-        graft.plans.MvCatalog.recall(name).getOrElse(
+        graft.plans.MvCatalog.recall(spark, name).getOrElse(
           throw new IllegalArgumentException(s"unknown materialized view: $name"))
-        graft.plans.MvCatalog.forget(name)
+        graft.plans.MvCatalog.forget(spark, name)
         spark.range(0).toDF("dropped")
       case DeleteStmt(table, rest) =>
         val pred = predOf(rest)

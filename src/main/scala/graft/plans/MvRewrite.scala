@@ -1,36 +1,52 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Materialized-view rewrite — the Calcite-style optimization that turns
   * an aggregate over a registered base projection into an aggregate over
   * its pre-computed summary table when the query's groupings are a
   * subset of the MV dimensions and its aggregates are MV-derivable:
   *
-  *   count(const)         → sum(mv.count_col)
-  *   sum(dim-less metric) → sum(mv.sum_col)
+  *   count(const)         → sum(mv.count_col)   (coalesced to 0 when the
+  *                          aggregate is UNGROUPED — sum over an empty
+  *                          summary is NULL where count must be 0)
+  *   sum(dim-less metric) → sum(mv.sum_col), cast back to the original
+  *                          aggregate's type when re-summing widens it
+  *                          (decimal sum-of-sums gains 10 digits)
   *   min / max (metric)   → min / max (mv.min_col / mv.max_col)
   *
-  * Scope (v1, deliberately conservative — a missed match is only a
-  * missed speedup, never a wrong answer):
+  * Scope (deliberately conservative — a missed match is only a missed
+  * speedup, never a wrong answer):
   *   - the query subtree under the Aggregate must be the registered base
   *     plan or a COLUMN-PRUNED view of it: only Project/SubqueryAlias
   *     nodes above the same leaf, every projected expression identified
   *     BY exprId with one of the base's outputs (Catalyst's column
   *     pruning preserves exprIds, so a pruned base still matches; an
   *     unrelated-but-similar plan never does);
-  *   - Filters between the Aggregate and the leaf are allowed iff
+  *   - a registered base may itself be an INNER JOIN (the star-schema
+  *     MV): the matcher recurses structurally through Join nodes,
+  *     matching each side independently (either orientation — the join
+  *     reorderer may swap them) and the join conditions semantically
+  *     after normalizing attributes by name across the matched leaves;
+  *   - Filters between the Aggregate and the leaves are allowed iff
   *     DIMENSION-ONLY: each condition, fully expanded to leaf attributes
   *     (the form predicate pushdown leaves it in) and with every
   *     subexpression canonically equal to a dim's definition replaced by
   *     the MV's dim column, must reference only MV attributes; it is
   *     then re-applied over the summary before rolling up. A condition
-  *     touching any non-dim column blocks the rewrite. No Join/Window;
+  *     touching any non-dim column blocks the rewrite. No Window;
   *   - groupings must be bare attributes of the MV's dimension set;
   *   - DISTINCT / FILTER-clause aggregates never match.
+  *
+  * When SEVERAL registered MVs match the same aggregate (hourly and
+  * daily rollups over one base), the one with the FEWEST summary rows
+  * (recorded at registration) wins — registration order never decides.
   *
   * Output attribute identity is preserved by re-aliasing every rewritten
   * expression under the ORIGINAL exprId, so parents resolve unchanged.
@@ -42,57 +58,95 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * 100 TB shape: this is THE lever for repeated dashboard aggregates —
   * the rollup reads |dims| rows instead of the corpus. Registered via
   * `spark.experimental.extraOptimizations` (session-attachable at
-  * runtime; no SparkSessionExtensions rebuild needed).
+  * runtime; no SparkSessionExtensions rebuild needed); the catalog is
+  * scoped PER SparkSession, so two sessions sharing one JVM never see
+  * each other's registrations.
   */
 object MvCatalog {
   final case class MvDef(
+      owner: Option[String],        // DDL view name that registered it (None = API)
       base: LogicalPlan,            // analyzed plan of the registered base projection
       mv: LogicalPlan,              // analyzed plan of the summary scan
       dims: Set[String],            // MV dimension column names (on both sides)
       countCol: String,             // MV column holding per-cell row counts
       sumMap: Map[String, String],  // base metric name -> MV sum column
       minMap: Map[String, String],
-      maxMap: Map[String, String])
+      maxMap: Map[String, String],
+      rows: Long)                   // summary row count at registration (cost pick)
 
-  private val defs = new java.util.concurrent.CopyOnWriteArrayList[MvDef]()
-  // DDL bookkeeping: view name -> (defining SQL, summary dir, base plan)
-  private val named =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, LogicalPlan)]()
+  /** DDL bookkeeping for one named MV: defining SQL, summary dir, base
+    * plan, and the manifest of base data files the summary was computed
+    * from (path → (length, mtime)) — the incremental-REFRESH delta
+    * detector. */
+  final case class NamedMv(sql: String, dir: String, base: LogicalPlan,
+                           manifest: Map[String, (Long, Long)],
+                           mergeable: Boolean)
 
-  def remember(name: String, sql: String, dir: String,
-               base: LogicalPlan): Unit = named.put(name, (sql, dir, base))
-  def recall(name: String): Option[(String, String, LogicalPlan)] =
-    Option(named.get(name))
-  /** Unregister by name; keeps the remembered definition only if asked
-    * (REFRESH forgets then re-remembers; DROP forgets for good). */
-  def forget(name: String): Unit = {
-    recall(name).foreach { case (_, _, base) =>
-      val it = defs.iterator()
-      while (it.hasNext) {
-        val e = it.next(); if (e.base.sameResult(base)) defs.remove(e)
-      }
+  private final class State {
+    val defs = new java.util.concurrent.CopyOnWriteArrayList[MvDef]()
+    val named = new java.util.concurrent.ConcurrentHashMap[String, NamedMv]()
+  }
+  // Weak keys: a stopped/collected session's registrations die with it.
+  private val states = new java.util.WeakHashMap[SparkSession, State]()
+  private def state(s: SparkSession): State = states.synchronized {
+    var st = states.get(s)
+    if (st == null) { st = new State; states.put(s, st) }
+    st
+  }
+
+  def remember(s: SparkSession, name: String, m: NamedMv): Unit =
+    state(s).named.put(name, m)
+  def recall(s: SparkSession, name: String): Option[NamedMv] =
+    Option(state(s).named.get(name))
+
+  /** Unregister ONLY the defs this name owns — an unrelated MV over the
+    * same base (hourly vs daily rollup, or an API registration) must
+    * survive a DROP/REFRESH of its sibling. */
+  def forget(s: SparkSession, name: String): Unit = {
+    val st = state(s)
+    val it = st.defs.iterator()
+    while (it.hasNext) {
+      val e = it.next(); if (e.owner.contains(name)) st.defs.remove(e)
     }
-    named.remove(name)
+    st.named.remove(name)
   }
 
-  /** Replaces any definition registered for the same base plan. */
-  def register(d: MvDef): Unit = {
-    val it = defs.iterator()
-    while (it.hasNext) { val e = it.next(); if (e.base.sameResult(d.base)) defs.remove(e) }
-    defs.add(d)
+  /** Replaces a previous registration of the SAME view (by owner name)
+    * or the same (base, dims) rollup; distinct rollups over one base
+    * coexist (the cost-based pick chooses among them). */
+  def register(s: SparkSession, d: MvDef): Unit = {
+    val st = state(s)
+    val it = st.defs.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val sameOwner = d.owner.isDefined && e.owner == d.owner
+      val sameRollup = e.base.sameResult(d.base) && e.dims == d.dims
+      if (sameOwner || sameRollup) st.defs.remove(e)
+    }
+    st.defs.add(d)
   }
-  def all: Seq[MvDef] = { import scala.jdk.CollectionConverters._; defs.asScala.toSeq }
-  def clear(): Unit = defs.clear()
+  def all(s: SparkSession): Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    state(s).defs.asScala.toSeq
+  }
+  def clear(s: SparkSession): Unit = {
+    val st = state(s); st.defs.clear(); st.named.clear()
+  }
 }
 
-object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
-
+/** The per-session optimizer rule: matches aggregates against THIS
+  * session's MV catalog. Instantiated (once) by [[Mv.enable]]. */
+final class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate =>
-      MvCatalog.all.view
-        .flatMap(d => rewrite(agg, d))
-        .headOption.getOrElse(agg)
+      val candidates = MvCatalog.all(session)
+        .flatMap(d => MvRewrite.rewrite(agg, d).map(d.rows -> _))
+      // cost-based pick: the smallest summary that serves the query
+      if (candidates.isEmpty) agg else candidates.minBy(_._1)._2
   }
+}
+
+object MvRewrite extends PredicateHelper {
 
   private def leaf(p: LogicalPlan): LogicalPlan = p match {
     case Project(_, c) => leaf(c)
@@ -101,14 +155,11 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case other => other
   }
 
-  /** child is the base or a column-pruning of it: same leaf, only
-    * Project/SubqueryAlias above it, every projected NamedExpression
-    * carrying an exprId the base's own projection tree already defines.
-    */
   /** Fully expand every attribute of `p`'s output down to the leaf's
     * attributes by substituting alias definitions through each Project —
     * the same form predicate pushdown leaves filter conditions in, so
     * dim definitions and pushed conditions become canonically comparable.
+    * Joins merge both sides' environments.
     */
   private def expansions(p: LogicalPlan): Map[ExprId, Expression] = p match {
     case Project(pl, c) =>
@@ -126,14 +177,10 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case SubqueryAlias(_, c) => expansions(c)
     case v: View => expansions(v.child)
     case Filter(_, c) => expansions(c)
+    case j: Join => expansions(j.left) ++ expansions(j.right)
     case l => l.output.map(a => a.exprId -> (a: Expression)).toMap
   }
 
-  /** child is the base or a column-pruning of it — possibly with Filters
-    * in between (predicate pushdown moves them around freely). Returns
-    * the collected filter conditions, each FULLY EXPANDED to leaf
-    * attributes, when the shape matches; None otherwise.
-    */
   /** Constant-fold foldable subtrees, swapping RuntimeReplaceable
     * (to_date, …) for its replacement first so the fold can evaluate —
     * registered bases are ANALYZED plans while matched subtrees arrive
@@ -147,11 +194,18 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       Literal.create(f.eval(), f.dataType)
   }
 
+  /** child is the base or a column-pruning of it — possibly with Filters
+    * in between (predicate pushdown moves them around freely), and with
+    * the base's Join structure mirrored when the MV is a star summary.
+    * Returns the collected filter conditions, each FULLY EXPANDED to
+    * leaf attributes, when the shape matches; None otherwise.
+    */
   private def matchesBase(child: LogicalPlan, base: LogicalPlan): Option[Seq[Expression]] = {
     if (child.sameResult(base)) return Some(Nil)
-    val baseIds: Set[ExprId] = base.collect {
+    val baseIds: Set[ExprId] = (base.collect {
       case p: Project => p.projectList.map(_.exprId)
-    }.flatten.toSet ++ base.output.map(_.exprId)
+    }.flatten ++ base.collectLeaves().flatMap(_.output.map(_.exprId)) ++
+      base.output.map(_.exprId)).toSet
     // name + folded-expansion fallback: a temp view re-resolved in a NEW
     // SQL statement mints fresh alias exprIds (only relation attributes
     // keep theirs), so a by-id match fails across statements even though
@@ -176,27 +230,76 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
           }
         }
       }
-    def walk(p: LogicalPlan): Option[Seq[Expression]] = p match {
-      case Project(pl, c) if projOk(pl, c) => walk(c)
-      case SubqueryAlias(_, c) => walk(c)
-      case v: View => walk(v.child)
+    // Strip name-only wrappers (and column prunings that carry base
+    // exprIds) off the BASE side so a query Join can be compared against
+    // a base registered under aliases/views.
+    def stripB(b: LogicalPlan): LogicalPlan = b match {
+      case SubqueryAlias(_, c) => stripB(c)
+      case v: View => stripB(v.child)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => stripB(c)
+      case other => other
+    }
+    /** Join conditions are compared after expanding both to their leaf
+      * attributes and mapping the BASE side's attributes onto the QUERY
+      * side's BY NAME across the matched subtrees — exprIds differ when
+      * a view re-resolves, but the matched leaves are the same relations
+      * so names correspond. Ambiguous (duplicated) names abort the match.
+      */
+    def condsEqual(qSide: LogicalPlan, bSide: LogicalPlan,
+                   qc: Expression, bc: Expression): Boolean = {
+      val qLeafAttrs = qSide.collectLeaves().flatMap(_.output)
+      if (qLeafAttrs.map(_.name).distinct.length != qLeafAttrs.length) return false
+      val byName = qLeafAttrs.map(a => a.name -> a).toMap
+      val qExp = foldE(qc.transformUp {
+        case a: AttributeReference => expansions(qSide).getOrElse(a.exprId, a)
+      })
+      val bExpMapped = foldE(bc.transformUp {
+        case a: AttributeReference => expansions(bSide).getOrElse(a.exprId, a)
+      }).transformUp {
+        case a: AttributeReference => byName.getOrElse(a.name, a)
+      }
+      qExp.semanticEquals(bExpMapped)
+    }
+    def walk(p: LogicalPlan, b: LogicalPlan): Option[Seq[Expression]] = p match {
+      case Project(pl, c) if projOk(pl, c) => walk(c, b)
+      case SubqueryAlias(_, c) => walk(c, b)
+      case v: View => walk(v.child, b)
       case Filter(cond, c) =>
-        walk(c).map { rest =>
+        walk(c, b).map { rest =>
           val env = expansions(c)
           cond.transformUp {
             case a: AttributeReference => env.getOrElse(a.exprId, a)
           } +: rest
         }
-      case l if l.sameResult(leaf(base)) => Some(Nil)
+      case jq: Join if jq.joinType == Inner =>
+        stripB(b) match {
+          case jb: Join if jb.joinType == Inner =>
+            def trySides(ql: LogicalPlan, qr: LogicalPlan): Option[Seq[Expression]] =
+              (jq.condition, jb.condition) match {
+                case (Some(qc), Some(bc)) =>
+                  for {
+                    lc <- walk(ql, jb.left)
+                    rc <- walk(qr, jb.right)
+                    if condsEqual(jq, jb, qc, bc)
+                  } yield lc ++ rc
+                case (None, None) =>
+                  for { lc <- walk(ql, jb.left); rc <- walk(qr, jb.right) }
+                    yield lc ++ rc
+                case _ => None
+              }
+            trySides(jq.left, jq.right).orElse(trySides(jq.right, jq.left))
+          case _ => None
+        }
+      case l if l.sameResult(leaf(b)) => Some(Nil)
       case _ => None
     }
-    walk(child)
+    walk(child, base)
   }
 
   private def dbg(msg: => String): Unit =
     if (sys.env.contains("GRAFT_MV_DEBUG")) System.err.println(s"[mv] $msg")
 
-  private def rewrite(agg: Aggregate, d: MvCatalog.MvDef): Option[Aggregate] = {
+  private[graft] def rewrite(agg: Aggregate, d: MvCatalog.MvDef): Option[Aggregate] = {
     val conds = matchesBase(agg.child, d.base) match {
       case None => dbg(s"no base match for child:\n${agg.child.treeString}base:\n${d.base.treeString}"); return None
       case Some(cs) => cs
@@ -298,6 +401,25 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
+    /** Roll one aggregate call up onto the summary, preserving the
+      * original output type exactly:
+      *  - UNGROUPED count must stay 0 on an empty (or fully dim-filtered)
+      *    summary — Sum returns NULL there, so coalesce it;
+      *  - re-summing a decimal sum widens precision (p+10 → p+20); cast
+      *    the rollup back so the output attribute's dataType is stable
+      *    mid-optimization (parents already resolved against it).
+      */
+    def rolled(ag: AggregateExpression, nf: AggregateFunction): Expression = {
+      val ae2 = ag.copy(aggregateFunction = nf)
+      val orig: DataType = ag.aggregateFunction.dataType
+      val base: Expression = if (nf.dataType == orig) ae2 else Cast(ae2, orig)
+      ag.aggregateFunction match {
+        case _: Count if agg.groupingExpressions.isEmpty =>
+          Coalesce(Seq(base, Literal(0L)))
+        case _ => base
+      }
+    }
+
     def mapNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
       case a: AttributeReference if d.dims.contains(a.name) =>
         Some(Alias(mvOut(a.name), a.name)(exprId = a.exprId))
@@ -308,20 +430,21 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // Average over integral input accumulates a DOUBLE sum
             // (merge-order-dependent); the rewrite divides the EXACT
             // integer rollup sums instead — deterministic and at least
-            // as accurate, asserted within 1e-6 relative in the spec
-            case av: Average => av.child match {
+            // as accurate, asserted within 1e-6 relative in the spec.
+            // DOUBLE-typed averages only: a decimal Average's output
+            // scale arithmetic is not reproduced here.
+            case av: Average if av.dataType == DoubleType => av.child match {
               case a: AttributeReference if d.sumMap.contains(a.name) &&
                   mvOut.contains(d.sumMap(a.name)) =>
                 val sumE = ag.copy(aggregateFunction = Sum(mvOut(d.sumMap(a.name))))
                 val cntE = AggregateExpression(Sum(cnt), ag.mode, isDistinct = false)
                 Some(Alias(
-                  Divide(Cast(sumE, org.apache.spark.sql.types.DoubleType),
-                         Cast(cntE, org.apache.spark.sql.types.DoubleType)),
+                  Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType)),
                   al.name)(exprId = al.exprId))
               case _ => None
             }
             case f => mapFn(f).map(nf =>
-              Alias(ag.copy(aggregateFunction = nf), al.name)(exprId = al.exprId))
+              Alias(rolled(ag, nf), al.name)(exprId = al.exprId))
           }
         case a: AttributeReference if d.dims.contains(a.name) =>
           Some(Alias(mvOut(a.name), al.name)(exprId = al.exprId))
@@ -367,19 +490,29 @@ object Mv {
     val agg = aggregateOf(definition.queryExecution.analyzed)
     require(agg.child.sameResult(basePlan),
       "the MV definition must aggregate the registered base directly")
-    derive(agg, basePlan, summaryScan)
+    derive(base.sparkSession, agg, basePlan, summaryScan, owner = None)
   }
 
   /** DDL path (CREATE MATERIALIZED VIEW … AS <query>): the base is
     * whatever the defining aggregate computes over — no separate base
-    * handle needed.
+    * handle needed. The registration is tagged with the view name so
+    * DROP/REFRESH of this view never unregisters a sibling MV over the
+    * same base.
     */
-  def registerFromDefinition(definition: DataFrame,
+  def registerFromDefinition(name: String, definition: DataFrame,
                              summaryScan: DataFrame): LogicalPlan = {
     val agg = aggregateOf(definition.queryExecution.analyzed)
-    derive(agg, agg.child, summaryScan)
+    derive(definition.sparkSession, agg, agg.child, summaryScan,
+           owner = Some(name))
     agg.child
   }
+
+  /** True iff EVERY output of the defining aggregate is a grouping
+    * pass-through or a mergeable (count/sum/min/max) aggregate — the
+    * precondition for incremental REFRESH. */
+  def isFullyMergeable(definition: DataFrame): Boolean =
+    try shape(aggregateOf(definition.queryExecution.analyzed))._6
+    catch { case _: IllegalArgumentException => false }
 
   private def aggregateOf(defPlan: LogicalPlan): Aggregate = defPlan match {
     case a: Aggregate => a
@@ -389,8 +522,14 @@ object Mv {
       s"MV definition must be an aggregate over the base, got:\n$other")
   }
 
-  private def derive(agg: Aggregate, basePlan: LogicalPlan,
-                     summaryScan: DataFrame): Unit = {
+  /** The (dims, countCol, sum/min/max maps) a defining aggregate yields —
+    * shared by registration and by the incremental-REFRESH derivability
+    * check (a definition is incrementally maintainable iff EVERY output
+    * is a grouping pass-through or one of these mergeable aggregates).
+    */
+  private[graft] def shape(agg: Aggregate):
+      (Set[String], Option[String], Map[String, String],
+       Map[String, String], Map[String, String], Boolean) = {
     val dims = agg.groupingExpressions.map {
       case a: AttributeReference => a.name
       case other => throw new IllegalArgumentException(
@@ -400,6 +539,7 @@ object Mv {
     var sumMap = Map.empty[String, String]
     var minMap = Map.empty[String, String]
     var maxMap = Map.empty[String, String]
+    var allMergeable = true
     agg.aggregateExpressions.foreach {
       case al @ Alias(ae: AggregateExpression, _)
           if ae.filter.isEmpty && !ae.isDistinct =>
@@ -410,21 +550,35 @@ object Mv {
           case Sum(a: AttributeReference, _) => sumMap += a.name -> al.name
           case Min(a: AttributeReference) => minMap += a.name -> al.name
           case Max(a: AttributeReference) => maxMap += a.name -> al.name
-          case _ => () // not derivable — fine, just never matched
+          case _ => allMergeable = false // not derivable — never matched
         }
-      case _ => () // grouping pass-throughs
+      case a: AttributeReference if dims.contains(a.name) => () // pass-through
+      case al: Alias if al.child.isInstanceOf[AttributeReference] &&
+          dims.contains(al.child.asInstanceOf[AttributeReference].name) => ()
+      case _ => allMergeable = false
     }
+    (dims, countCol, sumMap, minMap, maxMap, allMergeable)
+  }
+
+  private def derive(spark: org.apache.spark.sql.SparkSession, agg: Aggregate,
+                     basePlan: LogicalPlan, summaryScan: DataFrame,
+                     owner: Option[String]): Unit = {
+    val (dims, countCol, sumMap, minMap, maxMap, _) = shape(agg)
     require(countCol.isDefined,
       "the MV definition must include a count(lit(1)) column — count and " +
       "avg rollups derive from it")
-    MvCatalog.register(MvCatalog.MvDef(
-      basePlan, summaryScan.queryExecution.analyzed,
-      dims, countCol.get, sumMap, minMap, maxMap))
+    // the summary is |dims|-sized by construction; counting it once at
+    // registration funds every later cost-based pick
+    val rows = summaryScan.count()
+    MvCatalog.register(spark, MvCatalog.MvDef(
+      owner, basePlan, summaryScan.queryExecution.analyzed,
+      dims, countCol.get, sumMap, minMap, maxMap, rows))
   }
 
-  /** Attach the rewrite rule to this session (idempotent). */
+  /** Attach the rewrite rule to this session (idempotent; the rule
+    * instance is bound to the session's own catalog). */
   def enable(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(MvRewrite))
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewriteRule]))
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ MvRewrite
+        spark.experimental.extraOptimizations :+ new MvRewriteRule(spark)
 }
