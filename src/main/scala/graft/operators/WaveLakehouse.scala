@@ -415,3 +415,122 @@ object LakehouseWave96 {
              |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
+
+// ——— round-12 wave 97 ———
+/** Round-12 wave 97: INCREMENTAL materialized-view maintenance — the
+  * lakehouse ingest loop. History lands in a warehouse parquet table, a
+  * (event_type, day) MV is created over it, a few days of new events are
+  * APPENDED, and `REFRESH MATERIALIZED VIEW` merges ONLY the delta's
+  * partial states into the summary (manifest-diffed file listing; see
+  * graft.plans.MvMaintain) — O(delta + summary), never O(history). The
+  * returned aggregate is then silently served from the refreshed summary
+  * while the DuckDB oracle recomputes from the RAW events table: the
+  * hash match proves create → append → incremental merge → rewrite is
+  * value-exact end to end. MvRound12Spec adds the listener-counted
+  * records-read gate proving the refresh never re-scans history.
+  */
+object LakehouseWave97 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    "sql_mv_refresh_incremental" -> Decl(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+                  datediff(col("ts").cast("date"), to_date(lit("2023-12-31")))
+                    .cast("bigint").as("day"),
+                  round(col("value") * 100).cast("bigint").as("cents"))
+        val cut = ev.agg(max(col("day"))).collect()(0).getLong(0) - 3
+        val wh = Tables.scratchDir("graft_mvincq").toString
+        ev.filter(col("day") < cut).write.parquet(s"$wh/ev_incq")
+        s.read.parquet(s"$wh/ev_incq").createOrReplaceTempView("ev_incq")
+        graft.Sql.execute(s, wh,
+          """CREATE MATERIALIZED VIEW mv_incq AS
+            |SELECT event_type, day, count(*) AS n, sum(cents) AS sc
+            |FROM ev_incq GROUP BY event_type, day""".stripMargin)
+        // the ingest: new days APPEND to the base table (files only —
+        // exactly what a 100 TB landing zone does between refreshes)
+        ev.filter(col("day") >= cut).write.mode("append").parquet(s"$wh/ev_incq")
+        s.read.parquet(s"$wh/ev_incq").createOrReplaceTempView("ev_incq")
+        graft.Sql.execute(s, wh, "REFRESH MATERIALIZED VIEW mv_incq")
+        // served from the MERGED summary (plan-asserted in the spec)
+        s.sql("""SELECT event_type, count(*) AS n_events,
+                |       sum(cents) AS sum_cents
+                |FROM ev_incq GROUP BY event_type
+                |ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |       count(*) AS n_events,
+             |       CAST(sum(c) AS BIGINT) AS sum_cents
+             |FROM (SELECT event_type,
+             |             CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}
+
+// ——— round-12 wave 98 ———
+/** Round-12 wave 98: MV rewrite over a STAR JOIN — the canonical
+  * warehouse MV is an aggregate over fact ⋈ dim, and the matcher now
+  * recurses through inner Join nodes (either orientation), matching the
+  * join conditions semantically and rolling dim-only filters (pushed
+  * BELOW the join by the optimizer) up onto the summary. The fixture
+  * registers a (c_mktsegment) rollup of orders ⋈ customer and queries a
+  * dim-filtered aggregate over the same join; the oracle recomputes the
+  * join from the raw tables in DuckDB.
+  *
+  * 100 TB shape: the dashboard query reads a 5-row summary instead of
+  * re-shuffling a fact ⋈ dim join over the corpus — the MV lever
+  * extended to the plan shape real warehouses query every day.
+  */
+object LakehouseWave98 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  /** The registered star base (orders ⋈ customer) + its summary — shared
+    * with the spec so both register identical plans. */
+  private[graft] def setupJoinMv(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame = {
+    val fact = Tables(s, d, "orders")
+      .select(col("o_custkey"),
+              round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val dim = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val base = fact.join(dim, col("o_custkey") === col("c_custkey"))
+    val dir = Tables.scratchDir("graft_mvjoin").resolve("mv_star").toString
+    val defn = base.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+           min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    defn.write.mode("overwrite").parquet(dir)
+    graft.plans.Mv.register(base, defn, s.read.parquet(dir))
+    graft.plans.Mv.enable(s)
+    base
+  }
+
+  val decls: Map[String, Decl] = Map(
+    "sql_mv_join_rewrite" -> Decl(
+      (s, d) => {
+        val base = setupJoinMv(s, d)
+        // a DIM filter — pushed below the join by the optimizer, rolled
+        // up over the summary by the matcher
+        base.filter(col("c_mktsegment") =!= "BUILDING")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+               sum(col("cents")).as("sum_cents"),
+               min(col("cents")).as("min_cents"),
+               max(col("cents")).as("max_cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |       count(*) AS n_orders,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       min(cents) AS min_cents,
+             |       max(cents) AS max_cents
+             |FROM (SELECT c_mktsegment,
+             |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |      FROM orders JOIN customer ON o_custkey = c_custkey)
+             |WHERE c_mktsegment <> 'BUILDING'
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+  )
+}

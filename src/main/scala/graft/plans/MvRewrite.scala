@@ -197,11 +197,15 @@ object MvRewrite extends PredicateHelper {
   /** child is the base or a column-pruning of it — possibly with Filters
     * in between (predicate pushdown moves them around freely), and with
     * the base's Join structure mirrored when the MV is a star summary.
-    * Returns the collected filter conditions, each FULLY EXPANDED to
-    * leaf attributes, when the shape matches; None otherwise.
+    * Returns (filter conditions, matched join conditions), each FULLY
+    * EXPANDED to leaf attributes, when the shape matches; None otherwise.
+    * The join conditions are needed to clear optimizer-inferred
+    * IsNotNull(join key) filters: the MV's own inner equi-join already
+    * rejects null keys, so those conjuncts are redundant over the summary.
     */
-  private def matchesBase(child: LogicalPlan, base: LogicalPlan): Option[Seq[Expression]] = {
-    if (child.sameResult(base)) return Some(Nil)
+  private def matchesBase(child: LogicalPlan, base: LogicalPlan)
+      : Option[(Seq[Expression], Seq[Expression])] = {
+    if (child.sameResult(base)) return Some((Nil, Nil))
     val baseIds: Set[ExprId] = (base.collect {
       case p: Project => p.projectList.map(_.exprId)
     }.flatten ++ base.collectLeaves().flatMap(_.output.map(_.exprId)) ++
@@ -260,37 +264,46 @@ object MvRewrite extends PredicateHelper {
       }
       qExp.semanticEquals(bExpMapped)
     }
-    def walk(p: LogicalPlan, b: LogicalPlan): Option[Seq[Expression]] = p match {
+    def walk(p: LogicalPlan, b: LogicalPlan)
+        : Option[(Seq[Expression], Seq[Expression])] = p match {
       case Project(pl, c) if projOk(pl, c) => walk(c, b)
       case SubqueryAlias(_, c) => walk(c, b)
       case v: View => walk(v.child, b)
       case Filter(cond, c) =>
-        walk(c, b).map { rest =>
+        walk(c, b).map { case (rest, js) =>
           val env = expansions(c)
-          cond.transformUp {
+          (cond.transformUp {
             case a: AttributeReference => env.getOrElse(a.exprId, a)
-          } +: rest
+          } +: rest, js)
         }
       case jq: Join if jq.joinType == Inner =>
         stripB(b) match {
           case jb: Join if jb.joinType == Inner =>
-            def trySides(ql: LogicalPlan, qr: LogicalPlan): Option[Seq[Expression]] =
+            def trySides(ql: LogicalPlan, qr: LogicalPlan)
+                : Option[(Seq[Expression], Seq[Expression])] =
               (jq.condition, jb.condition) match {
                 case (Some(qc), Some(bc)) =>
                   for {
-                    lc <- walk(ql, jb.left)
-                    rc <- walk(qr, jb.right)
+                    (lc, lj) <- walk(ql, jb.left)
+                    (rc, rj) <- walk(qr, jb.right)
                     if condsEqual(jq, jb, qc, bc)
-                  } yield lc ++ rc
+                  } yield {
+                    val env = expansions(jq)
+                    val qcExp = qc.transformUp {
+                      case a: AttributeReference => env.getOrElse(a.exprId, a)
+                    }
+                    (lc ++ rc, qcExp +: (lj ++ rj))
+                  }
                 case (None, None) =>
-                  for { lc <- walk(ql, jb.left); rc <- walk(qr, jb.right) }
-                    yield lc ++ rc
+                  for { (lc, lj) <- walk(ql, jb.left)
+                        (rc, rj) <- walk(qr, jb.right) }
+                    yield (lc ++ rc, lj ++ rj)
                 case _ => None
               }
             trySides(jq.left, jq.right).orElse(trySides(jq.right, jq.left))
           case _ => None
         }
-      case l if l.sameResult(leaf(b)) => Some(Nil)
+      case l if l.sameResult(leaf(b)) => Some((Nil, Nil))
       case _ => None
     }
     walk(child, base)
@@ -300,7 +313,7 @@ object MvRewrite extends PredicateHelper {
     if (sys.env.contains("GRAFT_MV_DEBUG")) System.err.println(s"[mv] $msg")
 
   private[graft] def rewrite(agg: Aggregate, d: MvCatalog.MvDef): Option[Aggregate] = {
-    val conds = matchesBase(agg.child, d.base) match {
+    val (conds, joinConds) = matchesBase(agg.child, d.base) match {
       case None => dbg(s"no base match for child:\n${agg.child.treeString}base:\n${d.base.treeString}"); return None
       case Some(cs) => cs
     }
@@ -358,10 +371,13 @@ object MvRewrite extends PredicateHelper {
           case _ if { dbg(s"conjunct not substitutable: $c ; dimDefs=${dimDefs.map(_._1).mkString(" | ")}"); false } => None
           // inferred/redundant IsNotNull on a column feeding a dim:
           // droppable iff a retained substitutable conjunct already
-          // rejects nulls of that column
+          // rejects nulls of that column — or the MATCHED inner join
+          // condition does (constraint inference adds IsNotNull on join
+          // keys, which the MV's own equi-join already rejected)
           case IsNotNull(a: Attribute)
               if conjuncts.exists(o => !o.semanticEquals(c) &&
-                   substitute(o).isDefined && nullRejects(o, a)) =>
+                   substitute(o).isDefined && nullRejects(o, a)) ||
+                 joinConds.exists(j => nullRejects(j, a)) =>
             Some(None)
           case _ => None
         }

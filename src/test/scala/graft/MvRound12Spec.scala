@@ -227,4 +227,68 @@ class MvRound12Spec extends AnyFunSuite {
     assert(afterDelete == rawAfter,
            "post-DML REFRESH (full path) must tile the mutated base")
   }
+
+  test("sql_mv_refresh_incremental's final aggregate is served from the summary") {
+    val q = SparkEntry.queries("sql_mv_refresh_incremental")(spark, sf)
+    assert(scanPaths(q).exists(_.contains("mv_incq")),
+           s"the post-refresh aggregate must read the summary:\n${scanPaths(q).mkString("\n")}")
+    assert(!scanPaths(q).exists(_.contains("ev_incq")),
+           "the corpus-sized base scan must be GONE after the rewrite")
+    // and it equals the full-table aggregate computed independently
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = Tables.events(spark, sf)
+      .select(col("event_type"),
+              round(col("value") * 100).cast("bigint").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("the star-join aggregate is rewritten onto the join MV") {
+    val q = SparkEntry.queries("sql_mv_join_rewrite")(spark, sf)
+    assert(scanPaths(q).exists(_.contains("mv_star")),
+           s"the join aggregate must read the star summary:\n${scanPaths(q).mkString("\n")}\n" +
+           q.queryExecution.optimizedPlan.treeString)
+    assert(!scanPaths(q).exists(p => p.contains("orders") || p.contains("customer")),
+           "neither join side may be scanned after the rewrite")
+    // value-exactness vs the raw join, computed independently
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                                    r.getLong(3), r.getLong(4)))
+    val fact = Tables(spark, sf, "orders")
+      .select(col("o_custkey"),
+              round(col("o_totalprice") * 100).cast("bigint").as("cents2"))
+    val dim = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val want = fact.join(dim, col("o_custkey") === col("c_custkey"))
+      .filter(col("seg") =!= "BUILDING")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum("cents2").as("s"),
+           min("cents2").as("mn"), max("cents2").as("mx"))
+      .orderBy("seg")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("join-MV negative controls: fact filter and foreign join do not rewrite") {
+    val base = graft.operators.LakehouseWave98.setupJoinMv(spark, sf)
+    // a FACT-metric filter constrains a non-dim column — must not fire
+    val metricFiltered = base.filter(col("cents") > 1000L)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(!scanPaths(metricFiltered).exists(_.contains("mv_star")),
+           "a metric-filtered star base must NOT be rewritten")
+    // a DIFFERENT join (orders ⋈ nation-keyed customer projection) — the
+    // join condition differs, so the matcher must refuse
+    val fact = Tables(spark, sf, "orders")
+      .select(col("o_custkey"),
+              round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val dim2 = Tables(spark, sf, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"))
+    val other = fact.join(dim2, col("o_custkey") === col("c_nationkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(!scanPaths(other).exists(_.contains("mv_star")),
+           "a join on different keys must NOT be served from the MV")
+  }
 }
