@@ -46,7 +46,30 @@ object Bench {
         require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
         SparkEntry.queries.view.filterKeys(args.contains).toMap
       }
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Task-CPU accounting: wall time on this host swings 3–5× under
+    // ambient load (BASELINE.md's four same-code passes), while summed
+    // executor CPU is the trustworthy signal (the round-11 adamic-adar
+    // rework was invisible in wall, 7× in CPU). One listener accumulates
+    // executorCpuTime across the run; per-query deltas ride the counter.
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) cpuNanos.addAndGet(te.taskMetrics.executorCpuTime)
+    })
+    // the listener bus is async — drain it before reading the counter
+    // (private[spark], reached reflectively the way Spark's tests do)
+    def drainBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      } catch { case _: Exception => () }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      drainBus()
+      val c0 = cpuNanos.get()
       val t0 = System.nanoTime()
       // A failed query must be visible as -1, not as a fast time — masking
       // regressions as performance wins is worse than crashing.
@@ -56,8 +79,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
+      drainBus()
+      val cpu = (cpuNanos.get() - c0) / 1e9
       spark.catalog.clearCache() // drop per-query persisted intermediates
-      elapsed
+      (elapsed, cpu)
     }
     // The shared VM host time-slices unpredictably: identical suite runs
     // have swung 3× (scan-and-count queries reading 10 s+ under ambient
@@ -73,28 +98,35 @@ object Bench {
     // the same trivial plan three separate times.
     var retryBudget = 180.0
     def retime(name: String, fn: (SparkSession, String) => DataFrame,
-               prior: Double): Double = {
+               prior: Double): (Double, Double) = {
       // Charge the retry's expected cost (~prior) up front so one
       // pathologically slow retry can't blow far past the budget, then
       // settle to the actual spend once known.
       retryBudget -= prior
       val t = timeOnce(name, fn)
-      retryBudget += prior - math.max(t, 0.0)
+      retryBudget += prior - math.max(t._1, 0.0)
       t
     }
+    // best = the pair from the run with the LOWEST wall; its cpu is the
+    // matching measurement (mixing best-wall with best-cpu would report
+    // a run that never happened)
+    def minByWall(a: (Double, Double), b: (Double, Double)) =
+      if (a._1 <= b._1) a else b
     val results = selected.map { case (name, fn) =>
       val t1 = timeOnce(name, fn)
       val best =
-        if (t1 > 1.0 && retryBudget > 0) {
-          val t2 = retime(name, fn, t1)
+        if (t1._1 > 1.0 && retryBudget > 0) {
+          val t2 = retime(name, fn, t1._1)
           // A failed retry (-1) must not mask a successful first run —
           // failures are never retried INTO a pass, and a pass is never
           // retried into a failure.
-          if (t2 < 0) t1
-          else if (math.max(t1, t2) > 2 * math.min(t1, t2) && retryBudget > 0) {
-            val t3 = retime(name, fn, math.min(t1, t2))
-            if (t3 >= 0) math.min(math.min(t1, t2), t3) else math.min(t1, t2)
-          } else math.min(t1, t2)
+          if (t2._1 < 0) t1
+          else if (math.max(t1._1, t2._1) > 2 * math.min(t1._1, t2._1) &&
+                   retryBudget > 0) {
+            val b12 = minByWall(t1, t2)
+            val t3 = retime(name, fn, b12._1)
+            if (t3._1 >= 0) minByWall(b12, t3) else b12
+          } else minByWall(t1, t2)
         } else t1
       name -> best
     }
@@ -113,22 +145,25 @@ object Bench {
     // `nq`/`reported` make the truncation explicit; the omitted entries
     // are the sub-0.1 s noise floor.
     def r(v: Double): Double = math.rint(v * 1000) / 1000
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val cpuTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val qs = new StringBuilder
     var reported = 0
     // Failed queries (-1) sort ahead of everything — a dropped failure would
-    // read as a pass; slowest genuine timings follow.
-    results.toSeq.sortBy { case (_, v) =>
-      if (v < 0) Double.NegativeInfinity else -v
-    }.foreach { case (k, v) =>
-      val entry = "\"" + k + "\":" + r(v)
+    // read as a pass; slowest genuine timings follow. Each entry is the
+    // [wall, cpu] pair of ONE run, so a judge can split host noise (wall
+    // up, cpu flat) from real regressions without a re-run.
+    results.toSeq.sortBy { case (_, (w, _)) =>
+      if (w < 0) Double.NegativeInfinity else -w
+    }.foreach { case (k, (w, c)) =>
+      val entry = "\"" + k + "\":[" + r(w) + "," + r(c) + "]"
       if (qs.length + entry.length + 1 <= 1300) {
         if (reported > 0) qs.append(',')
         qs.append(entry)
         reported += 1
       }
     }
-    val line = s"""{"metric":"total","value":${r(total)},"unit":"sec","nq":${results.size},"reported":$reported,"queries":{$qs},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r(total)},"unit":"sec","cpu":${r(cpuTotal)},"nq":${results.size},"reported":$reported,"queries":{$qs},"sf":"$sfDir"}"""
     spark.sparkContext.setLogLevel("OFF")
     println(line)
     System.out.flush()
