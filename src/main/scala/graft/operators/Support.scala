@@ -434,3 +434,107 @@ object AnnIndex {
       .limit(k)
   }
 }
+
+/** Shared df-capped co-purchase PAIR INDEX — the common machinery of the
+  * customer-pair link-prediction keys (`graph_adamic_adar`,
+  * `graph_jaccard_neighbors`), built ONCE per (JVM, sf dir) and probed by
+  * every consumer (the AnnIndex warehouse precedent: round 11 computed
+  * this exchange independently in both keys, ~50 s of duplicated work in
+  * the driver bench).
+  *
+  *  - `pairs(a, b, df, cnt)` — each unordered customer pair (a < b),
+  *    with cnt = #shared parts at part-degree df. Pair generation is a
+  *    per-part sorted collect + INTEGER-ENCODED combination explode
+  *    (a·2³² + b rides one BIGINT through the explode and the groupBy —
+  *    no struct allocation per candidate pair; decoded once at write).
+  *    Per-part state is ≤ MaxPartDf ids — bounded by the cap, never the
+  *    corpus; total volume Σ C(df,2) ≤ (cap/2)·|edges|.
+  *  - `deg(c, deg)` — per-customer distinct-part degree over the SAME
+  *    capped graph (df ≤ cap, including df = 1 parts).
+  *
+  * The 2³² encoding assumes ids < 2³¹ (TPC-H custkeys are 32-bit ints at
+  * every tested SF); a larger id domain would switch the encode to the
+  * struct form — same plan shape, higher constant.
+  */
+object PairIndex {
+  import graft.Tables
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  val MaxPartDf = 40
+  private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** build counter — the spec's one-build-serves-all gate */
+  private[graft] val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Build-if-absent; computeIfAbsent makes concurrent consumers (Verify
+    * runs 4 queries at once) wait on ONE build. */
+  private def ensure(s: SparkSession, d: String): String =
+    dirs.computeIfAbsent(d, _ => {
+      val n = s.sparkContext.defaultParallelism
+      val root = Tables.scratchDir("graft_pairidx").toString
+      val edges = Tables(s, d, "orders")
+        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val cType = edges.schema("c").dataType
+      val pdeg = edges.groupBy("p").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxPartDf)
+      // e feeds deg AND the pair exchange: lazy persist shares one
+      // materialization and pins the p-hash partitioning (memory: persist,
+      // not localCheckpoint — checkpoint runs upstream stages at build time)
+      val e = edges.join(pdeg, "p").repartition(n, col("p"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.groupBy("c").agg(count(lit(1)).as("deg"))
+        .write.parquet(s"$root/deg")
+      e.filter(col("df") >= 2)
+        .groupBy("p", "df")
+        .agg(sort_array(collect_list(col("c").cast("bigint"))).as("cs"))
+        .select(col("df"), explode(expr(
+          "flatten(transform(cs, (x, i) -> " +
+          "transform(slice(cs, i + 2, size(cs)), y -> x * 4294967296L + y)))"))
+          .as("pr"))
+        .groupBy("pr", "df").agg(count(lit(1)).as("cnt"))
+        .select(expr("pr div 4294967296").cast(cType).as("a"),
+                pmod(col("pr"), lit(4294967296L)).cast(cType).as("b"),
+                col("df"), col("cnt"))
+        .write.parquet(s"$root/pairs")
+      e.unpersist()
+      builds.incrementAndGet()
+      root
+    })
+
+  def pairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensure(s, d)}/pairs")
+  def deg(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensure(s, d)}/deg")
+}
+
+/** Per-enum-key cumulative weight over a DATA-DERIVED value grid — the
+  * quantile family's shared machinery (weighted median, discrete
+  * percentiles, IQR fences, winsorize thresholds, MAD). A
+  * `Window.partitionBy(flag).orderBy(value)` over the distinct-cents grid
+  * serializes the whole grid sort onto |enum| tasks (round-11 verdict);
+  * this runs the DISTRIBUTED two-pass PrefixSum over the (key, value)
+  * total order instead and subtracts each key's starting offset. The
+  * offsets come from a triangular join over the ≤|enum| per-key totals —
+  * no window anywhere, so nothing funnels regardless of grid size.
+  */
+object GridCum {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  /** Append `out` = running sum of `w` within each `key`, ordered by `v`
+    * (BIGINT weights; every input column is preserved). */
+  def perKeyCumsum(grid: DataFrame, key: String, v: String, w: String,
+                   out: String): DataFrame = {
+    val g = PrefixSum.cumsumLong(grid, Seq(col(key), col(v)), col(w), "__gcum")
+    val tot = grid.groupBy(key).agg(sum(col(w)).as("__t"))
+    val off = tot.as("a")
+      .join(tot.as("b"), col(s"b.$key") < col(s"a.$key"), "left")
+      .groupBy(col(s"a.$key").as(key))
+      .agg(coalesce(sum(col("b.__t")), lit(0L)).as("__off"))
+    g.join(broadcast(off), key)
+      .withColumn(out, col("__gcum") - col("__off"))
+      .drop("__gcum", "__off")
+  }
+}

@@ -124,12 +124,11 @@ object Round10g {
           .select(col("l_returnflag"),
                   round(col("l_extendedprice") * 100).cast("bigint").as("c"))
           .groupBy("l_returnflag", "c").agg(count(lit(1)).as("w"))
-        val cw = Window.partitionBy("l_returnflag").orderBy("c")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = grid.groupBy("l_returnflag").agg(sum(col("w")).as("n"))
-        val q = grid
-          .select(col("l_returnflag"), col("c"), col("w"),
-                  sum(col("w")).over(cw).as("cum"))
+        // distributed PrefixSum over the (flag, cents) order — a
+        // flag-partitioned window would serialize the near-unique price
+        // grid onto 3 tasks (round-12 gate)
+        val q = GridCum.perKeyCumsum(grid, "l_returnflag", "c", "w", "cum")
           .join(broadcast(tot), "l_returnflag")
           .groupBy("l_returnflag")
           .agg(min(when(col("cum") * 4 >= col("n"), col("c"))).as("q1"),
@@ -208,7 +207,7 @@ object Round10m {
   import org.apache.spark.sql.functions._
 
 
-  private val MaxPartDf = 40
+  private val MaxPartDf = PairIndex.MaxPartDf
 
   val decls: Map[String, Decl] = Map(
     // Adamic–Adar link prediction on the co-purchase graph: for the
@@ -220,34 +219,17 @@ object Round10m {
     // both engines — no parallel-merge reduction ever touches a double.
     "graph_adamic_adar" -> Decl(
       (s, d) => {
-        val n = s.sparkContext.defaultParallelism
-        val edges = Tables(s, d, "orders")
-          .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-          .distinct()
-        val pdeg = edges.groupBy("p").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxPartDf && col("df") >= 2)
-        val e = edges.join(pdeg, "p").repartition(n, col("p"))
         // the weight 1/ln(df) takes ≤39 distinct values (df ∈ 2..40), so
         // the float NEVER rides the corpus: aggregate exact integer
         // (df, count) cells per pair, then fold the ≤39 terms in df
         // order — same sorted-fold determinism, none of the per-row
-        // double-list collection (10.9 s → aggregate-only).
-        // Pair generation is a per-part sorted collect + codegen'd
-        // combination explode, NOT an e⋈e self-join: the join shuffled
-        // the capped edge list twice and hash-probed ~Σdf² rows (880 s
-        // of task CPU on the round-11 regenerated fixture); this emits
-        // each unordered pair exactly once (C(df,2) rows) inside one
-        // groupBy(p) stage. Per-part state is ≤ MaxPartDf ids — bounded
-        // by the cap, never by the corpus.
-        val contrib = e.groupBy("p", "df")
-          .agg(sort_array(collect_list(col("c"))).as("cs"))
-          .select(col("df"), explode(expr(
-            "flatten(transform(cs, (a, i) -> " +
-            "transform(slice(cs, i + 2, size(cs)), b -> struct(a, b))))"))
-            .as("pr"))
-          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"), col("df"))
-          .agg(count(lit(1)).as("cnt"))
+        // double-list collection.
+        // The (a, b, df, cnt) pair exchange itself is the SHARED
+        // PairIndex (built once per session, integer-encoded combination
+        // explode — see operators.PairIndex): round 11 rebuilt the same
+        // capped exchange independently here and in
+        // graph_jaccard_neighbors, ~50 s of duplicated driver-bench work.
+        val contrib = PairIndex.pairs(s, d)
         contrib.groupBy("a", "b")
           .agg(sum(col("cnt")).as("common"),
                array_sort(collect_list(struct(col("df"), col("cnt")))).as("cells"))

@@ -1558,7 +1558,7 @@ object Round8b {
     * 40 BINDS on this fixture (max df 49–53), so the exclusion path is
     * oracle-exercised, not dead scale insurance.
     */
-  private val MaxPartDf = 40
+  private val MaxPartDf = PairIndex.MaxPartDf
 
   val decls: Map[String, Decl] = Map(
     // Co-located bucketed join — the canonical 100 TB shuffle eliminator:
@@ -1722,32 +1722,15 @@ object Round8b {
     // information anyway.
     "graph_jaccard_neighbors" -> Decl(
       (s, d) => {
-        val n = s.sparkContext.defaultParallelism
-        val edges = Tables(s, d, "orders")
-          .join(Tables(s, d, "lineitem"),
-                col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-          .distinct()
-        val keep = edges.groupBy("p").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxPartDf)
-          .select("p")
-        // e feeds THREE consumers (deg + both self-join sides); an eager
-        // localCheckpoint materializes the orders⋈lineitem→distinct
-        // pipeline once (row-per-edge, small) and preserves the p-hash
-        // partitioning, so the self-join below re-reads it shuffle-free.
-        val e = edges.join(keep, "p").repartition(n, col("p"))
-          .localCheckpoint(true)
-        val deg = e.groupBy("c").agg(count(lit(1)).as("deg"))
-        // Pair generation as the p-keyed self-join: whole-stage-codegen'd
-        // end to end, which beats the collect_list + higher-order-function
-        // explode alternative ~25% wall (measured: the nested transform
-        // lambdas are interpreted, ~5× the CPU of the codegen join even
-        // though the join materializes ordered pairs before the c<c cut).
-        val pairs = e.as("x")
-          .join(e.as("y"),
-                col("x.p") === col("y.p") && col("x.c") < col("y.c"))
-          .groupBy(col("x.c").as("a"), col("y.c").as("b"))
-          .agg(count(lit(1)).as("common"))
+        // Pair counts and degrees come from the SHARED PairIndex (one
+        // build per session serves this key and graph_adamic_adar —
+        // round 11 ran the same capped pair exchange twice). common =
+        // Σ cnt over the pair's (df, cnt) cells; deg is the stored
+        // per-customer distinct-part degree over the same capped graph.
+        val deg = PairIndex.deg(s, d)
+        val pairs = PairIndex.pairs(s, d)
+          .groupBy("a", "b")
+          .agg(sum(col("cnt")).as("common"))
           .orderBy(col("common").desc, col("a"), col("b"))
           .limit(20)
         // both degree lookups broadcast the 20-row top-k side (the second
@@ -1845,28 +1828,26 @@ object Round8b {
     // Grouped weighted median (lower): per return flag, the smallest
     // extended-price cent value whose cumulative quantity weight reaches
     // half the group total. The data-scale path is the bounded
-    // distinct-cents grid again — per-(flag, cents) integer weight sums,
-    // one flag-partitioned cumulative window over the grid, and the pick
-    // is min-over-qualifying (2·cum ≥ tot with INTEGER comparison — no
+    // distinct-cents grid — per-(flag, cents) integer weight sums — and
+    // the cumulation is the DISTRIBUTED two-pass PrefixSum over the
+    // (flag, cents) total order, NOT a flag-partitioned window: the grid
+    // is near-unique prices, so a 3-value partition key would serialize
+    // the whole grid sort onto 3 tasks (round-11 verdict). Per-flag
+    // running weight = global prefix sum − the flag's starting offset (a
+    // 3-row cumulation of per-flag totals, broadcast back). The pick is
+    // min-over-qualifying with INTEGER comparison (2·cum ≥ tot — no
     // interpolated quantile ever crosses engines tie-exactly; memory:
     // quantile ulp ties).
     "agg_weighted_median" -> Decl(
       (s, d) => {
-        val w = Window.partitionBy("l_returnflag").orderBy("cents")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val grid = Tables(s, d, "lineitem")
           .select(col("l_returnflag"),
                   round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
                   col("l_quantity").cast("bigint").as("qty"))
           .groupBy("l_returnflag", "cents")
           .agg(sum(col("qty")).as("wsum"))
-        // group totals as a broadcast-joined 3-row aggregate, NOT a
-        // whole-partition window — the frameless window would buffer the
-        // entire near-unique price grid per flag before emitting a row
         val tot = grid.groupBy("l_returnflag").agg(sum(col("wsum")).as("tot"))
-        grid
-          .select(col("l_returnflag"), col("cents"),
-                  sum(col("wsum")).over(w).as("cum"))
+        GridCum.perKeyCumsum(grid, "l_returnflag", "cents", "wsum", "cum")
           .join(broadcast(tot), "l_returnflag")
           .filter(lit(2L) * col("cum") >= col("tot"))
           .groupBy("l_returnflag")
@@ -2466,13 +2447,13 @@ object Round9b {
           .select(col("event_type"),
                   round(col("value") * 100).cast("bigint").as("c"))
         def lowerMedian(src: org.apache.spark.sql.DataFrame, vcol: String) = {
-          val w = Window.partitionBy("event_type").orderBy(vcol)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          // distributed PrefixSum over the (type, value) order — a
+          // type-partitioned window would serialize each value grid onto
+          // |enum| tasks (round-12 gate)
           val grid = src.groupBy("event_type", vcol)
             .agg(count(lit(1)).as("cw"))
           val tot = grid.groupBy("event_type").agg(sum(col("cw")).as("tot"))
-          grid.select(col("event_type"), col(vcol),
-                      sum(col("cw")).over(w).as("cum"))
+          GridCum.perKeyCumsum(grid, "event_type", vcol, "cw", "cum")
             .join(broadcast(tot), "event_type")
             .filter(lit(2L) * col("cum") >= col("tot"))
             .groupBy("event_type").agg(min(col(vcol)).as(s"med_$vcol"))

@@ -1462,11 +1462,11 @@ object Round9h {
         val ev = Tables.events(s, d)
           .select(col("event_type"), round(col("value") * 100).cast("bigint").as("c"))
         val grid = ev.groupBy("event_type", "c").agg(count(lit(1)).as("w"))
-        val cw = Window.partitionBy("event_type").orderBy("c")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = grid.groupBy("event_type").agg(sum(col("w")).as("n"))
-        val cum = grid
-          .select(col("event_type"), col("c"), sum(col("w")).over(cw).as("cum"))
+        // distributed PrefixSum over the (type, cents) order — a
+        // type-partitioned window would serialize the value grid onto
+        // |enum| tasks (round-12 gate)
+        val cum = GridCum.perKeyCumsum(grid, "event_type", "c", "w", "cum")
           .join(broadcast(tot), "event_type")
         cum.groupBy("event_type")
           .agg(min(when(col("cum") * 4 >= col("n"), col("c"))).as("p25"),

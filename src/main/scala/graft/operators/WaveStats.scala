@@ -6312,11 +6312,11 @@ object Round9e {
         val ev = Tables.events(s, d)
           .select(col("event_type"), round(col("value") * 100).cast("bigint").as("c"))
         val grid = ev.groupBy("event_type", "c").agg(count(lit(1)).as("w"))
-        val cumW = Window.partitionBy("event_type").orderBy("c")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = grid.groupBy("event_type").agg(sum(col("w")).as("n"))
-        val cum = grid
-          .select(col("event_type"), col("c"), sum(col("w")).over(cumW).as("cum"))
+        // distributed PrefixSum over the (type, cents) order — a
+        // type-partitioned window would serialize the value grid onto
+        // |enum| tasks (round-12 gate)
+        val cum = GridCum.perKeyCumsum(grid, "event_type", "c", "w", "cum")
           .join(broadcast(tot), "event_type")
         val lo = cum.filter(col("cum") * 10 >= col("n"))
           .groupBy("event_type").agg(min(col("c")).as("lo"))

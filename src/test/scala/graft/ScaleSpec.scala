@@ -503,9 +503,15 @@ class ScaleSpec extends AnyFunSuite {
   // text_perplexity_bucket), and ts_gapfill_interp's window runs over the
   // BOUNDED time-spine, not the corpus. Any query outside the allowlist
   // sweeping a window over one of these keys is an undeclared scale killer
-  // and fails here. A window whose CHILD contains an Aggregate is exempt:
-  // its input is one row per group key (bounded by key cardinality, e.g.
-  // the per-(status,priority) mode counts), not one row per corpus row.
+  // and fails here. A window whose CHILD contains an Aggregate is exempt
+  // ONLY when that aggregate's grouping keys are ALL bounded enums - then
+  // its input is at most the product of enum cardinalities (e.g. the
+  // per-(status,priority) mode counts). Round 12 tightened this: a
+  // grouping that includes a DATA-DERIVED co-key (the distinct-cents grid
+  // under agg_weighted_median's old plan) produces grid-sized window
+  // input, and a 3-value partition key then serializes the grid sort onto
+  // 3 tasks - exactly the raw-enum-key-over-value-grid shape the round-11
+  // verdict flagged; such cumulations must use PrefixSum instead.
   test("low-cardinality window partitioning is limited to declared §2.5 keys") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val lowCard = Set("o_orderstatus", "o_orderpriority", "c_mktsegment",
@@ -513,14 +519,31 @@ class ScaleSpec extends AnyFunSuite {
                       "source", "label", "n_name", "r_name")
     val allowed = Set("window_distribution", "window_ntile_firstlast",
                       "window_rank_dense", "window_range_frame",
-                      "window_range_interval", "ts_gapfill_interp")
+                      "window_range_interval", "ts_gapfill_interp",
+                      // reviewed round-12 (gate tightening): these windows
+                      // ride per-type aggregates whose co-key is a CALENDAR
+                      // or LAG spine — input grows with time span / lag
+                      // count, never with corpus rows. (The value-grid
+                      // cumulations the tightening targeted — weighted
+                      // median, percentile_disc, IQR, winsorize, MAD — are
+                      // PrefixSum'd via GridCum and must stay off this list.)
+                      "ts_durbin_watson",     // hourly spine per type
+                      "ts_week_over_week",    // weekly spine per type
+                      "window_anomaly_spike", // hourly spine per type
+                      "ts_period_autocorr",   // 35-row lag grid per type
+                      "text_ngram_profile")   // trigram space <= charset^3 per lang, rank-limited top-5
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       // A window is a funnel only when EVERY partition key is a bounded
       // enum — (user_id, event_type) partitions at least as finely as
       // user_id alone, so a high-cardinality co-key clears the gate
       // (round 9: window_cumulative_distinct's first-occurrence window).
+      val enumBoundedAggInput = (w: LWindow) =>
+        w.child.collectFirst { case a: Aggregate => a }.exists { a =>
+          val ks = a.groupingExpressions.flatMap(_.references.map(_.name)).distinct
+          ks.nonEmpty && ks.forall(lowCard.contains)
+        }
       val funnelWindows = fn(spark, sf).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+        case w: LWindow if !enumBoundedAggInput(w) =>
           val keys = w.partitionSpec.flatMap(_.references.map(_.name))
           keys.nonEmpty && keys.forall(lowCard.contains)
       }
