@@ -270,5 +270,75 @@ object Streams {
              |       max(c) AS high, min(c) AS low,
              |       (max({'u': us, 'e': event_id, 'c': c})).c AS close,
              |       count(*) AS n
-             |FROM e GROUP BY wstart ORDER BY wstart""".stripMargin)))
+             |FROM e GROUP BY wstart ORDER BY wstart""".stripMargin)),
+
+    // STREAMING materialized-view maintenance: the events table arrives
+    // as a multi-file stream (maxFilesPerTrigger=1 → several
+    // micro-batches), and each foreachBatch merges the batch's
+    // (event_type, day) partial states into the standing summary via
+    // MvMaintain.mergePartials — counts and cents-sums ADD, min/max
+    // idempotently combine, so any batch split reaches the same summary
+    // (the sink_incremental_agg losslessness riding a real streaming
+    // query). Replay semantics match stream_merge_upsert: the merge is
+    // not self-idempotent; exactly-once rests on the checkpointed source
+    // offsets (StreamingSpec pins committed batches never re-applying).
+    // The oracle is the FULL batch aggregate over raw events — the hash
+    // match IS the stream == batch equality on the summary.
+    "stream_mv_maintain" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = Tables.scratchDir("graft_stream_mv")
+        val srcDir = tmp.resolve("src")
+        val sumDir = tmp.resolve("mv_stream_events").toString
+        java.nio.file.Files.createDirectories(srcDir)
+        // land the stream input as ≥3 files of normalized rows (the
+        // Tables.events ts dispatch has already run, so the stream schema
+        // is stable regardless of the fixture's physical ts type)
+        Tables.events(s, d)
+          .select(col("event_type"),
+                  datediff(col("ts").cast("date"), to_date(lit("2023-12-31")))
+                    .cast("bigint").as("day"),
+                  round(col("value") * 100).cast("bigint").as("cents"))
+          .repartition(3)
+          .write.mode("overwrite").parquet(srcDir.toString)
+        val stream = s.readStream
+          .schema(s.read.parquet(srcDir.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+        val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+          val partial = batch.groupBy("event_type", "day")
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+                 min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+          val ss = batch.sparkSession
+          val merged =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(sumDir)))
+              graft.plans.MvMaintain.mergePartials(
+                ss.read.parquet(sumDir), partial,
+                dims = Seq("event_type", "day"),
+                sums = Set("n", "sc"), mins = Set("mn"), maxs = Set("mx"))
+            else partial
+          // stage-and-swap: the merge READS the standing summary it is
+          // about to replace
+          val staging = sumDir + "_staging"
+          merged.write.mode("overwrite").parquet(staging)
+          graft.GraftCatalog.deleteRecursively(java.nio.file.Paths.get(sumDir))
+          java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+                                   java.nio.file.Paths.get(sumDir))
+          ss.catalog.refreshByPath(sumDir)
+        }
+        val q = stream.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .foreachBatch(mergeBatch)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sumDir).orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type,
+             |       CAST(CAST(ts AS DATE) - DATE '2023-12-31' AS BIGINT) AS day,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+             |       min(CAST(round(value * 100) AS BIGINT)) AS mn,
+             |       max(CAST(round(value * 100) AS BIGINT)) AS mx
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin)))
 }

@@ -204,12 +204,18 @@ object MvMaintain {
     * statistics discipline). Column order preserved from the stored
     * summary so the swapped-in file is schema-identical. */
   private def mergeSummaries(old: DataFrame, delta: DataFrame,
-                             d: MvCatalog.MvDef): DataFrame = {
-    val dims = old.columns.filter(d.dims.contains).toSeq
-    val sums = (d.sumMap.values.toSet + d.countCol)
-    val mins = d.minMap.values.toSet
-    val maxs = d.maxMap.values.toSet
-    val aggs = old.columns.filterNot(d.dims.contains).toSeq.map { c =>
+                             d: MvCatalog.MvDef): DataFrame =
+    mergePartials(old, delta, old.columns.filter(d.dims.contains).toSeq,
+                  d.sumMap.values.toSet + d.countCol,
+                  d.minMap.values.toSet, d.maxMap.values.toSet)
+
+  /** The raw partial-state merge — also the per-micro-batch maintenance
+    * step of a STREAMING materialized view (stream_mv_maintain):
+    * old ∪ delta → one groupBy over the dimension cells. */
+  def mergePartials(old: DataFrame, delta: DataFrame, dims: Seq[String],
+                    sums: Set[String], mins: Set[String],
+                    maxs: Set[String]): DataFrame = {
+    val aggs = old.columns.filterNot(dims.contains).toSeq.map { c =>
       if (sums.contains(c)) ssum(col(c)).as(c)
       else if (mins.contains(c)) smin(col(c)).as(c)
       else if (maxs.contains(c)) smax(col(c)).as(c)

@@ -464,4 +464,72 @@ class StreamingSpec extends AnyFunSuite {
     // and the mid-stream rank was a valid top-2 of the PREFIX
     assert(ranked.head.nonEmpty && ranked.head.size <= 4)
   }
+
+  // Streaming MV maintenance (stream_mv_maintain's machinery): the
+  // per-batch mergePartials must reach the batch aggregate EXACTLY for
+  // any batch split — asserted over a genuinely multi-batch replay (a
+  // single-batch run would make the equality vacuous).
+  test("streaming MV maintenance merges several micro-batches to the batch summary") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sf = "/root/testdata/sf0.001"
+    val tmp = Tables.scratchDir("graft_stream_mv_spec")
+    val srcDir = tmp.resolve("src")
+    val sumDir = tmp.resolve("mv").toString
+    java.nio.file.Files.createDirectories(srcDir)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+              org.apache.spark.sql.functions.datediff(
+                col("ts").cast("date"),
+                org.apache.spark.sql.functions.to_date(
+                  org.apache.spark.sql.functions.lit("2023-12-31")))
+                .cast("bigint").as("day"),
+              org.apache.spark.sql.functions.round(col("value") * 100)
+                .cast("bigint").as("cents"))
+    ev.repartition(4).write.mode("overwrite").parquet(srcDir.toString)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val mergeBatch: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, _) => {
+      batches.incrementAndGet()
+      import org.apache.spark.sql.functions.{count => scount, lit => slit, max => smax, min => smin, sum => ssum}
+      val partial = batch.groupBy("event_type", "day")
+        .agg(scount(slit(1)).as("n"), ssum(col("cents")).as("sc"),
+             smin(col("cents")).as("mn"), smax(col("cents")).as("mx"))
+      val ss = batch.sparkSession
+      val merged =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(sumDir)))
+          graft.plans.MvMaintain.mergePartials(
+            ss.read.parquet(sumDir), partial, Seq("event_type", "day"),
+            Set("n", "sc"), Set("mn"), Set("mx"))
+        else partial
+      val staging = sumDir + "_staging"
+      merged.write.mode("overwrite").parquet(staging)
+      graft.GraftCatalog.deleteRecursively(java.nio.file.Paths.get(sumDir))
+      java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+                               java.nio.file.Paths.get(sumDir))
+      ss.catalog.refreshByPath(sumDir)
+    }
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .foreachBatch(mergeBatch)
+      .start()
+    q.awaitTermination()
+    assert(batches.get() >= 3,
+           s"only ${batches.get()} micro-batch(es) ran - the merge equality would be vacuous")
+    import org.apache.spark.sql.functions.{count => scount, lit => slit, max => smax, min => smin, sum => ssum}
+    val got = spark.read.parquet(sumDir).orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    val want = ev.groupBy("event_type", "day")
+      .agg(scount(slit(1)).as("n"), ssum(col("cents")).as("sc"),
+           smin(col("cents")).as("mn"), smax(col("cents")).as("mx"))
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == want.toSeq,
+           "multi-batch maintained summary must equal the batch aggregate")
+  }
 }
