@@ -81,14 +81,23 @@ object MvMaintain {
       .toMap
   }
 
-  /** Manifest of the base's data files at registration time — empty when
-    * the base is not storage-backed (incremental refresh then never
-    * applies). */
+  /** Manifest of the base data files the summary was COMPUTED FROM — the
+    * relation's own (frozen) FileIndex listing, NOT the live directory: a
+    * file appended after the view's listing but before CREATE was not
+    * read by the defining query, so it must show up as REFRESH delta, not
+    * be silently marked covered. Empty when the base is not
+    * storage-backed (incremental refresh then never applies). */
   private[graft] def manifestOf(spark: SparkSession,
                                 base: LogicalPlan): Map[String, (Long, Long)] =
     storageBacked(base) match {
       case Some((_, hfs)) =>
-        listDataFiles(spark, hfs.location.rootPaths.head.toString)
+        hfs.location match {
+          case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+            p.allFiles().iterator
+              .map(st => st.getPath.toString -> (st.getLen, st.getModificationTime))
+              .toMap
+          case _ => listDataFiles(spark, hfs.location.rootPaths.head.toString)
+        }
       case None => Map.empty
     }
 

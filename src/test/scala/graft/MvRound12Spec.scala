@@ -21,7 +21,15 @@ import org.scalatest.funsuite.AnyFunSuite
   *     summary reading ONLY delta + summary rows (listener-counted),
   *     and the result equals the full recompute bit for bit.
   */
-class MvRound12Spec extends AnyFunSuite {
+class MvRound12Spec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterEach {
+
+  // registrations must not leak across tests OR suites: the cost-pick
+  // test's coarse rollup over the shared events base would otherwise
+  // hijack LakehouseWave95Spec's plan assertions when suites share the
+  // session (caught by a suite-order-dependent failure)
+  override def beforeEach(): Unit = graft.plans.MvCatalog.clear(spark)
+  override def afterEach(): Unit = graft.plans.MvCatalog.clear(spark)
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -269,6 +277,37 @@ class MvRound12Spec extends AnyFunSuite {
       .orderBy("seg")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
                            r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("a 3-way star MV (fact ⋈ dim ⋈ dim) serves the nested-join aggregate") {
+    val fact = Tables(spark, sf, "orders")
+      .select(col("o_custkey"),
+              round(col("o_totalprice") * 100).cast("bigint").as("ocents"))
+    val dim1 = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val dim2 = Tables(spark, sf, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val base = fact.join(dim1, col("o_custkey") === col("c_custkey"))
+      .join(dim2, col("c_nationkey") === col("n_nationkey"))
+    val dir = Tables.scratchDir("graft_mv3way").resolve("mv_nation").toString
+    val defn = base.groupBy("n_name")
+      .agg(count(lit(1)).as("n"), sum(col("ocents")).as("sc"))
+    defn.write.mode("overwrite").parquet(dir)
+    graft.plans.Mv.register(base, defn, spark.read.parquet(dir))
+    graft.plans.Mv.enable(spark)
+    val q = base.filter(col("n_name") =!= "FRANCE")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"), sum(col("ocents")).as("sum_cents"))
+      .orderBy("n_name")
+    assert(scanPaths(q).exists(_.contains("mv_nation")),
+           s"the 3-way star aggregate must read the summary:\n${scanPaths(q).mkString("\n")}\n" +
+           q.queryExecution.optimizedPlan.treeString)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = defn.filter(col("n_name") =!= "FRANCE")
+      .select(col("n_name"), col("n"), col("sc"))
+      .orderBy("n_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == want.toSeq)
   }
 
