@@ -3206,3 +3206,257 @@ object FinanceWave93 {
              |FROM n CROSS JOIN tail2""".stripMargin))
   )
 }
+
+// ——— round-12 wave 100: PACF, Page-Hinkley drift, SAX symbolization ———
+/** Round-12 wave 100: partial autocorrelation through lag 3 via the
+  * Durbin-Levinson recursion over the hourly click series; Page-Hinkley
+  * drift detection per event type (cumulative deviation from the running
+  * mean over the bounded hourly spine); and SAX symbolization of each
+  * (event_type, day) — z-normalized piecewise-aggregate segments mapped
+  * to a 4-letter alphabet through the N(0,1) quartile breakpoints.
+  */
+object TsWave100 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    // PACF φ11, φ22, φ33 by Durbin-Levinson over the per-lag Pearson
+    // autocorrelations r1..r3 of the hourly click-count series (the
+    // ts_autocorr estimator; each r_k is computed on the lag-k paired
+    // hours). All doubles flow through ONE fixed expression tree — both
+    // engines evaluate the identical IEEE sequence, so the twin is
+    // hash-stable without any rounding of intermediates.
+    "ts_pacf_lag3" -> Decl(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .filter(col("event_type") === "click")
+          .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val lags = s.range(1, 4).select(col("id").as("lag"))
+        val pairs = hourly.crossJoin(broadcast(lags))
+          .join(broadcast(hourly.select(col("hr").as("hr2"),
+                                        col("cnt").as("cnt2"))),
+                col("hr2") === col("hr") + col("lag"))
+          .select(col("lag"), col("cnt").as("x"), col("cnt2").as("y"))
+        val r = pairs.groupBy("lag")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+               sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+               sum(col("x") * col("x")).as("sxx"),
+               sum(col("y") * col("y")).as("syy"))
+          .selectExpr("lag",
+            """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+              |nullif(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+              |       sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0.0)
+              |AS r""".stripMargin)
+        r.agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+              max(when(col("lag") === 2, col("r"))).as("r2"),
+              max(when(col("lag") === 3, col("r"))).as("r3"))
+          .withColumn("p22", (col("r2") - col("r1") * col("r1")) /
+                             (lit(1.0) - col("r1") * col("r1")))
+          .withColumn("p21", col("r1") - col("p22") * col("r1"))
+          .select(round(col("r1"), 6).as("pacf1"),
+                  round(col("p22"), 6).as("pacf2"),
+                  round((col("r3") - col("p21") * col("r2") -
+                         col("p22") * col("r1")) /
+                        (lit(1.0) - col("p21") * col("r1") -
+                         col("p22") * col("r2")), 6).as("pacf3"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             |         count(*) AS cnt
+             |  FROM events WHERE event_type = 'click' GROUP BY 1),
+             |pairs AS (
+             |  SELECT l.lag, a.cnt AS x, b.cnt AS y
+             |  FROM hourly a
+             |  CROSS JOIN (VALUES (1), (2), (3)) l(lag)
+             |  JOIN hourly b ON b.hr = a.hr + l.lag),
+             |st AS (SELECT lag, count(*) AS n,
+             |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |         CAST(sum(x * y) AS BIGINT) AS sxy,
+             |         CAST(sum(x * x) AS BIGINT) AS sxx,
+             |         CAST(sum(y * y) AS BIGINT) AS syy
+             |       FROM pairs GROUP BY lag),
+             |rr AS (SELECT lag,
+             |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             |  nullif(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+             |         sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy),
+             |         0.0) AS r
+             |  FROM st),
+             |piv AS (SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+             |               max(CASE WHEN lag = 2 THEN r END) AS r2,
+             |               max(CASE WHEN lag = 3 THEN r END) AS r3
+             |        FROM rr),
+             |dl AS (SELECT r1, r2, r3,
+             |              (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+             |       FROM piv),
+             |dl2 AS (SELECT r1, r2, r3, p22,
+             |               r1 - p22 * r1 AS p21 FROM dl)
+             |SELECT round(r1, 6) AS pacf1, round(p22, 6) AS pacf2,
+             |       round((r3 - p21 * r2 - p22 * r1) /
+             |             (1.0 - p21 * r1 - p22 * r2), 6) AS pacf3
+             |FROM dl2""".stripMargin)),
+
+    // Page-Hinkley drift detector per event type over the hourly count
+    // series: g_t = Σ_{i≤t} (x_i − mean_i), where mean_i is the RUNNING
+    // mean — the classic sequential changepoint statistic (δ = 0). The
+    // cumulations ride an ordered window over the per-type HOURLY spine
+    // (calendar-bounded, the ts_durbin_watson class — declared in the
+    // ScaleSpec allowlist); ordered accumulation makes the double sums
+    // identical in both engines. Reported per type: the hour where the
+    // PH range g_max − g_t peaks and the peak range itself.
+    "ts_page_hinkley" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("hr")
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"),
+                   expr("unix_micros(ts) div 3600000000").as("hr"))
+          .agg(count(lit(1)).as("x"))
+        val g = hourly
+          .withColumn("cum_x", sum(col("x")).over(w))
+          .withColumn("t", row_number().over(w))
+          .withColumn("term",
+            col("x").cast("double") -
+              col("cum_x").cast("double") / col("t"))
+          .withColumn("g", sum(col("term")).over(w))
+          .withColumn("g_max", max(col("g")).over(w))
+          .withColumn("ph", col("g_max") - col("g"))
+        g.withColumn("mph",
+            max(col("ph")).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("t_hours"),
+               round(max(col("ph")), 6).as("ph_peak"),
+               min(when(col("ph") === col("mph"), col("hr"))).as("peak_hr"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             |         count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |g AS (
+             |  SELECT event_type, hr,
+             |         CAST(x AS DOUBLE) -
+             |           CAST(CAST(sum(x) OVER w AS BIGINT) AS DOUBLE) /
+             |           CAST(row_number() OVER w AS BIGINT) AS term
+             |  FROM hourly
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+             |cumg AS (
+             |  SELECT event_type, hr,
+             |         sum(term) OVER w AS g
+             |  FROM g
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+             |ph AS (
+             |  SELECT event_type, hr,
+             |         max(g) OVER w - g AS ph
+             |  FROM cumg
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+             |mx AS (SELECT event_type, max(ph) AS mph,
+             |              CAST(count(*) AS BIGINT) AS t_hours
+             |       FROM ph GROUP BY event_type)
+             |SELECT event_type, mx.t_hours,
+             |       round(mx.mph, 6) AS ph_peak,
+             |       CAST(min(CASE WHEN ph.ph = mx.mph THEN ph.hr END)
+             |            AS BIGINT) AS peak_hr
+             |FROM ph JOIN mx USING (event_type)
+             |GROUP BY event_type, mx.t_hours, mx.mph
+             |ORDER BY event_type""".stripMargin)),
+
+    // SAX (symbolic aggregate approximation) of each (event_type, day):
+    // the 24 hourly counts (absent hours = 0) are z-normalized against
+    // the day's own mean/σ, averaged into four 6-hour PAA segments, and
+    // each segment maps to {a,b,c,d} through the N(0,1) quartile
+    // breakpoints ±0.6744897501960817 (literals — no data-dependent
+    // libm). Every sum is an exact 24-term INTEGER, so both engines
+    // derive the doubles from identical numerators; a zero-variance day
+    // symbolizes as "mmmm" (mid). Output: one bounded row per
+    // (type, day) — |types|·|days|, calendar-sized, never corpus-sized.
+    "ts_sax_symbols" -> Decl(
+      (s, d) => {
+        val bp = 0.6744897501960817
+        val hourly = Tables.events(s, d)
+          .select(col("event_type"),
+                  expr("unix_micros(ts) div 86400000000").as("day"),
+                  expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+          .groupBy("event_type", "day", "hour")
+          .agg(count(lit(1)).as("x"))
+        def segSum(i: Int) =
+          sum(when(col("hour") >= i * 6 && col("hour") < (i + 1) * 6,
+                   col("x")).otherwise(0L))
+        val daily = hourly.groupBy("event_type", "day")
+          .agg(sum(col("x")).as("s1"),
+               sum(col("x") * col("x")).as("s2"),
+               segSum(0).as("q0"), segSum(1).as("q1"),
+               segSum(2).as("q2"), segSum(3).as("q3"))
+          // Missing hours contribute 0 to every sum, so n is always 24.
+          .withColumn("mu", col("s1").cast("double") / 24)
+          .withColumn("sigma",
+            sqrt((col("s2").cast("double") -
+                  col("s1").cast("double") * col("s1") / 24) / 24))
+        def sym(q: String) = {
+          val z = (col(q).cast("double") / 6 - col("mu")) /
+                  when(col("sigma") > 0, col("sigma"))
+          when(col("sigma") === 0, lit("m"))
+            .when(z < -bp, "a").when(z < 0, "b")
+            .when(z < bp, "c").otherwise("d")
+        }
+        daily.select(col("event_type"), col("day"),
+            concat(sym("q0"), sym("q1"), sym("q2"), sym("q3")).as("sax"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""WITH hourly AS (
+             |  SELECT event_type,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |         (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+             |           AS hour,
+             |         count(*) AS x
+             |  FROM events GROUP BY 1, 2, 3),
+             |daily AS (
+             |  SELECT event_type, day,
+             |         CAST(sum(x) AS BIGINT) AS s1,
+             |         CAST(sum(x * x) AS BIGINT) AS s2,
+             |         CAST(sum(CASE WHEN hour BETWEEN 0 AND 5
+             |                       THEN x ELSE 0 END) AS BIGINT) AS q0,
+             |         CAST(sum(CASE WHEN hour BETWEEN 6 AND 11
+             |                       THEN x ELSE 0 END) AS BIGINT) AS q1,
+             |         CAST(sum(CASE WHEN hour BETWEEN 12 AND 17
+             |                       THEN x ELSE 0 END) AS BIGINT) AS q2,
+             |         CAST(sum(CASE WHEN hour BETWEEN 18 AND 23
+             |                       THEN x ELSE 0 END) AS BIGINT) AS q3
+             |  FROM hourly GROUP BY 1, 2),
+             |norm AS (
+             |  SELECT event_type, day, q0, q1, q2, q3,
+             |         CAST(s1 AS DOUBLE) / 24 AS mu,
+             |         sqrt((CAST(s2 AS DOUBLE) -
+             |               CAST(s1 AS DOUBLE) * s1 / 24) / 24) AS sigma
+             |  FROM daily)
+             |SELECT event_type, CAST(day AS BIGINT) AS day,
+             |       concat(
+             |  CASE WHEN sigma = 0 THEN 'm'
+             |       WHEN (CAST(q0 AS DOUBLE) / 6 - mu) / sigma
+             |              < -0.6744897501960817 THEN 'a'
+             |       WHEN (CAST(q0 AS DOUBLE) / 6 - mu) / sigma < 0 THEN 'b'
+             |       WHEN (CAST(q0 AS DOUBLE) / 6 - mu) / sigma
+             |              < 0.6744897501960817 THEN 'c' ELSE 'd' END,
+             |  CASE WHEN sigma = 0 THEN 'm'
+             |       WHEN (CAST(q1 AS DOUBLE) / 6 - mu) / sigma
+             |              < -0.6744897501960817 THEN 'a'
+             |       WHEN (CAST(q1 AS DOUBLE) / 6 - mu) / sigma < 0 THEN 'b'
+             |       WHEN (CAST(q1 AS DOUBLE) / 6 - mu) / sigma
+             |              < 0.6744897501960817 THEN 'c' ELSE 'd' END,
+             |  CASE WHEN sigma = 0 THEN 'm'
+             |       WHEN (CAST(q2 AS DOUBLE) / 6 - mu) / sigma
+             |              < -0.6744897501960817 THEN 'a'
+             |       WHEN (CAST(q2 AS DOUBLE) / 6 - mu) / sigma < 0 THEN 'b'
+             |       WHEN (CAST(q2 AS DOUBLE) / 6 - mu) / sigma
+             |              < 0.6744897501960817 THEN 'c' ELSE 'd' END,
+             |  CASE WHEN sigma = 0 THEN 'm'
+             |       WHEN (CAST(q3 AS DOUBLE) / 6 - mu) / sigma
+             |              < -0.6744897501960817 THEN 'a'
+             |       WHEN (CAST(q3 AS DOUBLE) / 6 - mu) / sigma < 0 THEN 'b'
+             |       WHEN (CAST(q3 AS DOUBLE) / 6 - mu) / sigma
+             |              < 0.6744897501960817 THEN 'c' ELSE 'd' END)
+             |  AS sax
+             |FROM norm ORDER BY event_type, day""".stripMargin))
+  )
+}

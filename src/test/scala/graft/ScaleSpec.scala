@@ -528,6 +528,7 @@ class ScaleSpec extends AnyFunSuite {
                       // median, percentile_disc, IQR, winsorize, MAD — are
                       // PrefixSum'd via GridCum and must stay off this list.)
                       "ts_durbin_watson",     // hourly spine per type
+                      "ts_page_hinkley",      // hourly spine per type (PH cumulation)
                       "ts_week_over_week",    // weekly spine per type
                       "window_anomaly_spike", // hourly spine per type
                       "ts_period_autocorr",   // 35-row lag grid per type
