@@ -1444,3 +1444,4 @@ object GraphWave92 {
              |ORDER BY doc_id""".stripMargin))
   )
 }
+

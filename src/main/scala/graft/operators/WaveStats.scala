@@ -7778,3 +7778,144 @@ object StatsWave99 {
              |FROM lab GROUP BY segment ORDER BY segment""".stripMargin))
   )
 }
+
+// ——— round-12 wave 101: 2×2 epidemiology measures & Cochran's Q ———
+/** Round-12 wave 101: the 2×2 association-measure suite (odds ratio,
+  * relative risk, Yule's Q, phi coefficient) over an exposure×outcome
+  * table, and Cochran's Q for k = 3 paired binary treatments — both
+  * exact-integer cores (ppm floor divisions / one fixed double tree),
+  * no data-dependent libm anywhere.
+  */
+object StatsWave101 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    // 2×2 epidemiology measures: exposure = customer account balance
+    // above 5000.00 (literal), outcome = the customer placed at least
+    // one 1-URGENT order. The four cell counts a/b/c/d aggregate in one
+    // pass; OR, RR and Yule's Q land as exact ppm BIGINTs, phi as one
+    // fixed double tree (sqrt only — IEEE-exact). Per-customer collapse
+    // is a co-partitioned left semi-style aggregate, linear at any SF.
+    "agg_epi_2x2_measures" -> Decl(
+      (s, d) => {
+        val urgent = Tables(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("ck")).distinct()
+        val t = Tables(s, d, "customer")
+          .select(col("c_custkey").as("ck"),
+                  (col("c_acctbal") > 5000.0).as("exposed"))
+          .join(urgent.withColumn("outcome", lit(1L)), Seq("ck"), "left")
+          .na.fill(0L, Seq("outcome"))
+          .agg(
+            sum(when(col("exposed") && col("outcome") === 1, 1L)
+              .otherwise(0L)).as("a"),
+            sum(when(col("exposed") && col("outcome") === 0, 1L)
+              .otherwise(0L)).as("b"),
+            sum(when(!col("exposed") && col("outcome") === 1, 1L)
+              .otherwise(0L)).as("c"),
+            sum(when(!col("exposed") && col("outcome") === 0, 1L)
+              .otherwise(0L)).as("d"))
+        t.select(col("a"), col("b"), col("c"), col("d"),
+            expr("(a * d * 1000000) div nullif(b * c, 0)").as("odds_ratio_ppm"),
+            expr("(a * (c + d) * 1000000) div nullif(c * (a + b), 0)")
+              .as("rel_risk_ppm"),
+            expr("((a * d - b * c) * 1000000) div nullif(a * d + b * c, 0)")
+              .as("yule_q_ppm"),
+            round((col("a") * col("d") - col("b") * col("c")).cast("double") /
+                  sqrt(((col("a") + col("b")) * (col("c") + col("d")) *
+                        (col("a") + col("c")) * (col("b") + col("d")))
+                    .cast("double")), 6).as("phi"))
+      },
+      Some("""WITH urgent AS (
+             |  SELECT DISTINCT o_custkey AS ck FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'),
+             |t AS (
+             |  SELECT c_acctbal > 5000.0 AS exposed,
+             |         CASE WHEN urgent.ck IS NULL THEN 0 ELSE 1 END AS outcome
+             |  FROM customer LEFT JOIN urgent ON urgent.ck = c_custkey),
+             |cells AS (
+             |  SELECT CAST(sum(CASE WHEN exposed AND outcome = 1
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |         CAST(sum(CASE WHEN exposed AND outcome = 0
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             |         CAST(sum(CASE WHEN NOT exposed AND outcome = 1
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             |         CAST(sum(CASE WHEN NOT exposed AND outcome = 0
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+             |  FROM t)
+             |SELECT a, b, c, d,
+             |       a * d * 1000000 // nullif(b * c, 0) AS odds_ratio_ppm,
+             |       a * (c + d) * 1000000 // nullif(c * (a + b), 0)
+             |         AS rel_risk_ppm,
+             |       (a * d - b * c) * 1000000 // nullif(a * d + b * c, 0)
+             |         AS yule_q_ppm,
+             |       round(CAST(a * d - b * c AS DOUBLE) /
+             |             sqrt(CAST((a + b) * (c + d) * (a + c) * (b + d)
+             |                       AS DOUBLE)), 6) AS phi
+             |FROM cells""".stripMargin)),
+
+    // Cochran's Q for k = 3 paired binary treatments per user (heavy
+    // clicker / heavy viewer / heavy purchaser — ≥ 14 events of the
+    // type, a literal near the fixture median so the binaries genuinely
+    // vary): Q = (k−1)·(k·ΣCj² −
+    // (ΣCj)²) / (k·ΣRi − ΣRi²) — numerator and denominator are EXACT
+    // BIGINTs (column totals Cj from one grouped pass, row-sum moments
+    // ΣRi, ΣRi² from the same per-user aggregate), one double division
+    // at the end. dof = k−1 = 2.
+    "agg_cochran_q" -> Decl(
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(when(sum(when(col("event_type") === "click", 1L)
+                 .otherwise(0L)) >= 14, 1L).otherwise(0L).as("t1"),
+               when(sum(when(col("event_type") === "view", 1L)
+                 .otherwise(0L)) >= 14, 1L).otherwise(0L).as("t2"),
+               when(sum(when(col("event_type") === "purchase", 1L)
+                 .otherwise(0L)) >= 14, 1L).otherwise(0L).as("t3"))
+        per.agg(count(lit(1)).as("n_users"),
+                sum(col("t1")).as("c1"), sum(col("t2")).as("c2"),
+                sum(col("t3")).as("c3"),
+                sum(col("t1") + col("t2") + col("t3")).as("sr"),
+                sum((col("t1") + col("t2") + col("t3")) *
+                    (col("t1") + col("t2") + col("t3"))).as("sr2"))
+          .select(col("n_users"), col("c1"), col("c2"), col("c3"),
+            lit(2L).as("dof"),
+            round(lit(2.0) *
+              (lit(3L) * (col("c1") * col("c1") + col("c2") * col("c2") +
+                          col("c3") * col("c3")) -
+               (col("c1") + col("c2") + col("c3")) *
+               (col("c1") + col("c2") + col("c3"))).cast("double") /
+              nullif((lit(3L) * col("sr") - col("sr2")).cast("double"),
+                     lit(0.0)), 6).as("q_stat"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id,
+             |         CASE WHEN sum(CASE WHEN event_type = 'click'
+             |                           THEN 1 ELSE 0 END) >= 14
+             |              THEN 1 ELSE 0 END AS t1,
+             |         CASE WHEN sum(CASE WHEN event_type = 'view'
+             |                           THEN 1 ELSE 0 END) >= 14
+             |              THEN 1 ELSE 0 END AS t2,
+             |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+             |                           THEN 1 ELSE 0 END) >= 14
+             |              THEN 1 ELSE 0 END AS t3
+             |  FROM events GROUP BY user_id),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |         CAST(sum(t1) AS BIGINT) AS c1,
+             |         CAST(sum(t2) AS BIGINT) AS c2,
+             |         CAST(sum(t3) AS BIGINT) AS c3,
+             |         CAST(sum(t1 + t2 + t3) AS BIGINT) AS sr,
+             |         CAST(sum((t1 + t2 + t3) * (t1 + t2 + t3)) AS BIGINT)
+             |           AS sr2
+             |  FROM per)
+             |SELECT n_users, c1, c2, c3, CAST(2 AS BIGINT) AS dof,
+             |       round(2.0 * CAST(3 * (c1 * c1 + c2 * c2 + c3 * c3) -
+             |                        (c1 + c2 + c3) * (c1 + c2 + c3)
+             |                        AS DOUBLE) /
+             |             nullif(CAST(3 * sr - sr2 AS DOUBLE), 0.0), 6)
+             |         AS q_stat
+             |FROM m""".stripMargin))
+  )
+}

@@ -3460,3 +3460,90 @@ object TsWave100 {
              |FROM norm ORDER BY event_type, day""".stripMargin))
   )
 }
+
+// ——— round-12 wave 102: Hurst rescaled-range analysis ———
+/** Round-12 wave 102: R/S (rescaled range) analysis of the hourly event
+  * series at two block scales — the Hurst-exponent primitive, reported
+  * as the per-block R/S ratios themselves (the log-log regression that
+  * would estimate H needs data-dependent ln, which the determinism
+  * discipline bans; the ratios are the distribution-engine-checkable
+  * part and the exponent is one literal regression away for a user).
+  */
+object TsWave102 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    // Per (scale ∈ {24h, 72h}, block): R = max−min of the running
+    // deviation from the block mean, S = population σ of the block, both
+    // from exact integer sums (cum, t, s1, s2 are BIGINTs; the only
+    // doubles are the fixed per-row tree cum − t·s1/n and the final
+    // (max−min)/σ). The cumulation windows partition on the CALENDAR
+    // block id — bounded by time span, never by corpus rows. Blocks with
+    // σ = 0 or fewer than 8 present hours are dropped (both engines
+    // agree exactly on integer counts).
+    "ts_hurst_rescaled_range" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"))
+          .agg(count(lit(1)).as("x"))
+        val scales = s.range(0, 2)
+          .select(when(col("id") === 0, 24L).otherwise(72L).as("scale"))
+        val blocks = hourly.crossJoin(broadcast(scales))
+          .withColumn("block", expr("hr div scale"))
+        val tot = blocks.groupBy("scale", "block")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+               sum(col("x") * col("x")).as("s2"))
+          .filter(col("n") >= 8)
+        val w = Window.partitionBy("scale", "block").orderBy("hr")
+        val dev = blocks.join(tot, Seq("scale", "block"))
+          .withColumn("cum", sum(col("x")).over(w))
+          .withColumn("t", row_number().over(w).cast("bigint"))
+          .withColumn("cumdev",
+            col("cum").cast("double") -
+              col("t").cast("double") * col("s1") / col("n"))
+        dev.groupBy("scale", "block")
+          .agg(first(col("n")).as("n_hours"),
+               (max(col("cumdev")) - min(col("cumdev"))).as("r"),
+               first(sqrt((col("s2").cast("double") -
+                           col("s1").cast("double") * col("s1") / col("n"))
+                          / col("n"))).as("sd"))
+          .filter(col("sd") > 0)
+          .select(col("scale"), col("block"), col("n_hours"),
+                  round(col("r") / col("sd"), 6).as("rs"))
+          .orderBy("scale", "block")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             |         count(*) AS x
+             |  FROM events GROUP BY 1),
+             |blocks AS (
+             |  SELECT s.scale, hr // s.scale AS block, hr, x
+             |  FROM hourly CROSS JOIN (VALUES (24), (72)) s(scale)),
+             |tot AS (
+             |  SELECT scale, block, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(x) AS BIGINT) AS s1,
+             |         CAST(sum(x * x) AS BIGINT) AS s2
+             |  FROM blocks GROUP BY 1, 2
+             |  HAVING count(*) >= 8),
+             |dev AS (
+             |  SELECT b.scale, b.block, t.n, t.s1, t.s2,
+             |         CAST(CAST(sum(b.x) OVER w AS BIGINT) AS DOUBLE) -
+             |           CAST(row_number() OVER w AS DOUBLE) *
+             |           t.s1 / t.n AS cumdev
+             |  FROM blocks b JOIN tot t USING (scale, block)
+             |  WINDOW w AS (PARTITION BY b.scale, b.block ORDER BY b.hr)),
+             |agg AS (
+             |  SELECT scale, block, any_value(n) AS n_hours,
+             |         max(cumdev) - min(cumdev) AS r,
+             |         sqrt((CAST(any_value(s2) AS DOUBLE) -
+             |               CAST(any_value(s1) AS DOUBLE) * any_value(s1) /
+             |                 any_value(n)) / any_value(n)) AS sd
+             |  FROM dev GROUP BY scale, block)
+             |SELECT CAST(scale AS BIGINT) AS scale,
+             |       CAST(block AS BIGINT) AS block, n_hours,
+             |       round(r / sd, 6) AS rs
+             |FROM agg WHERE sd > 0 ORDER BY scale, block""".stripMargin))
+  )
+}
