@@ -7919,3 +7919,531 @@ object StatsWave101 {
              |FROM m""".stripMargin))
   )
 }
+
+// ——— round-12 wave 103: ordinal association & multivariate outliers ———
+/** Round-12 wave 103: the Jonckheere-Terpstra ordered-alternative trend
+  * test (doubled-units exact integers via ONE PrefixSum pass carrying
+  * all five group CDFs), Cliff's delta effect size (same CDF-grid
+  * machinery, exact ppm), Goodman-Kruskal gamma + Somers' D over the
+  * bounded quantity×discount ordinal grid (domain-bounded self-join —
+  * 550 cells, never corpus rows), and bivariate Mahalanobis top
+  * outliers via the closed-form 2×2 covariance inverse.
+  */
+object StatsWave103 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    // Jonckheere-Terpstra trend across the 5 ORDERED priority groups
+    // (dose = priority rank, response = order total in cents). For every
+    // group pair i<j, U_ij = #{x∈G_i < y∈G_j} + ½·ties — kept exact in
+    // DOUBLED units. One distributed PrefixSum pass over the cents grid
+    // carries all five per-group cumulative counts, so each of the 10
+    // pair sums is a plain integer aggregate over the grid rows; the
+    // normal-approximation z uses the no-ties variance (labeled as such)
+    // through one fixed double tree.
+    "agg_jonckheere_trend" -> Decl(
+      (s, d) => {
+        val base = Tables(s, d, "orders")
+          .select(expr("CAST(substring(o_orderpriority, 1, 1) AS INT)")
+                    .as("g"),
+                  expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                    .as("cents"))
+        val gcols = (1 to 5).map(i =>
+          sum(when(col("g") === i, 1L).otherwise(0L)).as(s"c$i"))
+        val grid = base.groupBy("cents").agg(gcols.head, gcols.tail: _*)
+        val cum = PrefixSum.cumsumLongs(grid, Seq(col("cents")),
+          (1 to 5).map(i => (col(s"c$i"), s"u$i")))
+        // doubled U_ij contribution at value v:
+        //   c_j(v) · (2·(cum_i(v) − c_i(v)) + c_i(v))
+        val jt = (for (i <- 1 to 5; j <- (i + 1) to 5) yield
+            col(s"c$j") * (lit(2L) * (col(s"u$i") - col(s"c$i")) +
+                           col(s"c$i"))
+          ).reduce(_ + _)
+        val moments = base.groupBy("g").agg(count(lit(1)).as("n"))
+          .agg(sum(col("n")).as("nn"),
+               sum(col("n") * col("n")).as("s2"),
+               sum(col("n") * col("n") * (lit(2L) * col("n") + 3L))
+                 .as("s23"))
+        cum.agg(sum(jt).as("jt_doubled"))
+          .crossJoin(broadcast(moments))
+          .select(col("jt_doubled"), col("nn").as("n"),
+                  ((col("nn") * col("nn") - col("s2"))).as("e_jt_doubled"),
+                  round((col("jt_doubled") - (col("nn") * col("nn") -
+                          col("s2"))).cast("double") / 2 /
+                        sqrt((col("nn") * col("nn") *
+                              (lit(2L) * col("nn") + 3L) - col("s23"))
+                               .cast("double") / 72), 6).as("z_no_ties"))
+      },
+      Some {
+        val terms = (for (i <- 1 to 5; j <- (i + 1) to 5) yield
+          s"c$j * (2 * (u$i - c$i) + c$i)").mkString(" + ")
+        val ccols = (1 to 5).map(i =>
+          s"CAST(sum(CASE WHEN g = $i THEN 1 ELSE 0 END) AS BIGINT) AS c$i")
+          .mkString(",\n             |         ")
+        val ucols = (1 to 5).map(i =>
+          s"CAST(sum(c$i) OVER (ORDER BY cents) AS BIGINT) AS u$i")
+          .mkString(",\n             |         ")
+        s"""WITH base AS (
+             |  SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |grid AS (
+             |  SELECT cents,
+             |         $ccols
+             |  FROM base GROUP BY cents),
+             |cum AS (
+             |  SELECT *,
+             |         $ucols
+             |  FROM grid),
+             |jt AS (
+             |  SELECT CAST(sum($terms) AS BIGINT) AS jt_doubled FROM cum),
+             |m AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+             |         CAST(sum(n * n) AS BIGINT) AS s2,
+             |         CAST(sum(n * n * (2 * n + 3)) AS BIGINT) AS s23
+             |  FROM (SELECT count(*) AS n FROM base GROUP BY g))
+             |SELECT jt_doubled, nn AS n,
+             |       nn * nn - s2 AS e_jt_doubled,
+             |       round(CAST(jt_doubled - (nn * nn - s2) AS DOUBLE) / 2 /
+             |             sqrt(CAST(nn * nn * (2 * nn + 3) - s23
+             |                       AS DOUBLE) / 72), 6) AS z_no_ties
+             |FROM jt CROSS JOIN m""".stripMargin
+      }),
+
+    // Cliff's delta between the R and A price distributions: δ =
+    // (#(x>y) − #(x<y)) / (n_r·n_a), the dominance effect size behind
+    // the Mann-Whitney U. The greater/less/tie counts come off the SAME
+    // distributed CDF-grid shape as the Wasserstein key (one PrefixSum
+    // pass carrying both cumulative counts) — all BIGINT, delta as an
+    // exact ppm floor division.
+    "agg_cliff_delta" -> Decl(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+                    .as("cents"),
+                  col("l_returnflag").as("f"))
+        val grid = li.groupBy("cents")
+          .agg(sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"),
+               sum(when(col("f") === "A", 1L).otherwise(0L)).as("ca"))
+        val cum = PrefixSum.cumsumLongs(grid, Seq(col("cents")),
+          Seq(col("cr") -> "cum_r", col("ca") -> "cum_a"))
+        val tot = li.agg(
+          sum(when(col("f") === "R", 1L).otherwise(0L)).as("n_r"),
+          sum(when(col("f") === "A", 1L).otherwise(0L)).as("n_a"))
+        cum.crossJoin(broadcast(tot))
+          .agg(first(col("n_r")).as("n_r"), first(col("n_a")).as("n_a"),
+               // r strictly above a at value v: a's count × r's upper tail
+               sum(col("ca") * (col("n_r") - col("cum_r"))).as("gt"),
+               sum(col("ca") * (col("cum_r") - col("cr"))).as("lt"),
+               sum(col("ca") * col("cr")).as("ties"))
+          .select(col("n_r"), col("n_a"), col("gt"), col("lt"), col("ties"),
+                  expr("((gt - lt) * 1000000) div (n_r * n_a)")
+                    .as("cliff_delta_ppm"))
+      },
+      Some("""WITH vals AS (
+             |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             |         l_returnflag AS f
+             |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+             |tot AS (
+             |  SELECT CAST(sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_r,
+             |         CAST(sum(CASE WHEN f = 'A' THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_a
+             |  FROM vals),
+             |grid AS (
+             |  SELECT cents,
+             |         CAST(sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS cr,
+             |         CAST(sum(CASE WHEN f = 'A' THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS ca
+             |  FROM vals GROUP BY cents),
+             |cum AS (
+             |  SELECT cr, ca,
+             |         CAST(sum(cr) OVER (ORDER BY cents) AS BIGINT) AS cum_r
+             |  FROM grid),
+             |agg AS (
+             |  SELECT any_value(t.n_r) AS n_r, any_value(t.n_a) AS n_a,
+             |         CAST(sum(ca * (t.n_r - cum_r)) AS BIGINT) AS gt,
+             |         CAST(sum(ca * (cum_r - cr)) AS BIGINT) AS lt,
+             |         CAST(sum(ca * cr) AS BIGINT) AS ties
+             |  FROM cum CROSS JOIN tot t GROUP BY t.n_r, t.n_a)
+             |SELECT n_r, n_a, gt, lt, ties,
+             |       (gt - lt) * 1000000 // (n_r * n_a) AS cliff_delta_ppm
+             |FROM agg""".stripMargin)),
+
+    // Goodman-Kruskal gamma and Somers' D_yx over the quantity (x, ≤50
+    // values) × discount-percent (y, 11 values) ordinal grid. Concordant
+    // / discordant / tie pair counts come from a DOMAIN-BOUNDED
+    // self-join over ≤550 cells (the grid saturates with the value
+    // domains, never with corpus rows) plus margin aggregates — every
+    // count an exact BIGINT, both measures exact ppm.
+    "agg_gamma_somers_d" -> Decl(
+      (s, d) => {
+        val cells = Tables(s, d, "lineitem")
+          .groupBy(col("l_quantity").cast("bigint").as("q"),
+                   expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"))
+          .agg(count(lit(1)).as("m"))
+        val cd = cells.as("a")
+          .join(cells.as("b"), col("b.q") > col("a.q") &&
+                               col("b.dc") =!= col("a.dc"))
+          .agg(sum(when(col("b.dc") > col("a.dc"),
+                        col("a.m") * col("b.m")).otherwise(0L)).as("conc"),
+               sum(when(col("b.dc") < col("a.dc"),
+                        col("a.m") * col("b.m")).otherwise(0L)).as("disc"))
+        val margins = cells.agg(sum(col("m")).as("n"))
+        val rowt = cells.groupBy("q").agg(sum(col("m")).as("nr"))
+          .agg(sum(expr("nr * (nr - 1) div 2")).as("t_x"))
+        cd.crossJoin(broadcast(margins)).crossJoin(broadcast(rowt))
+          .select(col("conc"), col("disc"),
+                  expr("n * (n - 1) div 2").as("pairs"),
+                  col("t_x"),
+                  expr("((conc - disc) * 1000000) div (conc + disc)")
+                    .as("gamma_ppm"),
+                  expr("((conc - disc) * 1000000) div " +
+                       "(n * (n - 1) div 2 - t_x)").as("somers_dyx_ppm"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT CAST(l_quantity AS BIGINT) AS q,
+             |         CAST(round(l_discount * 100) AS BIGINT) AS dc,
+             |         count(*) AS m
+             |  FROM lineitem GROUP BY 1, 2),
+             |cd AS (
+             |  SELECT CAST(sum(CASE WHEN b.dc > a.dc THEN a.m * b.m
+             |                       ELSE 0 END) AS BIGINT) AS conc,
+             |         CAST(sum(CASE WHEN b.dc < a.dc THEN a.m * b.m
+             |                       ELSE 0 END) AS BIGINT) AS disc
+             |  FROM cells a JOIN cells b
+             |    ON b.q > a.q AND b.dc <> a.dc),
+             |m AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM cells),
+             |rt AS (SELECT CAST(sum(nr * (nr - 1) // 2) AS BIGINT) AS t_x
+             |       FROM (SELECT CAST(sum(m) AS BIGINT) AS nr
+             |             FROM cells GROUP BY q))
+             |SELECT conc, disc,
+             |       n * (n - 1) // 2 AS pairs, t_x,
+             |       (conc - disc) * 1000000 // (conc + disc) AS gamma_ppm,
+             |       (conc - disc) * 1000000 // (n * (n - 1) // 2 - t_x)
+             |         AS somers_dyx_ppm
+             |FROM cd CROSS JOIN m CROSS JOIN rt""".stripMargin)),
+
+    // Bivariate Mahalanobis top-10 outliers on (quantity, whole-dollar
+    // price): the 2×2 covariance inverts in closed form, so d² per row
+    // is ONE fixed double tree over exact integer sums (n, Σx, Σy, Σx²,
+    // Σy², Σxy all BIGINT — dollars, not cents, keep Σy² < 2⁶³ at every
+    // probed SF). The moments broadcast onto the scan; top-10 is a
+    // bounded heap (orderBy+limit), tie-broken by key for determinism.
+    "agg_mahalanobis_top_outliers" -> Decl(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+                  col("l_quantity").cast("bigint").as("x"),
+                  expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
+        val mo = li.agg(count(lit(1)).as("n"),
+                        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+                        sum(col("x") * col("x")).as("sxx"),
+                        sum(col("y") * col("y")).as("syy"),
+                        sum(col("x") * col("y")).as("sxy"))
+        li.crossJoin(broadcast(mo))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("vx", col("sxx").cast("double") / col("nd") -
+            col("sx").cast("double") * col("sx") / col("nd") / col("nd"))
+          .withColumn("vy", col("syy").cast("double") / col("nd") -
+            col("sy").cast("double") * col("sy") / col("nd") / col("nd"))
+          .withColumn("cxy", col("sxy").cast("double") / col("nd") -
+            col("sx").cast("double") * col("sy") / col("nd") / col("nd"))
+          .withColumn("dx", col("x").cast("double") -
+            col("sx").cast("double") / col("nd"))
+          .withColumn("dy", col("y").cast("double") -
+            col("sy").cast("double") / col("nd"))
+          .withColumn("d2",
+            (col("vy") * col("dx") * col("dx") -
+             lit(2.0) * col("cxy") * col("dx") * col("dy") +
+             col("vx") * col("dy") * col("dy")) /
+            (col("vx") * col("vy") - col("cxy") * col("cxy")))
+          .select(col("l_orderkey"), col("l_linenumber"), col("x"),
+                  col("y"), round(col("d2"), 6).as("d2"))
+          .orderBy(col("d2").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(10)
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |         CAST(l_quantity AS BIGINT) AS x,
+             |         CAST(round(l_extendedprice) AS BIGINT) AS y
+             |  FROM lineitem),
+             |mo AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(x) AS BIGINT) AS sx,
+             |         CAST(sum(y) AS BIGINT) AS sy,
+             |         CAST(sum(x * x) AS BIGINT) AS sxx,
+             |         CAST(sum(y * y) AS BIGINT) AS syy,
+             |         CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM li),
+             |sc AS (
+             |  SELECT li.*, CAST(n AS DOUBLE) AS nd,
+             |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             |         CAST(sxx AS DOUBLE) AS sxxd,
+             |         CAST(syy AS DOUBLE) AS syyd,
+             |         CAST(sxy AS DOUBLE) AS sxyd
+             |  FROM li CROSS JOIN mo),
+             |dd AS (
+             |  SELECT l_orderkey, l_linenumber, x, y,
+             |         sxxd / nd - sxd * sxd / nd / nd AS vx,
+             |         syyd / nd - syd * syd / nd / nd AS vy,
+             |         sxyd / nd - sxd * syd / nd / nd AS cxy,
+             |         CAST(x AS DOUBLE) - sxd / nd AS dx,
+             |         CAST(y AS DOUBLE) - syd / nd AS dy
+             |  FROM sc)
+             |SELECT l_orderkey, l_linenumber, x, y,
+             |       round((vy * dx * dx - 2.0 * cxy * dx * dy +
+             |              vx * dy * dy) /
+             |             (vx * vy - cxy * cxy), 6) AS d2
+             |FROM dd
+             |ORDER BY d2 DESC, l_orderkey, l_linenumber
+             |LIMIT 10""".stripMargin))
+  )
+}
+
+// ——— round-12 wave 104: regression diagnostics & Page's trend test ———
+/** Round-12 wave 104: Cook's-distance top influencers and the
+  * Goldfeld-Quandt heteroscedasticity ratio for the quantity→price
+  * regression (every SSE comes from EXACT integer moment sums through
+  * one fixed double tree — no distributed sum of per-row double
+  * residuals anywhere), and Page's L trend test over day-blocks ×
+  * event-type treatments in exact doubled-rank integers.
+  */
+object StatsWave104 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    // Cook's distance top-10 for OLS price~quantity: leverage h_i and
+    // residual e_i are per-row fixed double trees over the broadcast
+    // integer moments (n, Σx, Σy, Σxx, Σyy, Σxy); s² = (S_yy − b·S_xy)/
+    // (n−2) comes from the same moments, so NO corpus-sized double sum
+    // exists in the plan. D_i = e_i²·h_i / (p·s²·(1−h_i)²), p = 2.
+    "agg_cooks_distance_top" -> Decl(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+                  col("l_quantity").cast("bigint").as("x"),
+                  expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
+        val mo = li.agg(count(lit(1)).as("n"),
+                        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+                        sum(col("x") * col("x")).as("sxx"),
+                        sum(col("y") * col("y")).as("syy"),
+                        sum(col("x") * col("y")).as("sxy"))
+        li.crossJoin(broadcast(mo))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("sxc", col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx") / col("nd"))
+          .withColumn("b", (col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy") / col("nd")) / col("sxc"))
+          .withColumn("a", col("sy").cast("double") / col("nd") -
+            col("b") * col("sx") / col("nd"))
+          .withColumn("s2", ((col("syy").cast("double") -
+              col("sy").cast("double") * col("sy") / col("nd")) -
+            col("b") * (col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy") / col("nd"))) /
+            (col("nd") - 2))
+          .withColumn("e", col("y").cast("double") - col("a") -
+            col("b") * col("x").cast("double"))
+          .withColumn("h", lit(1.0) / col("nd") +
+            (col("x").cast("double") - col("sx").cast("double") / col("nd")) *
+            (col("x").cast("double") - col("sx").cast("double") / col("nd")) /
+            col("sxc"))
+          .withColumn("cooks", col("e") * col("e") * col("h") /
+            (lit(2.0) * col("s2") * (lit(1.0) - col("h")) *
+             (lit(1.0) - col("h"))))
+          .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+                  round(col("cooks"), 6).as("cooks_d"))
+          .orderBy(col("cooks_d").desc, col("l_orderkey"),
+                   col("l_linenumber"))
+          .limit(10)
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |         CAST(l_quantity AS BIGINT) AS x,
+             |         CAST(round(l_extendedprice) AS BIGINT) AS y
+             |  FROM lineitem),
+             |mo AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(x) AS BIGINT) AS sx,
+             |         CAST(sum(y) AS BIGINT) AS sy,
+             |         CAST(sum(x * x) AS BIGINT) AS sxx,
+             |         CAST(sum(y * y) AS BIGINT) AS syy,
+             |         CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM li),
+             |sc AS (
+             |  SELECT li.*, CAST(n AS DOUBLE) AS nd,
+             |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             |         CAST(sxx AS DOUBLE) AS sxxd,
+             |         CAST(syy AS DOUBLE) AS syyd,
+             |         CAST(sxy AS DOUBLE) AS sxyd
+             |  FROM li CROSS JOIN mo),
+             |reg AS (
+             |  SELECT *, sxxd - sxd * sxd / nd AS sxc,
+             |         (sxyd - sxd * syd / nd) / (sxxd - sxd * sxd / nd) AS b
+             |  FROM sc),
+             |reg2 AS (
+             |  SELECT *, syd / nd - b * sxd / nd AS a,
+             |         ((syyd - syd * syd / nd) -
+             |          b * (sxyd - sxd * syd / nd)) / (nd - 2) AS s2
+             |  FROM reg),
+             |dd AS (
+             |  SELECT l_orderkey, l_linenumber, x, y,
+             |         CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE) AS e,
+             |         1.0 / nd + (CAST(x AS DOUBLE) - sxd / nd) *
+             |                    (CAST(x AS DOUBLE) - sxd / nd) / sxc AS h,
+             |         s2
+             |  FROM reg2)
+             |SELECT l_orderkey, l_linenumber, x, y,
+             |       round(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)),
+             |             6) AS cooks_d
+             |FROM dd
+             |ORDER BY cooks_d DESC, l_orderkey, l_linenumber
+             |LIMIT 10""".stripMargin)),
+
+    // Goldfeld-Quandt heteroscedasticity ratio: fit price~quantity
+    // separately on the low-quantity (x ≤ 25) and high-quantity halves;
+    // F = s²_high / s²_low with each SSE from that half's EXACT integer
+    // moments (S_yy − b·S_xy — one fixed tree per half, no residual
+    // sums). The literal split point keeps both engines byte-identical.
+    "agg_goldfeld_quandt" -> Decl(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select((col("l_quantity") > 25.0).as("hi"),
+                  col("l_quantity").cast("bigint").as("x"),
+                  expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
+        li.groupBy("hi")
+          .agg(count(lit(1)).as("n"),
+               sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+               sum(col("x") * col("x")).as("sxx"),
+               sum(col("y") * col("y")).as("syy"),
+               sum(col("x") * col("y")).as("sxy"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("sse", (col("syy").cast("double") -
+              col("sy").cast("double") * col("sy") / col("nd")) -
+            (col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy") / col("nd")) *
+            (col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy") / col("nd")) /
+            (col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx") / col("nd")))
+          .agg(max(when(col("hi"), col("n"))).as("n_hi"),
+               max(when(!col("hi"), col("n"))).as("n_lo"),
+               max(when(col("hi"), col("sse"))).as("sse_hi"),
+               max(when(!col("hi"), col("sse"))).as("sse_lo"))
+          .select(col("n_hi"), col("n_lo"),
+                  round(col("sse_hi"), 4).as("sse_hi"),
+                  round(col("sse_lo"), 4).as("sse_lo"),
+                  round((col("sse_hi") / (col("n_hi") - 2)) /
+                        (col("sse_lo") / (col("n_lo") - 2)), 6)
+                    .as("f_ratio"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_quantity > 25.0 AS hi,
+             |         CAST(l_quantity AS BIGINT) AS x,
+             |         CAST(round(l_extendedprice) AS BIGINT) AS y
+             |  FROM lineitem),
+             |mo AS (
+             |  SELECT hi, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(x) AS BIGINT) AS sx,
+             |         CAST(sum(y) AS BIGINT) AS sy,
+             |         CAST(sum(x * x) AS BIGINT) AS sxx,
+             |         CAST(sum(y * y) AS BIGINT) AS syy,
+             |         CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM li GROUP BY hi),
+             |sse AS (
+             |  SELECT hi, n,
+             |         (CAST(syy AS DOUBLE) -
+             |          CAST(sy AS DOUBLE) * sy / CAST(n AS DOUBLE)) -
+             |         (CAST(sxy AS DOUBLE) -
+             |          CAST(sx AS DOUBLE) * sy / CAST(n AS DOUBLE)) *
+             |         (CAST(sxy AS DOUBLE) -
+             |          CAST(sx AS DOUBLE) * sy / CAST(n AS DOUBLE)) /
+             |         (CAST(sxx AS DOUBLE) -
+             |          CAST(sx AS DOUBLE) * sx / CAST(n AS DOUBLE)) AS sse
+             |  FROM mo)
+             |SELECT max(CASE WHEN hi THEN n END) AS n_hi,
+             |       max(CASE WHEN NOT hi THEN n END) AS n_lo,
+             |       round(max(CASE WHEN hi THEN sse END), 4) AS sse_hi,
+             |       round(max(CASE WHEN NOT hi THEN sse END), 4) AS sse_lo,
+             |       round((max(CASE WHEN hi THEN sse END) /
+             |              (max(CASE WHEN hi THEN n END) - 2)) /
+             |             (max(CASE WHEN NOT hi THEN sse END) /
+             |              (max(CASE WHEN NOT hi THEN n END) - 2)), 6)
+             |         AS f_ratio
+             |FROM sse""".stripMargin)),
+
+    // Page's L trend test: blocks = calendar days, treatments = the 5
+    // event types in FIXED alphabetical order 1..5; within each day the
+    // types are ranked by event count (DOUBLED ranks — the repo's exact
+    // tie idiom, computed by a bounded 5×5 per-day census join); L₂ =
+    // Σ_j j·R₂_j. E[L] and the no-ties variance close the z through one
+    // fixed double tree. Everything until z is an exact BIGINT.
+    "ts_page_trend_test" -> Decl(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+                   col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val ranked = daily.as("a")
+          .join(daily.as("b"), col("a.day") === col("b.day"))
+          .groupBy(col("a.day").as("day"),
+                   col("a.event_type").as("event_type"))
+          .agg((sum(when(col("b.c") < col("a.c"), 2L)
+                 .when(col("b.c") === col("a.c"), 1L).otherwise(0L)) + 1L)
+                 .as("r2"))
+        val tIdx = typedLit(Seq("click", "error", "purchase", "signup",
+                                "view"))
+        val rj = ranked
+          .withColumn("j",
+            (array_position(tIdx, col("event_type"))).cast("bigint"))
+          .groupBy("j").agg(sum(col("r2")).as("r2j"),
+                            count(lit(1)).as("b_days"))
+        rj.agg(sum(col("j") * col("r2j")).as("l2"),
+               max(col("b_days")).as("b"),
+               count(lit(1)).as("k"))
+          .select(col("l2"), col("b"), col("k"),
+                  expr("b * k * (k + 1) * (k + 1) div 2").as("e_l2"),
+                  round((col("l2") - col("b") * col("k") * (col("k") + 1) *
+                          (col("k") + 1) / 2).cast("double") / 2 /
+                        sqrt((col("b").cast("double") * col("k") * col("k") *
+                              (col("k") + 1) *
+                              (col("k") * col("k") - 1)) / 144), 6)
+                    .as("z_no_ties"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |         event_type, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT a.day, a.event_type,
+             |         CAST(sum(CASE WHEN b.c < a.c THEN 2
+             |                       WHEN b.c = a.c THEN 1
+             |                       ELSE 0 END) + 1 AS BIGINT) AS r2
+             |  FROM daily a JOIN daily b ON a.day = b.day
+             |  GROUP BY a.day, a.event_type),
+             |rj AS (
+             |  SELECT CASE event_type
+             |           WHEN 'click' THEN 1 WHEN 'error' THEN 2
+             |           WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+             |           WHEN 'view' THEN 5 END AS j,
+             |         CAST(sum(r2) AS BIGINT) AS r2j,
+             |         CAST(count(*) AS BIGINT) AS b_days
+             |  FROM ranked GROUP BY 1),
+             |agg AS (
+             |  SELECT CAST(sum(j * r2j) AS BIGINT) AS l2,
+             |         CAST(max(b_days) AS BIGINT) AS b,
+             |         CAST(count(*) AS BIGINT) AS k
+             |  FROM rj)
+             |SELECT l2, b, k,
+             |       b * k * (k + 1) * (k + 1) // 2 AS e_l2,
+             |       round(CAST(l2 - b * k * (k + 1) * (k + 1) // 2
+             |                  AS DOUBLE) / 2 /
+             |             sqrt(CAST(b AS DOUBLE) * k * k * (k + 1) *
+             |                  (k * k - 1) / 144), 6) AS z_no_ties
+             |FROM agg""".stripMargin))
+  )
+}
