@@ -8447,3 +8447,97 @@ object StatsWave104 {
              |FROM agg""".stripMargin))
   )
 }
+
+// ——— round-12 wave 105: the Quade test ———
+/** Round-12 wave 105: Quade's weighted block-design test (the
+  * range-weighted Friedman companion) over day-blocks × event-type
+  * treatments — every score an exact QUARTER-UNIT integer (doubled
+  * within-block ranks × doubled across-block range ranks), so
+  * A, B and the F statistic reduce to one double division.
+  */
+object StatsWave105 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    // Blocks = calendar days, treatments = the 5 event types. Within
+    // each day the treatments get DOUBLED ranks by count (5×5 bounded
+    // census); each day gets a DOUBLED rank of its count RANGE across
+    // days (calendar×calendar census, ≤ b² with b = days). The
+    // quarter-unit score s₄ = q₂·(r₂ − (k+1)) keeps A = Σs², B = Σ_j S_j²/b
+    // exact: F = (b−1)·ΣS₄_j² / (b·ΣΣs₄² − ΣS₄_j²).
+    "agg_quade_test" -> Decl(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+                   col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val r2 = daily.as("a")
+          .join(daily.as("b"), col("a.day") === col("b.day"))
+          .groupBy(col("a.day").as("day"),
+                   col("a.event_type").as("event_type"))
+          .agg((sum(when(col("b.c") < col("a.c"), 2L)
+                 .when(col("b.c") === col("a.c"), 1L).otherwise(0L)) + 1L)
+                 .as("r2"))
+        val rng = daily.groupBy("day")
+          .agg((max(col("c")) - min(col("c"))).as("rng"))
+        val q2 = rng.as("a")
+          .join(rng.as("b"), lit(true))
+          .groupBy(col("a.day").as("day"))
+          .agg((sum(when(col("b.rng") < col("a.rng"), 2L)
+                 .when(col("b.rng") === col("a.rng"), 1L).otherwise(0L))
+                 + 1L).as("q2"))
+        val s4 = r2.join(q2, "day")
+          .select(col("event_type"),
+                  (col("q2") * (col("r2") - 6L)).as("s4"))
+        val a16 = s4.agg(sum(col("s4") * col("s4")).as("a16"),
+                         countDistinct(col("event_type")).as("k"))
+        val b16 = s4.groupBy("event_type").agg(sum(col("s4")).as("s4j"))
+          .agg(sum(col("s4j") * col("s4j")).as("b16"),
+               count(lit(1)).as("k2"))
+        val bb = rng.agg(count(lit(1)).as("b"))
+        a16.crossJoin(broadcast(b16)).crossJoin(broadcast(bb))
+          .select(col("b"), col("k"), col("a16"), col("b16"),
+                  round((col("b") - 1).cast("double") * col("b16") /
+                        (col("b") * col("a16") - col("b16")).cast("double"),
+                        6).as("f_quade"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |         event_type, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |r2 AS (
+             |  SELECT a.day, a.event_type,
+             |         CAST(sum(CASE WHEN b.c < a.c THEN 2
+             |                       WHEN b.c = a.c THEN 1
+             |                       ELSE 0 END) + 1 AS BIGINT) AS r2
+             |  FROM daily a JOIN daily b ON a.day = b.day
+             |  GROUP BY a.day, a.event_type),
+             |rng AS (
+             |  SELECT day, CAST(max(c) - min(c) AS BIGINT) AS rng
+             |  FROM daily GROUP BY day),
+             |q2 AS (
+             |  SELECT a.day,
+             |         CAST(sum(CASE WHEN b.rng < a.rng THEN 2
+             |                       WHEN b.rng = a.rng THEN 1
+             |                       ELSE 0 END) + 1 AS BIGINT) AS q2
+             |  FROM rng a CROSS JOIN rng b
+             |  GROUP BY a.day),
+             |s4 AS (
+             |  SELECT r2.event_type, q2.q2 * (r2.r2 - 6) AS s4
+             |  FROM r2 JOIN q2 USING (day)),
+             |a16 AS (
+             |  SELECT CAST(sum(s4 * s4) AS BIGINT) AS a16,
+             |         CAST(count(DISTINCT event_type) AS BIGINT) AS k
+             |  FROM s4),
+             |b16 AS (
+             |  SELECT CAST(sum(s4j * s4j) AS BIGINT) AS b16
+             |  FROM (SELECT CAST(sum(s4) AS BIGINT) AS s4j
+             |        FROM s4 GROUP BY event_type)),
+             |bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM rng)
+             |SELECT b, k, a16, b16,
+             |       round(CAST(b - 1 AS DOUBLE) * b16 /
+             |             CAST(b * a16 - b16 AS DOUBLE), 6) AS f_quade
+             |FROM a16 CROSS JOIN b16 CROSS JOIN bb""".stripMargin))
+  )
+}
