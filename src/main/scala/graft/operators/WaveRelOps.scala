@@ -3939,3 +3939,84 @@ object Round9x {
              |FROM s ORDER BY o_orderkey""".stripMargin))
   )
 }
+
+// ——— round-12 wave 106: typed Dataset API — flatMapGroups & reduceGroups ———
+/** Round-12 wave 106: the two typed grouped surfaces the family still
+  * lacked — variable-fan-out `flatMapGroups` and the semigroup
+  * `mapValues(...).reduceGroups` pair. Exact-integer group logic keeps
+  * the compiled closures hash-twin-safe.
+  */
+object TypedWave106 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    // flatMapGroups: per customer, emit one row PER ORDER whose total
+    // strictly exceeds the customer's mean order value — the comparison
+    // is the EXACT integer cross-multiply c·n > Σc (no division), and
+    // the group buffers at most the customer's order count (≤ ~40 on
+    // TPC-H at any SF — per-key bounded, not corpus-bounded). The
+    // variable fan-out (0..n rows per group) is the API point mapGroups
+    // can't express.
+    "typed_flatmap_groups" -> Decl(
+      (s, d) => {
+        val sp = s; import sp.implicits._
+        Tables.typed.orders(s, d)
+          .groupByKey(_.o_custkey)
+          .flatMapGroups { (ck, os) =>
+            val buf = os.map(o =>
+              (o.o_orderkey, math.rint(o.o_totalprice * 100).toLong)).toSeq
+            val n = buf.size.toLong
+            val tot = buf.map(_._2).sum
+            buf.iterator.collect {
+              case (ok, c) if c * n > tot => (ck, ok, c, n)
+            }
+          }
+          .toDF("c_custkey", "o_orderkey", "cents", "n_orders")
+          .orderBy("c_custkey", "o_orderkey")
+      },
+      Some("""WITH t AS (
+             |  SELECT o_custkey AS c_custkey,
+             |         CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |              AS BIGINT) AS tot
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT c_custkey, o_orderkey,
+             |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |       n AS n_orders
+             |FROM orders JOIN t ON o_custkey = c_custkey
+             |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * n > tot
+             |ORDER BY c_custkey, o_orderkey""".stripMargin)),
+
+    // mapValues + reduceGroups: lineitems reduce per order under the
+    // associative merge (Σ quantity-units, min ship-micros) — the typed
+    // semigroup fold whose state never buffers the group (contrast the
+    // flatMapGroups key above). Top-20 by the reduced quantity keeps the
+    // output bounded.
+    "typed_reduce_groups" -> Decl(
+      (s, d) => {
+        val sp = s; import sp.implicits._
+        Tables.typed.lineitem(s, d)
+          .groupByKey(_.l_orderkey)
+          .mapValues { l =>
+            // epoch micros from the java.sql.Timestamp (UTC session)
+            val us = l.l_shipdate.getTime / 1000 * 1000000L +
+              l.l_shipdate.getNanos / 1000
+            (math.rint(l.l_quantity * 100).toLong, us)
+          }
+          .reduceGroups((a, b) =>
+            (a._1 + b._1, math.min(a._2, b._2)))
+          .map { case (ok, (q, ship)) => (ok, q, ship) }
+          .toDF("l_orderkey", "qty_units", "first_ship_us")
+          .orderBy(col("qty_units").desc, col("l_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT l_orderkey,
+             |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+             |            AS BIGINT) AS qty_units,
+             |       CAST(min(epoch_us(CAST(l_shipdate AS TIMESTAMP)))
+             |            AS BIGINT) AS first_ship_us
+             |FROM lineitem GROUP BY l_orderkey
+             |ORDER BY qty_units DESC, l_orderkey LIMIT 20""".stripMargin))
+  )
+}

@@ -503,3 +503,74 @@ object TextWave90 {
              |ORDER BY g.doc_id""".stripMargin))
   )
 }
+
+// ——— round-12 wave 107: ROUGE-2 overlap scoring ———
+/** Round-12 wave 107: pairwise ROUGE-2 recall — the n-gram overlap
+  * primitive behind summarization eval and near-dup triage — scored for
+  * every adjacent doc-id pair with clipped bigram counts, entirely in
+  * exact integers (overlap·10⁶ div ref-total ppm).
+  */
+object TextWave107 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    // ROUGE-2 recall of candidate doc (id+1) against reference doc (id):
+    // clipped overlap Σ_g min(cnt_ref(g), cnt_cand(g)) over Σ_g cnt_ref.
+    // Bigrams ride zip_with over the single-space token split (the
+    // text-family tokenization idiom); the per-pair overlap is one
+    // equi-join on (gram, pair id) — co-partitioned, linear, no corpus
+    // window. Top-20 by recall keeps the output bounded; ties break on
+    // the pair id.
+    "text_rouge2_adjacent" -> Decl(
+      (s, d) => {
+        val grams = Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        val ref = grams.select(col("doc_id").as("ref_id"), col("g"),
+                               col("cnt").as("cr"))
+        val cand = grams.select((col("doc_id") - 1).as("ref_id"), col("g"),
+                                col("cnt").as("cc"))
+        val overlap = ref.join(cand, Seq("ref_id", "g"))
+          .groupBy("ref_id")
+          .agg(sum(least(col("cr"), col("cc"))).as("overlap"))
+        val totals = ref.groupBy("ref_id").agg(sum(col("cr")).as("ref_total"))
+        totals.join(overlap, Seq("ref_id"), "left")
+          .na.fill(0L, Seq("overlap"))
+          .select(col("ref_id"), (col("ref_id") + 1).as("cand_id"),
+                  col("overlap"), col("ref_total"),
+                  expr("(overlap * 1000000) div ref_total")
+                    .as("rouge2_recall_ppm"))
+          .orderBy(col("rouge2_recall_ppm").desc, col("ref_id"))
+          .limit(20)
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, g, count(*) AS cnt FROM (
+             |    SELECT doc_id,
+             |           unnest(list_transform(range(1, len(w)),
+             |                                 i -> w[i] || ' ' || w[i + 1]))
+             |             AS g
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+             |          FROM documents))
+             |  GROUP BY 1, 2),
+             |ref AS (SELECT doc_id AS ref_id, g, cnt AS cr FROM grams),
+             |cand AS (SELECT doc_id - 1 AS ref_id, g, cnt AS cc FROM grams),
+             |ov AS (
+             |  SELECT ref.ref_id,
+             |         CAST(sum(least(cr, cc)) AS BIGINT) AS overlap
+             |  FROM ref JOIN cand USING (ref_id, g)
+             |  GROUP BY ref.ref_id),
+             |tot AS (SELECT ref_id, CAST(sum(cr) AS BIGINT) AS ref_total
+             |        FROM ref GROUP BY ref_id)
+             |SELECT tot.ref_id, tot.ref_id + 1 AS cand_id,
+             |       CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+             |       tot.ref_total,
+             |       CAST(coalesce(ov.overlap, 0) AS BIGINT) * 1000000 //
+             |         tot.ref_total AS rouge2_recall_ppm
+             |FROM tot LEFT JOIN ov ON ov.ref_id = tot.ref_id
+             |ORDER BY rouge2_recall_ppm DESC, tot.ref_id LIMIT 20""".stripMargin))
+  )
+}
