@@ -524,12 +524,15 @@ object TextWave107 {
     // the pair id.
     "text_rouge2_adjacent" -> Decl(
       (s, d) => {
+        // lazy persist: the ref and cand branches would otherwise BOTH
+        // recompute the tokenize+explode+census (the heaviest stage)
         val grams = Tables(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .select(col("doc_id"), explode(expr(
             "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
             " (a, b) -> concat(a, ' ', b))")).as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ref = grams.select(col("doc_id").as("ref_id"), col("g"),
                                col("cnt").as("cr"))
         val cand = grams.select((col("doc_id") - 1).as("ref_id"), col("g"),
