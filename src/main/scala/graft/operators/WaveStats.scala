@@ -8541,3 +8541,144 @@ object StatsWave105 {
              |FROM a16 CROSS JOIN b16 CROSS JOIN bb""".stripMargin))
   )
 }
+
+// ——— round-12 wave 108: concentration & calibration metrics ———
+/** Round-12 wave 108: Herfindahl-Hirschman concentration per nation,
+  * and score-calibration metrics (Brier score, expected calibration
+  * error, decile lift) over a deterministic md5-derived model score —
+  * every numerator an exact BIGINT, one division per output.
+  */
+object StatsWave108 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  /** md5-derived pseudo model score in [0, 1000) — the repo's
+    * deterministic hash-to-int idiom (quality_table_checksum twin). */
+  private def score1000 = pmod(
+    conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+      .cast("bigint"), lit(1000L))
+
+  private val oracleScore =
+    "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000"
+
+  val decls: Map[String, Decl] = Map(
+    // HHI per nation over supplier revenue shares (KILOdollars keep
+    // Σd²·10⁶ inside BIGINT at every probed SF — whole dollars overflow
+    // already at sf0.001): hhi_ppm = Σd²·10⁶ div (Σd)²
+    // — 10 000 ppm = the antitrust "10 equal firms" line. One join, one
+    // grouped pass, 25 output rows.
+    "agg_herfindahl_hhi" -> Decl(
+      (s, d) => {
+        val rev = Tables(s, d, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(expr("CAST(round(l_extendedprice / 1000) AS BIGINT)"))
+                 .as("dol"))
+        rev.join(Tables(s, d, "supplier"),
+                 col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables(s, d, "nation")),
+                col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_suppliers"),
+               sum(col("dol")).as("tot"),
+               sum(col("dol") * col("dol")).as("sq"))
+          .select(col("n_name"), col("n_suppliers"),
+                  expr("(sq * 1000000) div (tot * tot)").as("hhi_ppm"))
+          .orderBy("n_name")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |         CAST(sum(CAST(round(l_extendedprice / 1000) AS BIGINT))
+             |              AS BIGINT) AS dol
+             |  FROM lineitem GROUP BY l_suppkey)
+             |SELECT n_name,
+             |       CAST(count(*) AS BIGINT) AS n_suppliers,
+             |       CAST(sum(dol * dol) AS BIGINT) * 1000000 //
+             |         (CAST(sum(dol) AS BIGINT) * CAST(sum(dol) AS BIGINT))
+             |         AS hhi_ppm
+             |FROM rev
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Brier score and 10-bin expected calibration error for the hash
+    // score against the purchase outcome. Brier = Σ(k − 1000y)² /
+    // (10⁶·N) and ECE = Σ_b |1000·Σy_b − Σk_b| / (1000·N) — BOTH
+    // numerators exact BIGINTs (k ∈ [0,1000), y ∈ {0,1}), so each
+    // metric is one final division.
+    "agg_brier_ece" -> Decl(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(score1000.as("k"),
+                  when(col("event_type") === "purchase", 1L).otherwise(0L)
+                    .as("y"))
+        val bins = ev.groupBy(expr("k div 100").as("bin"))
+          .agg(count(lit(1)).as("n_b"), sum(col("y")).as("sy"),
+               sum(col("k")).as("sk"))
+        bins.agg(sum(col("n_b")).as("n"),
+                 sum(abs(lit(1000L) * col("sy") - col("sk"))).as("ece_num"))
+          .crossJoin(broadcast(
+            ev.agg(sum((col("k") - lit(1000L) * col("y")) *
+                       (col("k") - lit(1000L) * col("y"))).as("brier_num"))))
+          .select(col("n"),
+                  round(col("brier_num").cast("double") /
+                        (lit(1000000.0) * col("n")), 6).as("brier"),
+                  round(col("ece_num").cast("double") /
+                        (lit(1000.0) * col("n")), 6).as("ece_10bin"))
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT $oracleScore AS k,
+             |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             |           AS y
+             |  FROM events),
+             |bins AS (
+             |  SELECT k // 100 AS bin, CAST(count(*) AS BIGINT) AS n_b,
+             |         CAST(sum(y) AS BIGINT) AS sy,
+             |         CAST(sum(k) AS BIGINT) AS sk
+             |  FROM ev GROUP BY 1),
+             |b AS (SELECT CAST(sum((k - 1000 * y) * (k - 1000 * y))
+             |                  AS BIGINT) AS brier_num FROM ev)
+             |SELECT CAST(sum(n_b) AS BIGINT) AS n,
+             |       round(CAST(any_value(brier_num) AS DOUBLE) /
+             |             (1000000.0 * sum(n_b)), 6) AS brier,
+             |       round(CAST(sum(abs(1000 * sy - sk)) AS DOUBLE) /
+             |             (1000.0 * sum(n_b)), 6) AS ece_10bin
+             |FROM bins CROSS JOIN b""".stripMargin)),
+
+    // Decile lift curve: events bucketed by hash-score decile; lift of
+    // decile d = conversion-rate(d) / overall rate, exact ppm via
+    // conv_d·N·10⁶ div (n_d·conv). The classic model-eval table, 10
+    // bounded rows.
+    "agg_lift_curve_decile" -> Decl(
+      (s, d) => {
+        val evBase = Tables.events(s, d)
+          .select(score1000.as("k"),
+                  when(col("event_type") === "purchase", 1L).otherwise(0L)
+                    .as("y"))
+        val byD = evBase.groupBy(expr("k div 100").as("decile"))
+          .agg(count(lit(1)).as("n_d"), sum(col("y")).as("conv_d"))
+        val tot = byD.agg(sum(col("n_d")).as("n"),
+                          sum(col("conv_d")).as("conv"))
+        byD.crossJoin(broadcast(tot))
+          .select(col("decile"), col("n_d"), col("conv_d"),
+                  expr("(conv_d * 1000000) div n_d").as("rate_ppm"),
+                  expr("(conv_d * n * 1000000) div (n_d * conv)")
+                    .as("lift_ppm"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT ($oracleScore) // 100 AS decile,
+             |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             |           AS y
+             |  FROM events),
+             |byd AS (
+             |  SELECT decile, CAST(count(*) AS BIGINT) AS n_d,
+             |         CAST(sum(y) AS BIGINT) AS conv_d
+             |  FROM ev GROUP BY decile),
+             |tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n,
+             |               CAST(sum(conv_d) AS BIGINT) AS conv FROM byd)
+             |SELECT decile, n_d, conv_d,
+             |       conv_d * 1000000 // n_d AS rate_ppm,
+             |       conv_d * n * 1000000 // (n_d * conv) AS lift_ppm
+             |FROM byd CROSS JOIN tot ORDER BY decile""".stripMargin))
+  )
+}

@@ -3547,3 +3547,97 @@ object TsWave102 {
              |FROM agg WHERE sd > 0 ORDER BY scale, block""".stripMargin))
   )
 }
+
+// ——— round-12 wave 109: drawdown & stochastic oscillator ———
+/** Round-12 wave 109: maximum drawdown of the cumulative daily revenue
+  * curve and the 14-day stochastic oscillator %K — both over the
+  * calendar DAY spine (≤ time-span rows regardless of corpus size; the
+  * windows are declared in the ScaleSpec empty-partition allowlist),
+  * both exact-integer until the final ppm/readout.
+  */
+object TsWave109 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  private def dailyRevenue(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "orders")
+      .groupBy(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+                    "div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+             .as("cents"))
+
+  val decls: Map[String, Decl] = Map(
+    // Max drawdown: peak-to-trough of the cumulative daily revenue in
+    // exact cents; reports the drawdown, its trough day, and the peak
+    // day it fell from (earliest peak on ties, pinned identically in
+    // both engines).
+    "ts_max_drawdown" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("day")
+        val cur = dailyRevenue(s, d)
+          .withColumn("cum", sum(col("cents")).over(w))
+          .withColumn("peak", max(col("cum")).over(w))
+          .withColumn("dd", col("peak") - col("cum"))
+        val mx = cur.agg(max(col("dd")).as("max_dd"))
+        cur.crossJoin(broadcast(mx))
+          .filter(col("dd") === col("max_dd"))
+          .orderBy("day").limit(1)
+          .select(col("max_dd").as("max_drawdown_cents"),
+                  col("day").as("trough_day"), col("peak"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP))
+             |           // 86400000000 AS day,
+             |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |              AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |cum AS (
+             |  SELECT day,
+             |         CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS cum
+             |  FROM daily),
+             |cur AS (
+             |  SELECT day, cum,
+             |         CAST(max(cum) OVER (ORDER BY day) AS BIGINT) AS peak
+             |  FROM cum),
+             |dd AS (SELECT day, peak, peak - cum AS dd FROM cur),
+             |mx AS (SELECT max(dd) AS max_dd FROM dd)
+             |SELECT dd.dd AS max_drawdown_cents,
+             |       CAST(dd.day AS BIGINT) AS trough_day, dd.peak
+             |FROM dd CROSS JOIN mx WHERE dd.dd = mx.max_dd
+             |ORDER BY dd.day LIMIT 1""".stripMargin)),
+
+    // 14-day stochastic oscillator %K of daily revenue: k_ppm =
+    // (v − min₁₄)·10⁶ div (max₁₄ − min₁₄) over the trailing 14-day
+    // frame (flat frames → NULL via nullif, identical both engines).
+    "ts_stochastic_osc" -> Decl(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("day").rowsBetween(-13, 0)
+        dailyRevenue(s, d)
+          .withColumn("lo14", min(col("cents")).over(w))
+          .withColumn("hi14", max(col("cents")).over(w))
+          .select(col("day"), col("cents"),
+                  expr("((cents - lo14) * 1000000) div " +
+                       "nullif(hi14 - lo14, 0)").as("k_ppm"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP))
+             |           // 86400000000 AS day,
+             |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |              AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |f AS (
+             |  SELECT day, cents,
+             |         CAST(min(cents) OVER w AS BIGINT) AS lo14,
+             |         CAST(max(cents) OVER w AS BIGINT) AS hi14
+             |  FROM daily
+             |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+             |               AND CURRENT ROW))
+             |SELECT CAST(day AS BIGINT) AS day, cents,
+             |       (cents - lo14) * 1000000 // nullif(hi14 - lo14, 0)
+             |         AS k_ppm
+             |FROM f ORDER BY day""".stripMargin))
+  )
+}

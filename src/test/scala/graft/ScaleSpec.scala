@@ -614,7 +614,9 @@ class ScaleSpec extends AnyFunSuite {
       "window_cusum_changepoint" -> "calendar hour spine",
       "agg_wilcoxon_signed_rank" -> "|daily-diff| grid over the 30-day calendar spine (<=30 rows)",
       "ts_pettitt_test"          -> "calendar day spine (U_t cumulates 30 daily sign sums)",
-      "sample_stratified_neyman" -> "5-row stratum enum (largest-remainder ranking)")
+      "sample_stratified_neyman" -> "5-row stratum enum (largest-remainder ranking)",
+      "ts_max_drawdown"          -> "calendar day spine (cumulative revenue curve)",
+      "ts_stochastic_osc"        -> "calendar day spine (14-day rolling frame)")
     // (agg_lorenz_curve stays listed for its 10-row DECILE spine only —
     // its unbounded cents-of-sums grid is PrefixSum'd and re-checked
     // below with the other fixed keys.)
