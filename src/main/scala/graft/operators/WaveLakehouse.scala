@@ -534,3 +534,38 @@ object LakehouseWave98 {
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }
+
+// ——— round-12 wave 110 ———
+/** Round-12 wave 110: COUNT(DISTINCT dim) through the MV rewrite — the
+  * classic Calcite distinct-rollup: when the query's distinct column is
+  * itself an MV dimension and the MV's dims are exactly the groupings
+  * plus that column, the summary holds one row per (group, x) pair and
+  * a plain null-skipping Count over the summary IS the distinct count.
+  * The same (event_type, day) MV that serves counts/sums/avgs now also
+  * serves per-type active-day counts — no second summary needed.
+  * MvDistinctSpec pins the scan switch AND the extra-dim negative.
+  */
+object LakehouseWave110 {
+  import graft.Decl
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    "sql_mv_distinct_rewrite" -> Decl(
+      (s, d) => {
+        val base = LakehouseWave95.setupMv(s, d)
+        base.groupBy("event_type")
+          .agg(countDistinct(col("day")).as("n_days"),
+               count(lit(1)).as("n_events"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |       count(DISTINCT day) AS n_days,
+             |       count(*) AS n_events
+             |FROM (SELECT event_type,
+             |             CAST(datediff('day', DATE '2023-12-31',
+             |                  CAST(CAST(ts AS TIMESTAMP) AS DATE))
+             |                  AS BIGINT) AS day
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}

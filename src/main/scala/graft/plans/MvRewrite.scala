@@ -440,6 +440,28 @@ object MvRewrite extends PredicateHelper {
       case a: AttributeReference if d.dims.contains(a.name) =>
         Some(Alias(mvOut(a.name), a.name)(exprId = a.exprId))
       case al: Alias => al.child match {
+        // count(DISTINCT x): servable iff x is ITSELF an MV dimension and
+        // the MV's dims are EXACTLY the query's groupings plus x — then
+        // the (dim-filtered) summary holds one row per surviving
+        // (group, x) pair, so a plain null-skipping Count of the
+        // summary's x column IS the distinct count (count(distinct x)
+        // skips base NULLs; so does Count over the summary's NULL-x
+        // row). An MV with any EXTRA dim would duplicate (group, x)
+        // pairs across that dim's values — no rewrite.
+        case ag: AggregateExpression if ag.filter.isEmpty && ag.isDistinct =>
+          ag.aggregateFunction match {
+            case c: Count => c.children match {
+              case Seq(a: AttributeReference)
+                  if d.dims.contains(a.name) && mvOut.contains(a.name) &&
+                     d.dims == gAttrs.flatten.map(_.name).toSet + a.name =>
+                Some(Alias(
+                  ag.copy(aggregateFunction = Count(Seq(mvOut(a.name))),
+                          isDistinct = false),
+                  al.name)(exprId = al.exprId))
+              case _ => None
+            }
+            case _ => None
+          }
         case ag: AggregateExpression if ag.filter.isEmpty && !ag.isDistinct =>
           ag.aggregateFunction match {
             // avg(metric) → sum(sum_col) / sum(count_col). NOTE: Spark's
