@@ -569,3 +569,73 @@ object LakehouseWave110 {
              |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
+
+// ——— round-12 wave 111 ———
+/** Round-12 wave 111: two lakehouse scan surfaces the inventory still
+  * lacked — parquet SCHEMA EVOLUTION (mergeSchema over files written
+  * before and after a column was added; the missing column reads as
+  * NULL) and RECURSIVE file lookup (one logical table scattered over
+  * nested ingest directories). Both oracled against the RAW table with
+  * the same deterministic split.
+  */
+object LakehouseWave111 {
+  import graft.{Decl, Tables}
+  import org.apache.spark.sql.functions._
+
+  val decls: Map[String, Decl] = Map(
+    // v1 files carry (doc_id, lang); v2 files add n_chars. mergeSchema
+    // unions the footers, v1 rows surface NULL n_chars, and the
+    // aggregate proves NULL-vs-present accounting per lang. At cluster
+    // scale this is the zero-rewrite column-add migration path.
+    "source_schema_evolution" -> Decl(
+      (s, d) => {
+        val dir = Tables.scratchDir("graft_schevo").toString
+        val docs = Tables(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$dir/v1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$dir/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$dir/v1", s"$dir/v2")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("n_chars").isNull, 1L).otherwise(0L))
+                 .as("n_legacy"),
+               sum(coalesce(col("n_chars"), lit(0L))).as("chars_v2"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang,
+             |       count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_legacy,
+             |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars
+             |                     ELSE 0 END) AS BIGINT) AS chars_v2
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // One logical table scattered across nested ingest directories
+    // (date=.../hour=... style trees without partition columns):
+    // recursiveFileLookup discovers every leaf file. The aggregate
+    // proves no file was missed vs the raw table.
+    "scan_recursive_file_lookup" -> Decl(
+      (s, d) => {
+        val dir = Tables.scratchDir("graft_recur").toString
+        val docs = Tables(s, d, "documents")
+        docs.filter(col("doc_id") % 3 === 0)
+          .write.mode("overwrite").parquet(s"$dir/a/x")
+        docs.filter(col("doc_id") % 3 === 1)
+          .write.mode("overwrite").parquet(s"$dir/a/y/deep")
+        docs.filter(col("doc_id") % 3 === 2)
+          .write.mode("overwrite").parquet(s"$dir/b")
+        s.read.option("recursiveFileLookup", "true").parquet(dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+  )
+}
