@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dev tool (round-12 optimization evidence): write the
+  * `.explain("formatted")` output of named declared queries to files —
+  * `sbt "runMain graft.PlanDump <outDir> <suffix> <keys...>"` writes
+  * `<outDir>/<key>_<suffix>.txt` for each key. Session settings match
+  * graft.Bench (local[N], shuffle.partitions=N, minPartitionNum=N) so the
+  * captured plan is the one the bench executes; sf dir via
+  * SPARK_GRAFT_SF_DIR (default sf0.1).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val (Array(outDir, suffix), names) = args.splitAt(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { q =>
+      val txt =
+        try SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        catch { case e: Exception => s"(failed: ${e.getMessage})" }
+      Files.writeString(Paths.get(s"$outDir/${q}_$suffix.txt"), txt)
+      spark.catalog.clearCache()
+      println(s"[plandump] wrote $outDir/${q}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}
