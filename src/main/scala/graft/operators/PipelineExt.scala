@@ -248,8 +248,14 @@ object PipelineExt {
                             col("nrm").as("nb"))
                   .hint("shuffle_hash"), "id_b")
           .select(col("id_a"), col("id_b"),
-                  round(VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-                    .as("cos"))
+                  (VectorOps.dot(col("ea"), col("eb")) /
+                    (col("na") * col("nb"))).as("rawcos"))
+          // Round-12: round(double, 6) is a per-row BigDecimal — cut on the
+          // raw cosine first (round6(x) >= 0.3 ⇒ x >= 0.2999995 > 0.2999),
+          // then reapply the EXACT rounded filter on the survivors; the
+          // emitted pairs and values are bit-identical.
+          .filter(col("rawcos") >= 0.2999)
+          .select(col("id_a"), col("id_b"), round(col("rawcos"), 6).as("cos"))
           .filter(col("cos") >= 0.3)
           .orderBy("id_a", "id_b")
       },

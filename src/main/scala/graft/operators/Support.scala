@@ -442,13 +442,14 @@ object AnnIndex {
   * this exchange independently in both keys, ~50 s of duplicated work in
   * the driver bench).
   *
-  *  - `pairs(a, b, df, cnt)` — each unordered customer pair (a < b),
-  *    with cnt = #shared parts at part-degree df. Pair generation is a
-  *    per-part sorted collect + INTEGER-ENCODED combination explode
-  *    (a·2³² + b rides one BIGINT through the explode and the groupBy —
-  *    no struct allocation per candidate pair; decoded once at write).
-  *    Per-part state is ≤ MaxPartDf ids — bounded by the cap, never the
-  *    corpus; total volume Σ C(df,2) ≤ (cap/2)·|edges|.
+  *  - `pairs(a, b, common, aa_raw)` — each unordered customer pair
+  *    (a < b) with its per-pair aggregates: common = #shared parts and
+  *    aa_raw = the UNROUNDED Adamic–Adar fold Σ cnt/ln(df) in df order.
+  *    Pair generation is a per-part sorted collect + INTEGER-ENCODED
+  *    combination explode (a·2³² + b rides one BIGINT through the explode
+  *    and the groupBy — no struct allocation per candidate pair; decoded
+  *    once at write). Per-part state is ≤ MaxPartDf ids — bounded by the
+  *    cap, never the corpus; total volume Σ C(df,2) ≤ (cap/2)·|edges|.
   *  - `deg(c, deg)` — per-customer distinct-part degree over the SAME
   *    capped graph (df ≤ cap, including df = 1 parts).
   *
@@ -486,6 +487,16 @@ object PairIndex {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.groupBy("c").agg(count(lit(1)).as("deg"))
         .write.parquet(s"$root/deg")
+      // The stored table is pre-aggregated PER PAIR (round-12 optimization):
+      // both consumers immediately re-grouped the 8.4M-row (a, b, df, cnt)
+      // cell table by (a, b) — ~280 s of duplicated task time per bench run
+      // at sf0.1 — so that groupBy (and the Adamic–Adar sorted (df, cnt)
+      // fold, whose association order the oracle mirrors) moves into the
+      // one-time build. Probes become pure scans + bounded top-k.
+      //   common  = Σ cnt over the pair's (df, cnt) cells (shared parts)
+      //   aa_raw  = Σ cnt/ln(df) folded in df order — UNROUNDED; consumers
+      //             round only after their top-k cut (round(double, 6) is a
+      //             per-row BigDecimal, ~40 µs/row — never over the corpus)
       e.filter(col("df") >= 2)
         .groupBy("p", "df")
         .agg(sort_array(collect_list(col("c").cast("bigint"))).as("cs"))
@@ -494,9 +505,15 @@ object PairIndex {
           "transform(slice(cs, i + 2, size(cs)), y -> x * 4294967296L + y)))"))
           .as("pr"))
         .groupBy("pr", "df").agg(count(lit(1)).as("cnt"))
+        .groupBy("pr")
+        .agg(sum(col("cnt")).as("common"),
+             array_sort(collect_list(struct(col("df"), col("cnt")))).as("cells"))
         .select(expr("pr div 4294967296").cast(cType).as("a"),
                 pmod(col("pr"), lit(4294967296L)).cast(cType).as("b"),
-                col("df"), col("cnt"))
+                col("common"),
+                expr("aggregate(cells, CAST(0.0 AS DOUBLE), " +
+                  "(acc, p) -> acc + p.cnt / ln(CAST(p.df AS DOUBLE)))")
+                  .as("aa_raw"))
         .write.parquet(s"$root/pairs")
       e.unpersist()
       builds.incrementAndGet()

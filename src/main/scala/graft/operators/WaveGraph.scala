@@ -219,24 +219,28 @@ object Round10m {
     // both engines — no parallel-merge reduction ever touches a double.
     "graph_adamic_adar" -> Decl(
       (s, d) => {
-        // the weight 1/ln(df) takes ≤39 distinct values (df ∈ 2..40), so
-        // the float NEVER rides the corpus: aggregate exact integer
-        // (df, count) cells per pair, then fold the ≤39 terms in df
-        // order — same sorted-fold determinism, none of the per-row
-        // double-list collection.
-        // The (a, b, df, cnt) pair exchange itself is the SHARED
-        // PairIndex (built once per session, integer-encoded combination
-        // explode — see operators.PairIndex): round 11 rebuilt the same
-        // capped exchange independently here and in
-        // graph_jaccard_neighbors, ~50 s of duplicated driver-bench work.
-        val contrib = PairIndex.pairs(s, d)
-        contrib.groupBy("a", "b")
-          .agg(sum(col("cnt")).as("common"),
-               array_sort(collect_list(struct(col("df"), col("cnt")))).as("cells"))
+        // The per-pair (common, aa_raw) aggregates come pre-computed from
+        // the SHARED PairIndex (built once per session — the sorted
+        // (df, cnt) fold with its oracle-mirrored association order runs
+        // in the build, not per consumer). This probe is a pure scan plus
+        // a bounded top-k, with the DECIMAL round deferred past the cut:
+        // round(double, 6) is a per-row BigDecimal (~40 µs/row — it alone
+        // was ~200 s of task time over the 8M sf0.1 pairs), so the top-20
+        // is located on the raw score first and only candidate rows are
+        // rounded. Equivalence proof: rounding is monotone, so the 20
+        // largest raw scores round to values >= round6(r20) where r20 is
+        // the 20th-largest raw; hence every row of the rounded top-20 has
+        // round6(aa_raw) >= round6(r20), which forces aa_raw >= r20 - 1e-6
+        // (a 6-dp grid step); the filter keeps aa_raw >= r20 - 1e-5 — a 9×
+        // margin over the grid step and float wobble — then the EXACT
+        // original ordering (rounded DESC, a, b) re-runs on the survivors.
+        val p = PairIndex.pairs(s, d)
+        val r20 = p.orderBy(col("aa_raw").desc, col("a"), col("b")).limit(20)
+          .agg(min(col("aa_raw")).as("r20"))
+        p.crossJoin(broadcast(r20))
+          .filter(col("aa_raw") >= col("r20") - lit(1e-5))
           .select(col("a"), col("b"), col("common"),
-                  round(expr(
-                    "aggregate(cells, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.cnt / ln(CAST(p.df AS DOUBLE)))"), 6)
-                    .as("adamic_adar"))
+                  round(col("aa_raw"), 6).as("adamic_adar"))
           .orderBy(col("adamic_adar").desc, col("a"), col("b"))
           .limit(20)
       },

@@ -1724,13 +1724,14 @@ object Round8b {
       (s, d) => {
         // Pair counts and degrees come from the SHARED PairIndex (one
         // build per session serves this key and graph_adamic_adar —
-        // round 11 ran the same capped pair exchange twice). common =
-        // Σ cnt over the pair's (df, cnt) cells; deg is the stored
-        // per-customer distinct-part degree over the same capped graph.
+        // round 11 ran the same capped pair exchange twice). The stored
+        // table is pre-aggregated per pair (round-12: both consumers used
+        // to re-group the 8.4M-row cell table), so this probe is a scan +
+        // bounded top-20; deg is the stored per-customer distinct-part
+        // degree over the same capped graph.
         val deg = PairIndex.deg(s, d)
         val pairs = PairIndex.pairs(s, d)
-          .groupBy("a", "b")
-          .agg(sum(col("cnt")).as("common"))
+          .select("a", "b", "common")
           .orderBy(col("common").desc, col("a"), col("b"))
           .limit(20)
         // both degree lookups broadcast the 20-row top-k side (the second

@@ -199,16 +199,29 @@ object Round11i {
         val bits = math.min(12, math.max(PipelineExt.SrpBitsPerTable,
                                          ceilLog2(nVec / 64)))
         val pairs = srpCandidates(emb, n, bits, multiprobe = true)
-        val embV = emb.select(col("vec_id"), col("embedding"))
+        // Round-12: norms once per vector (1 codegen dot per pair instead
+        // of 3 — same doubles: dot/(√(a·a)·√(b·b)) either way), and the
+        // DECIMAL round runs only on survivors. round(double, 6) is a
+        // per-row BigDecimal (measured 6.3 s wall over the 4.8M sf0.1
+        // candidates vs 0.9 s unrounded), so the τ cut happens on the raw
+        // cosine first with a conservative margin (round6(x) >= 0.90 ⇒
+        // x >= 0.8999995 > 0.8999), then the EXACT rounded filter
+        // reapplies on the tiny survivor set — selected pairs and emitted
+        // values are bit-identical.
+        val embV = emb.select(col("vec_id"), col("embedding"),
+          sqrt(VectorOps.dot(col("embedding"), col("embedding"))).as("nrm"))
         pairs
-          .join(embV.select(col("vec_id").as("id_a"),
-                            col("embedding").as("ea")).hint("shuffle_hash"),
+          .join(embV.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+                            col("nrm").as("na")).hint("shuffle_hash"),
                 "id_a")
-          .join(embV.select(col("vec_id").as("id_b"),
-                            col("embedding").as("eb")).hint("shuffle_hash"),
+          .join(embV.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+                            col("nrm").as("nb")).hint("shuffle_hash"),
                 "id_b")
           .select(col("id_a"), col("id_b"),
-                  round(VectorOps.cosine(col("ea"), col("eb")), 6).as("cos"))
+                  (VectorOps.dot(col("ea"), col("eb")) /
+                    (col("na") * col("nb"))).as("rawcos"))
+          .filter(col("rawcos") >= 0.8999)
+          .select(col("id_a"), col("id_b"), round(col("rawcos"), 6).as("cos"))
           .filter(col("cos") >= 0.90)
           .orderBy("id_a", "id_b")
       },

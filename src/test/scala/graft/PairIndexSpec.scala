@@ -36,7 +36,7 @@ class PairIndexSpec extends AnyFunSuite {
     assert(graft.operators.PairIndex.builds.get() == after)
   }
 
-  test("stored pairs equal the reference self-join, and ids keep their type") {
+  test("stored pair aggregates equal the reference self-join, ids keep their type") {
     val pairs = graft.operators.PairIndex.pairs(spark, sf)
     val edges = Tables(spark, sf, "orders")
       .join(Tables(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
@@ -48,13 +48,22 @@ class PairIndexSpec extends AnyFunSuite {
     val pdeg = edges.groupBy("p").agg(count(lit(1)).as("df"))
       .filter(col("df") <= graft.operators.PairIndex.MaxPartDf && col("df") >= 2)
     val e = edges.join(pdeg, "p")
+    // reference per-pair aggregates, derived independently: common = Σ cnt
+    // over the (df, cnt) cells, aa_raw = the df-ordered fold Σ cnt/ln(df)
     val want = e.as("x")
       .join(e.as("y"), col("x.p") === col("y.p") && col("x.c") < col("y.c"))
       .groupBy(col("x.c").as("a"), col("y.c").as("b"), col("x.df").as("df"))
       .agg(count(lit(1)).as("cnt"))
-    val stored = pairs.select(col("a"), col("b"), col("df"), col("cnt"))
+      .groupBy("a", "b")
+      .agg(sum(col("cnt")).as("common"),
+           array_sort(collect_list(struct(col("df"), col("cnt")))).as("cells"))
+      .select(col("a"), col("b"), col("common"),
+              expr("aggregate(cells, CAST(0.0 AS DOUBLE), " +
+                "(acc, p) -> acc + p.cnt / ln(CAST(p.df AS DOUBLE)))")
+                .as("aa_raw"))
+    val stored = pairs.select(col("a"), col("b"), col("common"), col("aa_raw"))
     assert(stored.exceptAll(want).isEmpty && want.exceptAll(stored).isEmpty,
-           "stored pair cells must equal the reference self-join exactly")
+           "stored pair aggregates must equal the reference self-join exactly")
     // every pair respects a < b (unordered-once emission)
     assert(pairs.filter(col("a") >= col("b")).isEmpty)
   }
