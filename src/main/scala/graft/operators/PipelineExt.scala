@@ -845,17 +845,21 @@ object PipelineExt {
     (out, Seq(shAll, sh))
   }
 
-  /** Bigram-Jaccard near-dup pairs, eagerly checkpointed (the tiny pair
-    * table materializes HERE so the big exploded shingle intermediate is
-    * released inside the query instead of leaking into the caller's session
-    * — at scale this is the point a pipeline would write the pair table to
-    * storage). Shared by `dedup_ngram_jaccard` and the connected-components
+  /** Bigram-Jaccard near-dup pairs finalized over the SHARED
+    * [[ShingleIndex]] (round-12: the shingle explode + df cap + self-join
+    * core used to re-run per consumer; it now builds once per session and
+    * this is a scan + finalizer). The τ cut happens on the raw ratio first
+    * (round6(x) >= 0.2 ⇒ x >= 0.1999995 > 0.1999) so the per-row decimal
+    * round only touches survivors; the EXACT rounded filter reapplies, so
+    * the emitted pairs and values are bit-identical to the lazy builder's.
+    * Shared by `dedup_ngram_jaccard` and the connected-components
     * clustering built on top of it.
     */
-  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val (pairs, cached) = ngramJaccardPairsLazy(s, d)
-    val out = pairs.localCheckpoint(true)
-    cached.foreach(_.unpersist())
-    out
-  }
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    ShingleIndex.intersections(s, d)
+      .withColumn("rawj", col("n").cast("double") /
+        (col("sa") + col("sb") - col("n")).cast("double"))
+      .filter(col("rawj") >= 0.1999)
+      .select(col("id_a"), col("id_b"), round(col("rawj"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
 }

@@ -1304,17 +1304,20 @@ object Round7 {
     // containment finalizer. Both metrics over the SAME pair universe
     // keeps the two keys' oracles one CTE apart.
     "dedup_containment" -> Decl(
-      (s, d) => {
-        val (base, cached) = PipelineExt.ngramIntersectionsLazy(s, d)
-        val out = base
-          .withColumn("containment",
-            round(col("n").cast("double") / least(col("sa"), col("sb")).cast("double"), 6))
+      (s, d) =>
+        // Round-12: the intersection core comes from the SHARED
+        // ShingleIndex (one build per session serves this key,
+        // dedup_ngram_jaccard, and dedup_connected_components); the τ cut
+        // runs on the raw ratio first (round6(x) >= 0.8 ⇒ x >= 0.7999995 >
+        // 0.7999) so the decimal round only touches survivors — pairs and
+        // values bit-identical.
+        ShingleIndex.intersections(s, d)
+          .withColumn("rawc", col("n").cast("double") /
+            least(col("sa"), col("sb")).cast("double"))
+          .filter(col("rawc") >= 0.7999)
+          .select(col("id_a"), col("id_b"), round(col("rawc"), 6).as("containment"))
           .filter(col("containment") >= 0.8)
-          .select("id_a", "id_b", "containment")
-          .localCheckpoint(true)
-        cached.foreach(_.unpersist())
-        out.orderBy("id_a", "id_b")
-      },
+          .orderBy("id_a", "id_b"),
       Some("""WITH tok AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
              |sh AS (SELECT DISTINCT doc_id, lang, source, g FROM (
              |  SELECT doc_id, lang, source,
