@@ -311,9 +311,14 @@ object Pipeline {
               size(array_intersect(col("ha"), col("hb"))).cast("bigint").as("inter"),
               size(col("ha")).cast("bigint").as("sa"),
               size(col("hb")).cast("bigint").as("sb"))
-      .withColumn("jaccard", round(
+      // Round-12: τ cut on the raw ratio first (round6(x) >= 0.5 ⇒
+      // x >= 0.4999995 > 0.4999); the per-row decimal round only touches
+      // survivors and the exact rounded filter reapplies — bit-identical.
+      .withColumn("rawj",
         col("inter").cast("double") /
-        (col("sa") + col("sb") - col("inter")).cast("double"), 6))
+        (col("sa") + col("sb") - col("inter")).cast("double"))
+      .filter(col("rawj") >= 0.4999)
+      .withColumn("jaccard", round(col("rawj"), 6))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
     (scored, Seq(withSh))

@@ -162,7 +162,13 @@ object PipelineExt {
                   .hint("shuffle_hash"), "id_a")
           .join(all.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
                   .hint("shuffle_hash"), "id_b")
-          .withColumn("cos", round(VectorOps.cosine(col("ea"), col("eb")), 6))
+          // Round-12: τ cut on the raw cosine first (round6(x) >= 0.95 ⇒
+          // x >= 0.9499995 > 0.9499); the per-row decimal round only
+          // touches survivors and the exact rounded filter reapplies —
+          // pairs and values bit-identical.
+          .withColumn("rawcos", VectorOps.cosine(col("ea"), col("eb")))
+          .filter(col("rawcos") >= 0.9499)
+          .withColumn("cos", round(col("rawcos"), 6))
           .filter(col("cos") >= 0.95)
           .select("label", "id_a", "id_b", "cos")
           .orderBy("label", "id_a", "id_b")

@@ -5237,10 +5237,19 @@ object Round6 {
           .join(withSh.select(col("doc_id").as("base_id"), col("hs").as("hx"))
                   .hint("shuffle_hash"), "base_id")
           .select(col("delta_id"), col("base_id"),
-                  round(size(array_intersect(col("hq"), col("hx"))).cast("double") /
-                        (size(col("hq")) + size(col("hx")) -
-                         size(array_intersect(col("hq"), col("hx")))).cast("double"), 6)
-                    .as("jaccard"))
+                  size(array_intersect(col("hq"), col("hx"))).cast("bigint").as("inter"),
+                  size(col("hq")).cast("bigint").as("sq"),
+                  size(col("hx")).cast("bigint").as("sx"))
+          // Round-12: one array_intersect per pair (it was inlined twice),
+          // and the τ cut runs on the raw ratio (round6(x) >= 0.5 ⇒
+          // x >= 0.4999995 > 0.4999) so the per-row decimal round only
+          // touches survivors; the exact rounded filter reapplies —
+          // pairs and values bit-identical.
+          .withColumn("rawj", col("inter").cast("double") /
+            (col("sq") + col("sx") - col("inter")).cast("double"))
+          .filter(col("rawj") >= 0.4999)
+          .select(col("delta_id"), col("base_id"),
+                  round(col("rawj"), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("delta_id", "base_id")
       },
