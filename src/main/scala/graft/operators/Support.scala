@@ -582,14 +582,8 @@ object GridCum {
     * (BIGINT weights; every input column is preserved). */
   def perKeyCumsum(grid: DataFrame, key: String, v: String, w: String,
                    out: String): DataFrame = {
-    // Lazy persist of the grid: the cumsum input, the per-key totals below,
-    // AND any caller-side aggregate over the same grid plan (CacheManager
-    // matches by sameResult) share ONE materialization — round-12 measured
-    // the grid pipeline (corpus scan + groupBy) running 3× per GridCum key.
-    // Released by the per-query clearCache, like PrefixSum's partials.
-    val g0 = grid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val g = PrefixSum.cumsumLong(g0, Seq(col(key), col(v)), col(w), "__gcum")
-    val tot = g0.groupBy(key).agg(sum(col(w)).as("__t"))
+    val g = PrefixSum.cumsumLong(grid, Seq(col(key), col(v)), col(w), "__gcum")
+    val tot = grid.groupBy(key).agg(sum(col(w)).as("__t"))
     val off = tot.as("a")
       .join(tot.as("b"), col(s"b.$key") < col(s"a.$key"), "left")
       .groupBy(col(s"a.$key").as(key))
