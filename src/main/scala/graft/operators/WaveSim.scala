@@ -157,26 +157,36 @@ object Round11i {
   private[graft] def srpCandidates(emb: org.apache.spark.sql.DataFrame,
                                    n: Int, bits: Int,
                                    multiprobe: Boolean): org.apache.spark.sql.DataFrame = {
+    // Round-12 narrowing (guide §2.3 — shuffle fewer bytes): the (tbl,
+    // bucket) join key packs into ONE bigint (bucket < 2^bits ≤ 2^12), so
+    // the bucket exchange, the hash probe, and the pair dedup all work on
+    // single 8-byte keys; the candidate pair likewise rides one bigint
+    // (vec_id < 2^31 on every fixture — the PairIndex encoding precedent)
+    // through the distinct and is decoded once after it. Same rows, same
+    // collision semantics — bk/pr encodings are injective.
     val home = emb.select(col("vec_id"),
       posexplode(PipelineExt.srpTableKeys(PipelineExt.SrpTables, bits))
         .as(Seq("tbl", "bucket")))
+    val homeK = home.select(col("vec_id"),
+      (col("tbl").cast("bigint") * 4294967296L + col("bucket")).as("bk"))
     val probeK0 =
-      if (!multiprobe) home
+      if (!multiprobe) homeK
       else {
         val flips = (0 until bits).map(i => lit(1 << i))
-        home.select(col("vec_id"), col("tbl"),
-          explode(array((lit(0) +: flips).map(f =>
-            col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
+        home.select(col("vec_id"), explode(array((lit(0) +: flips).map(f =>
+            col("tbl").cast("bigint") * 4294967296L +
+              col("bucket").bitwiseXOR(f)): _*)).as("bk"))
       }
-    val probeK = probeK0.repartition(n, col("tbl"), col("bucket"))
-    val idx = home.repartition(n, col("tbl"), col("bucket"))
+    val probeK = probeK0.repartition(n, col("bk"))
+    val idx = homeK.repartition(n, col("bk"))
     probeK.as("a")
       .join(idx.as("b").hint("shuffle_hash"),
-            col("a.tbl") === col("b.tbl") &&
-            col("a.bucket") === col("b.bucket") &&
+            col("a.bk") === col("b.bk") &&
             col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .select((col("a.vec_id") * 4294967296L + col("b.vec_id")).as("pr"))
       .distinct()
+      .select(expr("pr div 4294967296").as("id_a"),
+              pmod(col("pr"), lit(4294967296L)).as("id_b"))
   }
 
   val decls: Map[String, Decl] = Map(
