@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -56,6 +56,15 @@ object SketchOps {
   /** Per-row term-frequency table (term-sorted ARRAY<STRUCT<term,cnt>>). */
   def tokenCounts(toks: Column): Column =
     Bridge.column(TokenCounts(Bridge.expression(toks)))
+
+  /** |a ∩ b| of two SORTED-DISTINCT ARRAY<LONG> columns (the
+    * `ShingleHashSet` output contract) — the allocation-free merge-count
+    * replacement for `size(array_intersect(a, b))` in the dedup verify
+    * joins. Equal by construction on sorted-unique inputs (asserted
+    * against `size(array_intersect(...))` in SketchParitySpec).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedLongIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 
   /** Null elements are legal in any SQL-supplied array (split()'s declared
     * element type is nullable); every sketch here skips them, matching the
@@ -132,6 +141,67 @@ case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `BIGINT`: |a ∩ b| of two SORTED-DISTINCT `ARRAY<LONG>` columns via a
+  * single merge pass — no per-row hash set, no intersection-array
+  * allocation (what `size(array_intersect(a, b))` pays per candidate pair
+  * in the dedup verify joins: measured ~2× the whole verify stage's CPU
+  * at sf0.1). PRECONDITION: both inputs ascending-sorted and duplicate-free
+  * — exactly the `ShingleHashSet` output contract (it sorts and dedups);
+  * on such inputs the merge count equals `size(array_intersect)`
+  * (asserted in SketchParitySpec). Not safe for arbitrary arrays.
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects (array<bigint>, array<bigint>), " +
+        s"got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { cnt += 1L; i += 1; j += 1 }
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x < $y) { $i++; } else if ($x > $y) { $j++; }
+         |  else { $cnt++; $i++; $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `ARRAY<LONG>` of 32 MinHash minima over `child: ARRAY<LONG>` (the

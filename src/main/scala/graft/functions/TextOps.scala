@@ -38,4 +38,10 @@ object TextOps {
     * signature input.
     */
   def shingleHashes(toks: Column, n: Int): Column = SketchOps.shingleHashes(toks, n)
+
+  /** |a ∩ b| of two sorted-distinct ARRAY<LONG> columns (`shingleHashes`
+    * outputs) — see `SketchOps.sortedIntersectCount`.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    SketchOps.sortedIntersectCount(a, b)
 }

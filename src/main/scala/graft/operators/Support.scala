@@ -381,10 +381,19 @@ object AnnIndex {
       .join(feats.select(col("doc_id").as("base_id"), col("hs").as("hx"))
               .hint("shuffle_hash"), "base_id")
       .select(col("delta_id"), col("base_id"),
-              round(size(array_intersect(col("hq"), col("hx"))).cast("double") /
-                    (size(col("hq")) + size(col("hx")) -
-                     size(array_intersect(col("hq"), col("hx")))).cast("double"), 6)
-                .as("jaccard"))
+              // Round-12: ONE merge-count per pair (array_intersect was
+              // inlined twice) over the sorted-distinct hash sets, and the
+              // τ cut on the raw ratio first (round6(x) >= 0.5 ⇒
+              // x >= 0.4999995 > 0.4999) so the per-row decimal round only
+              // touches survivors — pairs and values bit-identical
+              TextOps.sortedIntersectCount(col("hq"), col("hx")).as("inter"),
+              size(col("hq")).cast("bigint").as("sq"),
+              size(col("hx")).cast("bigint").as("sx"))
+      .withColumn("rawj", col("inter").cast("double") /
+        (col("sq") + col("sx") - col("inter")).cast("double"))
+      .filter(col("rawj") >= 0.4999)
+      .select(col("delta_id"), col("base_id"),
+              round(col("rawj"), 6).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy("delta_id", "base_id")
   }

@@ -5237,7 +5237,11 @@ object Round6 {
           .join(withSh.select(col("doc_id").as("base_id"), col("hs").as("hx"))
                   .hint("shuffle_hash"), "base_id")
           .select(col("delta_id"), col("base_id"),
-                  size(array_intersect(col("hq"), col("hx"))).cast("bigint").as("inter"),
+                  // Round-12: merge-count over the sorted-distinct hash
+                  // sets — same integer as size(array_intersect), no
+                  // per-pair hash set (see SortedLongIntersectCount)
+                  graft.functions.TextOps.sortedIntersectCount(col("hq"), col("hx"))
+                    .as("inter"),
                   size(col("hq")).cast("bigint").as("sq"),
                   size(col("hx")).cast("bigint").as("sx"))
           // Round-12: one array_intersect per pair (it was inlined twice),

@@ -137,4 +137,23 @@ class SketchParitySpec extends AnyFunSuite {
     assert(perRow.exceptAll(relational).isEmpty && relational.exceptAll(perRow).isEmpty,
       "per-row entropy diverges from the relational form at 6 dp")
   }
+
+  test("SortedLongIntersectCount equals size(array_intersect) on shingle-hash pairs") {
+    // every adjacent doc pair of the fixture corpus, incl. empty-set rows
+    // (the merge-count precondition is ShingleHashSet's sorted-distinct
+    // output — exactly what the dedup verify joins feed it)
+    val hs = toks.select(col("doc_id"), functions.TextOps.shingleHashes(col("toks"), 3).as("hs"))
+    val pairs = hs.as("a")
+      .join(hs.select((col("doc_id") - 1).as("doc_id"), col("hs").as("hs2")).as("b"), "doc_id")
+    val diverging = pairs.filter(
+      functions.TextOps.sortedIntersectCount(col("hs"), col("hs2")) =!=
+        size(array_intersect(col("hs"), col("hs2"))).cast("bigint"))
+    assert(diverging.count() == 0,
+      "merge-count diverges from size(array_intersect) on sorted-distinct inputs")
+    // self-intersection is the full set; disjoint shifted sets are 0
+    val self = hs.filter(
+      functions.TextOps.sortedIntersectCount(col("hs"), col("hs")) =!=
+        size(col("hs")).cast("bigint"))
+    assert(self.count() == 0, "self-intersection must equal the set size")
+  }
 }
