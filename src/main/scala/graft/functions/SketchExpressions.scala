@@ -156,13 +156,19 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull must be FALSE: both eval paths read elements with
+    // getLong, which silently returns 0 for a null slot and would diverge
+    // from size(array_intersect). ShingleHashSet's output (the only
+    // intended producer) declares containsNull=false; any other caller
+    // with nullable elements must fail analysis loudly, not miscount.
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count expects (array<bigint>, array<bigint>), " +
+      s"sorted_intersect_count expects (array<bigint>, array<bigint>) with " +
+        s"non-null elements (containsNull=false), " +
         s"got (${left.dataType}, ${right.dataType})")
   }
   override def dataType: DataType = LongType

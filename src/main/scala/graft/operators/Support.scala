@@ -462,9 +462,12 @@ object AnnIndex {
   *  - `deg(c, deg)` — per-customer distinct-part degree over the SAME
   *    capped graph (df ≤ cap, including df = 1 parts).
   *
-  * The 2³² encoding assumes ids < 2³¹ (TPC-H custkeys are 32-bit ints at
-  * every tested SF); a larger id domain would switch the encode to the
-  * struct form — same plan shape, higher constant.
+  * The 2³² encoding assumes ids in [0, 2³¹) (TPC-H custkeys are 32-bit
+  * ints at every tested SF); the build GUARDS that range against the deg
+  * table (one tiny aggregate over the already-written per-customer
+  * summary — zero extra passes over the edges) and falls back to the
+  * struct encode otherwise — same plan shape, higher constant
+  * (PairIndexSpec exercises the fallback with synthetic ≥ 2³¹ ids).
   */
 object PairIndex {
   import graft.Tables
@@ -496,38 +499,65 @@ object PairIndex {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.groupBy("c").agg(count(lit(1)).as("deg"))
         .write.parquet(s"$root/deg")
-      // The stored table is pre-aggregated PER PAIR (round-12 optimization):
-      // both consumers immediately re-grouped the 8.4M-row (a, b, df, cnt)
-      // cell table by (a, b) — ~280 s of duplicated task time per bench run
-      // at sf0.1 — so that groupBy (and the Adamic–Adar sorted (df, cnt)
-      // fold, whose association order the oracle mirrors) moves into the
-      // one-time build. Probes become pure scans + bounded top-k.
-      //   common  = Σ cnt over the pair's (df, cnt) cells (shared parts)
-      //   aa_raw  = Σ cnt/ln(df) folded in df order — UNROUNDED; consumers
-      //             round only after their top-k cut (round(double, 6) is a
-      //             per-row BigDecimal, ~40 µs/row — never over the corpus)
-      e.filter(col("df") >= 2)
-        .groupBy("p", "df")
-        .agg(sort_array(collect_list(col("c").cast("bigint"))).as("cs"))
-        .select(col("df"), explode(expr(
-          "flatten(transform(cs, (x, i) -> " +
-          "transform(slice(cs, i + 2, size(cs)), y -> x * 4294967296L + y)))"))
-          .as("pr"))
-        .groupBy("pr", "df").agg(count(lit(1)).as("cnt"))
-        .groupBy("pr")
-        .agg(sum(col("cnt")).as("common"),
-             array_sort(collect_list(struct(col("df"), col("cnt")))).as("cells"))
-        .select(expr("pr div 4294967296").cast(cType).as("a"),
-                pmod(col("pr"), lit(4294967296L)).cast(cType).as("b"),
-                col("common"),
-                expr("aggregate(cells, CAST(0.0 AS DOUBLE), " +
-                  "(acc, p) -> acc + p.cnt / ln(CAST(p.df AS DOUBLE)))")
-                  .as("aa_raw"))
-        .write.parquet(s"$root/pairs")
+      // Round-13 id-width guard (verdict item 7): the bigint packing is
+      // only injective for ids in [0, 2³¹). deg holds EVERY id that can
+      // enter a pair (df ≥ 2 edges are a subset of df ≥ 1), so one tiny
+      // aggregate over the just-written summary decides the encoding —
+      // no extra pass over the edges, zero cost on the happy path.
+      val idr = s.read.parquet(s"$root/deg")
+        .agg(min(col("c").cast("bigint")).as("mn"),
+             max(col("c").cast("bigint")).as("mx")).head
+      val packed =
+        idr.isNullAt(0) || (idr.getLong(0) >= 0 && idr.getLong(1) < (1L << 31))
+      buildPairs(e, cType, packed).write.parquet(s"$root/pairs")
       e.unpersist()
       builds.incrementAndGet()
       root
     })
+
+  /** The per-pair aggregation pipeline over the df-capped edge table
+    * `e(c, p, df)`. The stored table is pre-aggregated PER PAIR (round-12
+    * optimization): both consumers immediately re-grouped the 8.4M-row
+    * (a, b, df, cnt) cell table by (a, b) — ~280 s of duplicated task time
+    * per bench run at sf0.1 — so that groupBy (and the Adamic–Adar sorted
+    * (df, cnt) fold, whose association order the oracle mirrors) moves
+    * into the one-time build. Probes become pure scans + bounded top-k.
+    *   common  = Σ cnt over the pair's (df, cnt) cells (shared parts)
+    *   aa_raw  = Σ cnt/ln(df) folded in df order — UNROUNDED; consumers
+    *             round only after their top-k cut (round(double, 6) is a
+    *             per-row BigDecimal, ~40 µs/row — never over the corpus)
+    * `packed = true` rides each (a < b) pair on one BIGINT a·2³² + b
+    * through the explode/groupBy (injective for ids in [0, 2³¹));
+    * `packed = false` is the struct fallback for wider id domains — same
+    * plan shape, same rows (PairIndexSpec asserts the two agree).
+    */
+  private[graft] def buildPairs(e: DataFrame,
+                                cType: org.apache.spark.sql.types.DataType,
+                                packed: Boolean): DataFrame = {
+    val encodeExpr =
+      if (packed)
+        "flatten(transform(cs, (x, i) -> " +
+          "transform(slice(cs, i + 2, size(cs)), y -> x * 4294967296L + y)))"
+      else
+        "flatten(transform(cs, (x, i) -> " +
+          "transform(slice(cs, i + 2, size(cs)), y -> struct(x AS pa, y AS pb))))"
+    val agged = e.filter(col("df") >= 2)
+      .groupBy("p", "df")
+      .agg(sort_array(collect_list(col("c").cast("bigint"))).as("cs"))
+      .select(col("df"), explode(expr(encodeExpr)).as("pr"))
+      .groupBy("pr", "df").agg(count(lit(1)).as("cnt"))
+      .groupBy("pr")
+      .agg(sum(col("cnt")).as("common"),
+           array_sort(collect_list(struct(col("df"), col("cnt")))).as("cells"))
+    val (aCol, bCol) =
+      if (packed) (expr("pr div 4294967296"), pmod(col("pr"), lit(4294967296L)))
+      else (col("pr.pa"), col("pr.pb"))
+    agged.select(aCol.cast(cType).as("a"), bCol.cast(cType).as("b"),
+                 col("common"),
+                 expr("aggregate(cells, CAST(0.0 AS DOUBLE), " +
+                   "(acc, p) -> acc + p.cnt / ln(CAST(p.df AS DOUBLE)))")
+                   .as("aa_raw"))
+  }
 
   def pairs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${ensure(s, d)}/pairs")

@@ -227,13 +227,14 @@ object Round10m {
         // round(double, 6) is a per-row BigDecimal (~40 µs/row — it alone
         // was ~200 s of task time over the 8M sf0.1 pairs), so the top-20
         // is located on the raw score first and only candidate rows are
-        // rounded. Equivalence proof: rounding is monotone, so the 20
-        // largest raw scores round to values >= round6(r20) where r20 is
-        // the 20th-largest raw; hence every row of the rounded top-20 has
-        // round6(aa_raw) >= round6(r20), which forces aa_raw >= r20 - 1e-6
-        // (a 6-dp grid step); the filter keeps aa_raw >= r20 - 1e-5 — a 9×
-        // margin over the grid step and float wobble — then the EXACT
-        // original ordering (rounded DESC, a, b) re-runs on the survivors.
+        // rounded. Equivalence proof: a pair q can enter the ROUNDED
+        // top-20 only if round6(q) >= round6(r20) (rounding is monotone
+        // and r20, the 20th-largest raw, rounds into the top-20's value
+        // range), and round6(x) >= round6(y) implies x >= y - 5e-7 (half a
+        // 6-dp grid step each side), so any such q has q >= round6(r20) -
+        // 5e-7 >= r20 - 1e-6 > r20 - 1e-5 — the filter retains every
+        // candidate able to displace a row; the EXACT original ordering
+        // (rounded DESC, a, b) then re-runs on the survivors.
         val p = PairIndex.pairs(s, d)
         val r20 = p.orderBy(col("aa_raw").desc, col("a"), col("b")).limit(20)
           .agg(min(col("aa_raw")).as("r20"))

@@ -67,4 +67,35 @@ class PairIndexSpec extends AnyFunSuite {
     // every pair respects a < b (unordered-once emission)
     assert(pairs.filter(col("a") >= col("b")).isEmpty)
   }
+
+  test("buildPairs struct fallback equals the packed encode for >= 2^31 ids") {
+    // Round-13 id-width guard: ids outside [0, 2^31) must take the struct
+    // pair encoding and emit the same aggregates (shifting every id by
+    // 2^31 shifts each pair's (a, b) by exactly that amount; common and
+    // the df-ordered aa_raw fold are id-independent, so they match
+    // bit-identically).
+    import org.apache.spark.sql.types.LongType
+    val shift = 1L << 31
+    val e0 = spark.createDataFrame(Seq(
+        (1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (2L, 20L), (4L, 20L),
+        (3L, 30L), (4L, 30L), (2L, 30L), (5L, 40L), (1L, 40L)))
+      .toDF("c", "p")
+    def withDf(edges: org.apache.spark.sql.DataFrame) =
+      edges.join(edges.groupBy("p").agg(count(lit(1)).as("df")), "p")
+    val packed = graft.operators.PairIndex
+      .buildPairs(withDf(e0), LongType, packed = true)
+      .collect()
+      .map(r => (r.getLong(0) + shift, r.getLong(1) + shift,
+                 r.getLong(2), r.getDouble(3))).toSet
+    val structB = graft.operators.PairIndex
+      .buildPairs(withDf(e0.withColumn("c", col("c") + shift)), LongType,
+                  packed = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(packed.nonEmpty, "synthetic edge fixture produced no pairs — vacuous")
+    assert(structB == packed,
+           s"struct fallback diverged: ${(structB -- packed).take(3)} extra, " +
+           s"${(packed -- structB).take(3)} missing")
+  }
 }

@@ -72,6 +72,30 @@ class Round11iSpec extends AnyFunSuite {
     assert(truth.count(multiCand) >= singleHits)
   }
 
+  test("srpCandidates struct fallback equals the packed path for >= 2^31 ids") {
+    // Round-13 id-width guard: ids outside [0, 2^31) must take the struct
+    // pair encoding and produce the SAME candidate set (bucketing depends
+    // only on the embedding, so shifting every id by 2^31 shifts each
+    // emitted pair by exactly that amount).
+    val planted = graft.operators.Round11i.plantedEmbeddings(spark, sf)
+    val shift = 1L << 31
+    val packed = graft.operators.Round11i
+      .srpCandidates(planted, 4, graft.operators.PipelineExt.SrpBitsPerTable,
+                     multiprobe = true)
+      .collect().map(r => (r.getLong(0) + shift, r.getLong(1) + shift)).toSet
+    val structP = graft.operators.Round11i
+      .srpCandidates(planted.withColumn("vec_id", col("vec_id") + shift),
+                     4, graft.operators.PipelineExt.SrpBitsPerTable,
+                     multiprobe = true, idsPacked = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(structP == packed,
+           s"struct fallback diverged: ${(structP -- packed).take(3)} extra, " +
+           s"${(packed -- structP).take(3)} missing")
+    // the guard itself must report the real fixture domain as packable
+    assert(graft.operators.Round11i.plantedIdsPacked(spark, sf),
+           "fixture vec_ids must take the packed fast path")
+  }
+
   test("agg_heavy_hitters_mg_exact equals the exact heavy-hitter set") {
     val rows = SparkEntry.queries("agg_heavy_hitters_mg_exact")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
