@@ -2447,32 +2447,59 @@ object Round9b {
     // Output is the bounded per-type profile, not a row per event.
     "window_mad_outlier" -> Decl(
       (s, d) => {
+        // Round-13 (guide §1.2 — don't recompute what you already have):
+        // the r12 shape scanned `events` FOUR times (med grid, dev, mad
+        // grid, final aggregate — 12.7 s task CPU at sf0.1). Everything
+        // here is derivable from ONE (event_type, cents, count) grid:
+        // the ad-grid is the c-grid with |c − med_c| folded over the SAME
+        // multiplicities (dev rows are ev rows with ad attached, so
+        // grouping dev by (type, ad) ≡ re-keying the c-grid by ad and
+        // summing cw — exact integer arithmetic, identical rows), and the
+        // final profile re-derives ad from the grid instead of re-scanning
+        // events. The grid is lazily persisted: it is BOUNDED (distinct
+        // cents × |enum|, post-aggregation — never corpus-sized) and has
+        // three consumers.
         val ev = Tables.events(s, d)
           .select(col("event_type"),
                   round(col("value") * 100).cast("bigint").as("c"))
-        def lowerMedian(src: org.apache.spark.sql.DataFrame, vcol: String) = {
+        // Eager localCheckpoints, NOT persist: every multi-consumer table
+        // here is either the bounded grid or ≤|enum| rows, and each has
+        // 3-4 consumer subtrees (GridCum's sample pass, its map pass, two
+        // per-key-total aggregates) — some on broadcast-build threads. A
+        // lazy persist RACES those threads and its columnar cache build
+        // measured +5-6 s CPU on this key (the r12 GridCum-persist revert
+        // saw the same); checkpoints materialize each table ONCE as plain
+        // RDD blocks that every subtree then scans, so the events corpus
+        // is read exactly once and no GridCum chain ever re-runs.
+        val grid1 = ev.groupBy("event_type", "c").agg(count(lit(1)).as("cw"))
+          .localCheckpoint(true)
+        def lowerMedianOfGrid(grid: org.apache.spark.sql.DataFrame,
+                              vcol: String) = {
           // distributed PrefixSum over the (type, value) order — a
           // type-partitioned window would serialize each value grid onto
           // |enum| tasks (round-12 gate)
-          val grid = src.groupBy("event_type", vcol)
-            .agg(count(lit(1)).as("cw"))
           val tot = grid.groupBy("event_type").agg(sum(col("cw")).as("tot"))
           GridCum.perKeyCumsum(grid, "event_type", vcol, "cw", "cum")
             .join(broadcast(tot), "event_type")
             .filter(lit(2L) * col("cum") >= col("tot"))
             .groupBy("event_type").agg(min(col(vcol)).as(s"med_$vcol"))
+            .localCheckpoint(true) // ≤|enum| rows; consumed 2-3×
         }
-        val med = lowerMedian(ev, "c")
-        val dev = ev.join(broadcast(med), "event_type")
-          .select(col("event_type"), col("c"), col("med_c"),
-                  abs(col("c") - col("med_c")).as("ad"))
-        val mad = lowerMedian(dev.select(col("event_type"), col("ad")), "ad")
-        dev.join(broadcast(mad), "event_type")
+        val med = lowerMedianOfGrid(grid1, "c")
+        val adGrid = grid1.join(broadcast(med), "event_type")
+          .select(col("event_type"),
+                  abs(col("c") - col("med_c")).as("ad"), col("cw"))
+          .groupBy("event_type", "ad").agg(sum(col("cw")).as("cw"))
+          .localCheckpoint(true) // bounded grid; GridCum consumes it 4×
+        val mad = lowerMedianOfGrid(adGrid, "ad")
+        grid1.join(broadcast(med), "event_type")
+          .join(broadcast(mad), "event_type")
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"),
+          .agg(sum(col("cw")).as("n"),
                max(col("med_c")).as("med_cents"),
                max(col("med_ad")).as("mad_cents"),
-               sum((col("ad") > lit(3L) * col("med_ad")).cast("bigint"))
+               sum(when(abs(col("c") - col("med_c")) > lit(3L) * col("med_ad"),
+                        col("cw")).otherwise(lit(0L)))
                  .as("n_outliers"))
           .orderBy("event_type")
       },
