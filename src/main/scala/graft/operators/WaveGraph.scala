@@ -120,10 +120,15 @@ object Round10g {
     // SAME grid — the raw table is scanned exactly once.
     "quality_outlier_iqr" -> Decl(
       (s, d) => {
+        // Round-13: eager checkpoint — the grid has FIVE consumer subtrees
+        // (GridCum's sample and map passes, its internal per-key totals,
+        // `tot`, and the final fence count), each of which otherwise
+        // re-runs the lineitem scan + grid aggregate.
         val grid = Tables(s, d, "lineitem")
           .select(col("l_returnflag"),
                   round(col("l_extendedprice") * 100).cast("bigint").as("c"))
           .groupBy("l_returnflag", "c").agg(count(lit(1)).as("w"))
+          .localCheckpoint(true)
         val tot = grid.groupBy("l_returnflag").agg(sum(col("w")).as("n"))
         // distributed PrefixSum over the (flag, cents) order — a
         // flag-partitioned window would serialize the near-unique price

@@ -1844,12 +1844,18 @@ object Round8b {
     // quantile ulp ties).
     "agg_weighted_median" -> Decl(
       (s, d) => {
+        // Round-13: eager checkpoint — the grid has FOUR consumer subtrees
+        // (GridCum's sample and map passes, its internal per-key totals,
+        // and `tot` below), each of which otherwise re-runs the lineitem
+        // scan + grid aggregate (window_mad_outlier's measurement: the
+        // lazy-persist alternative races the broadcast-build threads).
         val grid = Tables(s, d, "lineitem")
           .select(col("l_returnflag"),
                   round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
                   col("l_quantity").cast("bigint").as("qty"))
           .groupBy("l_returnflag", "cents")
           .agg(sum(col("qty")).as("wsum"))
+          .localCheckpoint(true)
         val tot = grid.groupBy("l_returnflag").agg(sum(col("wsum")).as("tot"))
         GridCum.perKeyCumsum(grid, "l_returnflag", "cents", "wsum", "cum")
           .join(broadcast(tot), "l_returnflag")

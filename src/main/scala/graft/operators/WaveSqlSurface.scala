@@ -1461,7 +1461,12 @@ object Round9h {
       (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("event_type"), round(col("value") * 100).cast("bigint").as("c"))
+        // Round-13: eager checkpoint — the grid has FOUR consumer subtrees
+        // (GridCum's sample and map passes, its internal per-key totals,
+        // and `tot`), each of which otherwise re-runs the events scan +
+        // grid aggregate.
         val grid = ev.groupBy("event_type", "c").agg(count(lit(1)).as("w"))
+          .localCheckpoint(true)
         val tot = grid.groupBy("event_type").agg(sum(col("w")).as("n"))
         // distributed PrefixSum over the (type, cents) order — a
         // type-partitioned window would serialize the value grid onto

@@ -3384,14 +3384,15 @@ object Round11p {
           .crossJoin(broadcast(fit))
           .select(abs(col("yc") - round(col("slope") * col("x") + col("icept"))
                         .cast("bigint")).as("resc"))
-        // n_cal and k computed RELATIONALLY (a 1-row aggregate broadcast),
-        // exactly like the oracle's nc/kk CTEs — no eager .count() at
-        // DataFrame-build time (round-10 verdict: the eager probe ran two
-        // jobs, including the crossJoin, before the query even started).
-        val kk = cal.agg(count(lit(1)).as("n_cal"))
+        // Round-13: the residual GRID is checkpointed (PrefixSum's sample
+        // and map passes each re-ran the cal scan + grid aggregate
+        // otherwise) and n_cal is DERIVED from it (Σ cnt == count of cal
+        // rows — same integer), so the calibration split is scanned once.
+        val counts = cal.groupBy("resc").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val kk = counts.agg(sum(col("cnt")).as("n_cal"))
           .withColumn("k",
             ceil(lit(0.9) * (col("n_cal") + 1)).cast("bigint"))
-        val counts = cal.groupBy("resc").agg(count(lit(1)).as("cnt"))
         val qhat = PrefixSum.cumsumLong(counts, Seq(col("resc").asc),
                                         col("cnt"), "cum")
           .crossJoin(broadcast(kk))
@@ -6324,7 +6325,14 @@ object Round9e {
       (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("event_type"), round(col("value") * 100).cast("bigint").as("c"))
+        // Round-13: eager checkpoint — the grid has FIVE consumer subtrees
+        // (GridCum's sample and map passes, its internal per-key totals,
+        // `tot`, and the final clamped mean), each of which otherwise
+        // re-runs the events scan + grid aggregate. The clamped mean is
+        // DERIVED from the grid (Σ clamp(c)·w / Σ w — the same exact
+        // BIGINTs the per-row scan folded), so events is read once.
         val grid = ev.groupBy("event_type", "c").agg(count(lit(1)).as("w"))
+          .localCheckpoint(true)
         val tot = grid.groupBy("event_type").agg(sum(col("w")).as("n"))
         // distributed PrefixSum over the (type, cents) order — a
         // type-partitioned window would serialize the value grid onto
@@ -6335,11 +6343,11 @@ object Round9e {
           .groupBy("event_type").agg(min(col("c")).as("lo"))
         val hi = cum.filter(col("cum") * 10 >= col("n") * 9)
           .groupBy("event_type").agg(min(col("c")).as("hi"))
-        ev.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
-          .select(col("event_type"),
+        grid.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
+          .select(col("event_type"), col("w"),
                   greatest(col("lo"), least(col("hi"), col("c"))).as("cc"))
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"), sum(col("cc")).as("sum_c"))
+          .agg(sum(col("w")).as("n"), sum(col("cc") * col("w")).as("sum_c"))
           .select(col("event_type"), col("n"),
                   round(col("sum_c").cast("double") / col("n").cast("double"), 6)
                     .as("winsorized_mean"))
@@ -7546,9 +7554,13 @@ object StatsWave99 {
       .filter(col("l_returnflag").isin("R", "A"))
       .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
               col("l_returnflag").as("f"))
+    // Round-13: eager checkpoint — PrefixSum's sample and map passes each
+    // re-run the lineitem scan + grid aggregate otherwise (two distance
+    // keys share this helper, so the saving doubles).
     val grid = li.groupBy("cents")
       .agg(sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"),
            sum(when(col("f") === "A", 1L).otherwise(0L)).as("ca"))
+      .localCheckpoint(true)
     val cum = PrefixSum.cumsumLongs(grid, Seq(col("cents")),
       Seq(col("cr") -> "cum_r", col("ca") -> "cum_a", lit(1L) -> "rk"))
     cum.as("g")
