@@ -156,28 +156,37 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    // containsNull must be FALSE: both eval paths read elements with
-    // getLong, which silently returns 0 for a null slot and would diverge
-    // from size(array_intersect). ShingleHashSet's output (the only
-    // intended producer) declares containsNull=false; any other caller
-    // with nullable elements must fail analysis loudly, not miscount.
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, false) => true
+      case ArrayType(LongType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count expects (array<bigint>, array<bigint>) with " +
-        s"non-null elements (containsNull=false), " +
+      s"sorted_intersect_count expects (array<bigint>, array<bigint>), " +
         s"got (${left.dataType}, ${right.dataType})")
   }
   override def dataType: DataType = LongType
+
+  // An actual NULL element must fail loudly, never silently read as 0 and
+  // diverge from size(array_intersect). The check is emitted ONLY for
+  // inputs whose type allows null elements (parquet round-trips of
+  // ShingleHashSet output widen containsNull to true; direct expression
+  // output keeps false and pays nothing).
+  private def leftNullable = left.dataType.asInstanceOf[ArrayType].containsNull
+  private def rightNullable = right.dataType.asInstanceOf[ArrayType].containsNull
+  private def nullElem(): Nothing = throw new IllegalArgumentException(
+    "sorted_intersect_count: null array element — inputs must be the " +
+      "non-null sorted-distinct sets ShingleHashSet produces")
+  // codegen helper (reached via the reference object below)
+  def failNullElem(): Long = nullElem()
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var cnt = 0L
     while (i < na && j < nb) {
+      if ((leftNullable && a.isNullAt(i)) || (rightNullable && b.isNullAt(j)))
+        nullElem()
       val x = a.getLong(i); val y = b.getLong(j)
       if (x < y) i += 1
       else if (x > y) j += 1
@@ -192,11 +201,21 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val cnt = ctx.freshName("cnt")
+      val guard =
+        if (!leftNullable && !rightNullable) ""
+        else {
+          val ref = ctx.addReferenceObj("slic", this,
+            classOf[SortedLongIntersectCount].getName)
+          val lchk = if (leftNullable) s"$a.isNullAt($i)" else "false"
+          val rchk = if (rightNullable) s"$b.isNullAt($j)" else "false"
+          s"if ($lchk || $rchk) { $ref.failNullElem(); }"
+        }
       s"""
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
          |int $i = 0; int $j = 0; long $cnt = 0L;
          |while ($i < $na && $j < $nb) {
+         |  $guard
          |  long $x = $a.getLong($i);
          |  long $y = $b.getLong($j);
          |  if ($x < $y) { $i++; } else if ($x > $y) { $j++; }

@@ -603,6 +603,56 @@ object ShingleIndex {
     s.read.parquet(s"${ensure(s, d)}/inter")
 }
 
+/** Shared VECTOR-INDEX warehouse for the ANN ladder — the trained
+  * artifacts of `sim_ann_pq` (subspace codebooks + codes),
+  * `sim_ann_ivfpq_residual` (coarse centroids + residual codebooks +
+  * codes) and `sim_ann_ivf` (float centroids + cell routing), plus the
+  * integer-quantized dimension table they all start from, each built
+  * ONCE per (JVM, sf dir) and probed by every consumer (the
+  * PairIndex/ShingleIndex precedent; round-12 verdict item 5). The
+  * builders live next to their keys — this object only owns the
+  * build-once machinery and the shared quantized table.
+  *
+  * Every artifact is exact under a parquet round-trip: the PQ/IVFPQ
+  * trainings are integer arithmetic end to end, and the IVF centroids
+  * are 6-dp-rounded doubles — so probing the stored tables is
+  * bit-identical to the inline training it replaces (asserted against
+  * stashed pre-change dumps at sf0.01 and sf0.1).
+  */
+object VecIndex {
+  import graft.Tables
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  private val dirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  /** artifact-build counter — the spec's one-build-serves-all gate */
+  private[graft] val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Build-if-absent for one named artifact family; computeIfAbsent makes
+    * concurrent consumers (Verify runs 4 queries at once) wait on ONE
+    * build. `build` receives the fresh scratch root to write into. */
+  private[graft] def ensure(artifact: String, d: String)
+                           (build: String => Unit): String =
+    dirs.computeIfAbsent((artifact, d), { _ =>
+      val root = Tables.scratchDir(s"graft_vecidx_$artifact").toString
+      build(root)
+      builds.incrementAndGet()
+      root
+    })
+
+  /** The integer-quantized (vec_id, s_id, i, x) dimension table — the
+    * substrate both PQ trainings start from, stored once instead of
+    * localCheckpoint-ed per key. */
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame = {
+    val root = ensure("q", d) { r =>
+      Round9.quantized(s, d).withColumn("s_id", expr("i div 8"))
+        .write.parquet(s"$r/q")
+    }
+    s.read.parquet(s"$root/q")
+  }
+}
+
 /** Per-enum-key cumulative weight over a DATA-DERIVED value grid — the
   * quantile family's shared machinery (weighted median, discrete
   * percentiles, IQR fences, winsorize thresholds, MAD). A

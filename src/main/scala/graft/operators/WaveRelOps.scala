@@ -2671,16 +2671,41 @@ object Round9b {
     // oracle-N; Round9Spec bounds recall@10 against exact cosine.
     "sim_ann_pq" -> Decl(
       (s, d) => {
-        val q = Round9.quantized(s, d)
-          .withColumn("s_id", expr("i div 8")).localCheckpoint(true)
-        // --- codebook training: per-subspace k=4 Lloyd, 2 iterations
-        val seeds = Tables(s, d, "embeddings")
-          .select(col("vec_id")).orderBy("vec_id").limit(4)
-        var state = q.join(broadcast(seeds), "vec_id")
-          .select(col("s_id"), col("vec_id").as("cluster"), col("i"),
-                  col("x").as("cs"), lit(1L).as("cn"))
-        for (_ <- 1 to 2) {
-          val assign = q.join(broadcast(state), Seq("s_id", "i"))
+        // Round-13 (verdict item 5): the codebook training and the corpus
+        // encoding are built ONCE per (JVM, sf dir) into the shared
+        // VecIndex warehouse (the PairIndex precedent) — every later run
+        // (and the other PQ consumer's quantized scan) probes the stored
+        // tables instead of re-running the Lloyd chain. The training body
+        // below is byte-for-byte the former inline code over the stored
+        // quantized table; all values are exact integers, so the parquet
+        // round-trip is bit-identical to the localCheckpoint it replaces.
+        val pqRoot = VecIndex.ensure("pq", d) { root =>
+          val q = VecIndex.quantized(s, d)
+          // --- codebook training: per-subspace k=4 Lloyd, 2 iterations
+          val seeds = Tables(s, d, "embeddings")
+            .select(col("vec_id")).orderBy("vec_id").limit(4)
+          var state = q.join(broadcast(seeds), "vec_id")
+            .select(col("s_id"), col("vec_id").as("cluster"), col("i"),
+                    col("x").as("cs"), lit(1L).as("cn"))
+          for (_ <- 1 to 2) {
+            val assign = q.join(broadcast(state), Seq("s_id", "i"))
+              .groupBy(col("vec_id"), col("s_id"), col("cluster"))
+              .agg(sum((col("cn") * col("x") - col("cs")) *
+                       (col("cn") * col("x") - col("cs"))).as("num"),
+                   max(col("cn")).as("cn"))
+              .groupBy("vec_id", "s_id")
+              .agg(min(struct((col("num").cast("double") /
+                               (col("cn") * col("cn")).cast("double")).as("d"),
+                              col("cluster").as("c"))).as("m"))
+              .select(col("vec_id"), col("s_id"), col("m.c").as("cluster"))
+            state = assign.join(q, Seq("vec_id", "s_id"))
+              .groupBy("s_id", "cluster", "i")
+              .agg(sum(col("x")).as("cs"), count(lit(1)).as("cn"))
+              .localCheckpoint(true)
+          }
+          state.write.parquet(s"$root/state")
+          // --- encode every vector: nearest codebook entry per subspace
+          q.join(broadcast(state), Seq("s_id", "i"))
             .groupBy(col("vec_id"), col("s_id"), col("cluster"))
             .agg(sum((col("cn") * col("x") - col("cs")) *
                      (col("cn") * col("x") - col("cs"))).as("num"),
@@ -2689,24 +2714,12 @@ object Round9b {
             .agg(min(struct((col("num").cast("double") /
                              (col("cn") * col("cn")).cast("double")).as("d"),
                             col("cluster").as("c"))).as("m"))
-            .select(col("vec_id"), col("s_id"), col("m.c").as("cluster"))
-          state = assign.join(q, Seq("vec_id", "s_id"))
-            .groupBy("s_id", "cluster", "i")
-            .agg(sum(col("x")).as("cs"), count(lit(1)).as("cn"))
-            .localCheckpoint(true)
+            .select(col("vec_id"), col("s_id"), col("m.c").as("code"))
+            .write.parquet(s"$root/codes")
         }
-        // --- encode every vector: nearest codebook entry per subspace
-        val codes = q.join(broadcast(state), Seq("s_id", "i"))
-          .groupBy(col("vec_id"), col("s_id"), col("cluster"))
-          .agg(sum((col("cn") * col("x") - col("cs")) *
-                   (col("cn") * col("x") - col("cs"))).as("num"),
-               max(col("cn")).as("cn"))
-          .groupBy("vec_id", "s_id")
-          .agg(min(struct((col("num").cast("double") /
-                           (col("cn") * col("cn")).cast("double")).as("d"),
-                          col("cluster").as("c"))).as("m"))
-          .select(col("vec_id"), col("s_id"), col("m.c").as("code"))
-          .localCheckpoint(true)
+        val q = VecIndex.quantized(s, d)
+        val state = s.read.parquet(s"$pqRoot/state")
+        val codes = s.read.parquet(s"$pqRoot/codes")
         // --- query-time LUT: exact distance query-subvector → centroid
         val queries = q.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("s_id"), col("i"), col("x").as("qx"))

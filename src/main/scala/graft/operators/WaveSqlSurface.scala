@@ -121,63 +121,78 @@ object Round10hh {
     // Round10hhSpec bounds recall@10 against the exact integer top-10.
     "sim_ann_ivfpq_residual" -> Decl(
       (s, d) => {
-        val q = Round9.quantized(s, d)
-          .withColumn("s_id", expr("i div 8")).localCheckpoint(true)
-        val seeds = Tables(s, d, "embeddings")
-          .select(col("vec_id")).orderBy("vec_id").limit(4)
-        // --- coarse quantizer: k=4, 2 Lloyd passes, integer centroids
-        var coarse = q.join(broadcast(seeds), "vec_id")
-          .select(col("vec_id").as("cell"), col("i"), col("x").as("cc"))
-        for (_ <- 1 to 2) {
-          val assign = q.join(broadcast(coarse), "i")
+        // Round-13 (verdict item 5): the coarse quantizer, the residual
+        // codebooks and the corpus encoding are built ONCE per (JVM, sf
+        // dir) into the shared VecIndex warehouse (the PairIndex
+        // precedent) — later runs probe the stored tables instead of
+        // re-running both Lloyd chains. The training body is byte-for-byte
+        // the former inline code over the shared stored quantized table;
+        // everything is exact integers, so the parquet round-trip is
+        // bit-identical to the localCheckpoints it replaces.
+        val pqRoot = VecIndex.ensure("ivfpq", d) { root =>
+          val q = VecIndex.quantized(s, d)
+          val seeds = Tables(s, d, "embeddings")
+            .select(col("vec_id")).orderBy("vec_id").limit(4)
+          // --- coarse quantizer: k=4, 2 Lloyd passes, integer centroids
+          var coarse = q.join(broadcast(seeds), "vec_id")
+            .select(col("vec_id").as("cell"), col("i"), col("x").as("cc"))
+          for (_ <- 1 to 2) {
+            val assign = q.join(broadcast(coarse), "i")
+              .groupBy(col("vec_id"), col("cell"))
+              .agg(sum((col("x") - col("cc")) * (col("x") - col("cc"))).as("d2"))
+              .groupBy("vec_id")
+              .agg(min(struct(col("d2"), col("cell"))).as("m"))
+              .select(col("vec_id"), col("m.cell").as("cell"))
+            coarse = assign.join(q, "vec_id")
+              .groupBy("cell", "i").agg(intMean("x").as("cc"))
+              .localCheckpoint(true)
+          }
+          coarse.write.parquet(s"$root/coarse")
+          val cellOf = q.join(broadcast(coarse), "i")
             .groupBy(col("vec_id"), col("cell"))
             .agg(sum((col("x") - col("cc")) * (col("x") - col("cc"))).as("d2"))
             .groupBy("vec_id")
             .agg(min(struct(col("d2"), col("cell"))).as("m"))
             .select(col("vec_id"), col("m.cell").as("cell"))
-          coarse = assign.join(q, "vec_id")
-            .groupBy("cell", "i").agg(intMean("x").as("cc"))
+          // --- integer residuals vs the assigned cell's centroid
+          val resid = q.join(cellOf, "vec_id")
+            .join(broadcast(coarse), Seq("cell", "i"))
+            .select(col("vec_id"), col("cell"), col("s_id"), col("i"),
+                    (col("x") - col("cc")).as("r"))
             .localCheckpoint(true)
-        }
-        val cellOf = q.join(broadcast(coarse), "i")
-          .groupBy(col("vec_id"), col("cell"))
-          .agg(sum((col("x") - col("cc")) * (col("x") - col("cc"))).as("d2"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cell"))).as("m"))
-          .select(col("vec_id"), col("m.cell").as("cell"))
-        // --- integer residuals vs the assigned cell's centroid
-        val resid = q.join(cellOf, "vec_id")
-          .join(broadcast(coarse), Seq("cell", "i"))
-          .select(col("vec_id"), col("cell"), col("s_id"), col("i"),
-                  (col("x") - col("cc")).as("r"))
-          .localCheckpoint(true)
-        // --- global per-subspace codebooks on residuals: k=8, 2 passes
-        // (8-entry codebooks are the practical floor; k=4 measured recall
-        // 0.13 at sf0.001, k=8 clears the 0.15 bound, broadcast stays tiny)
-        val cbSeeds = Tables(s, d, "embeddings")
-          .select(col("vec_id")).orderBy("vec_id").limit(8)
-        var cb = resid.join(broadcast(cbSeeds), "vec_id")
-          .select(col("s_id"), col("vec_id").as("code"), col("i"),
-                  col("r").as("cb"))
-        for (_ <- 1 to 2) {
-          val enc = resid.join(broadcast(cb), Seq("s_id", "i"))
-            .groupBy(col("vec_id"), col("s_id"), col("code"))
+          // --- global per-subspace codebooks on residuals: k=8, 2 passes
+          // (8-entry codebooks are the practical floor; k=4 measured recall
+          // 0.13 at sf0.001, k=8 clears the 0.15 bound, broadcast stays tiny)
+          val cbSeeds = Tables(s, d, "embeddings")
+            .select(col("vec_id")).orderBy("vec_id").limit(8)
+          var cb = resid.join(broadcast(cbSeeds), "vec_id")
+            .select(col("s_id"), col("vec_id").as("code"), col("i"),
+                    col("r").as("cb"))
+          for (_ <- 1 to 2) {
+            val enc = resid.join(broadcast(cb), Seq("s_id", "i"))
+              .groupBy(col("vec_id"), col("s_id"), col("code"))
+              .agg(sum((col("r") - col("cb")) * (col("r") - col("cb"))).as("d2"))
+              .groupBy("vec_id", "s_id")
+              .agg(min(struct(col("d2"), col("code"))).as("m"))
+              .select(col("vec_id"), col("s_id"), col("m.code").as("code"))
+            cb = enc.join(resid, Seq("vec_id", "s_id"))
+              .groupBy("s_id", "code", "i").agg(intMean("r").as("cb"))
+              .localCheckpoint(true)
+          }
+          cb.write.parquet(s"$root/cb")
+          resid.join(broadcast(cb), Seq("s_id", "i"))
+            .groupBy(col("vec_id"), col("cell"), col("s_id"), col("code"))
             .agg(sum((col("r") - col("cb")) * (col("r") - col("cb"))).as("d2"))
-            .groupBy("vec_id", "s_id")
+            .groupBy("vec_id", "cell", "s_id")
             .agg(min(struct(col("d2"), col("code"))).as("m"))
-            .select(col("vec_id"), col("s_id"), col("m.code").as("code"))
-          cb = enc.join(resid, Seq("vec_id", "s_id"))
-            .groupBy("s_id", "code", "i").agg(intMean("r").as("cb"))
-            .localCheckpoint(true)
+            .select(col("vec_id"), col("cell"), col("s_id"),
+                    col("m.code").as("code"))
+            .write.parquet(s"$root/codes")
         }
-        val codes = resid.join(broadcast(cb), Seq("s_id", "i"))
-          .groupBy(col("vec_id"), col("cell"), col("s_id"), col("code"))
-          .agg(sum((col("r") - col("cb")) * (col("r") - col("cb"))).as("d2"))
-          .groupBy("vec_id", "cell", "s_id")
-          .agg(min(struct(col("d2"), col("code"))).as("m"))
-          .select(col("vec_id"), col("cell"), col("s_id"),
-                  col("m.code").as("code"))
-          .localCheckpoint(true)
+        val q = VecIndex.quantized(s, d)
+        val coarse = s.read.parquet(s"$pqRoot/coarse")
+        val cb = s.read.parquet(s"$pqRoot/cb")
+        val codes = s.read.parquet(s"$pqRoot/codes")
         // --- query side: route to nprobe=2 cells, LUT on query residuals
         val qv = q.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("s_id"), col("i"),
