@@ -937,9 +937,25 @@ object Round11k {
         // nothing" proves the fixpoint with no extra confirm pass. Hops
         // values are latency dials only; correctness is the fixpoint,
         // reached for any value ≥ 1.
-        val Hops = 5   // forward-coloring hops per fused pass
-        val BHops = 7  // backward-sweep hops per fused pass
-        val edges = blockEdges(s, d)
+        // Round-13 (§2.4 — fewer shuffles): both fixpoint loops run over
+        // the SQUARED edge relation (pairs reachable in 1-2 hops, one
+        // extra join per build) so every fused step advances TWO hops for
+        // the same exchanges. Min-label propagation over e∪e² equals two
+        // e-steps (the 2-hop ancestor's label folds in directly), and the
+        // e-fixpoint equals the e∪e²-fixpoint (same reachability closure),
+        // so colors, peels, and the final SCC ids are identical (oracle
+        // re-proven at sf0.01 and sf0.1). Hops counts stay latency dials.
+        val Hops = 3   // forward-coloring 2-hop steps per fused pass
+        val BHops = 4  // backward-sweep 2-hop steps per fused pass
+        val edges0 = blockEdges(s, d)
+          .repartition(n, col("src"))
+          .localCheckpoint(true)
+        val edges = edges0
+          .unionAll(edges0.select(col("src").as("a"), col("dst").as("m"))
+            .join(edges0.select(col("src").as("m"), col("dst").as("b")), "m")
+            .filter(col("a") =!= col("b"))
+            .select(col("a").as("src"), col("b").as("dst")))
+          .distinct()
           .repartition(n, col("src"))
           .localCheckpoint(true)
         var remaining = edges.select(col("src").as("v"))
@@ -1279,8 +1295,27 @@ object GraphWave87 {
     "graph_closeness_exact" -> Decl(
       (s, d) => {
         val n = s.sparkContext.defaultParallelism
-        val Hops = 8
+        // Round-13 (§2.4 — fewer shuffles): each BFS hop costs two
+        // exchanges (frontier join + min-stamp groupBy), and at test scale
+        // the chain is pure per-stage latency. Squaring the edge relation
+        // once (e2 = min path length ≤ 2 between distinct endpoints, one
+        // extra join at build) makes every superstep advance TWO hops for
+        // the same two exchanges, halving the fused chain: a shortest
+        // path splits into ≤2-hop segments, and the min-stamp fold over
+        // {1,2}-weight steps yields the identical min distance (oracle
+        // re-proven at sf0.01 and sf0.1). Distances stay contiguous, so
+        // the frontier-death rule is unchanged with Reach = 2·Steps.
+        val Steps = 4   // fused supersteps per materialization
+        val Reach = 8L  // distance covered per pass (2 hops per step)
         val edges = Round11k.blockEdges(s, d)
+          .repartition(n, col("src"))
+          .localCheckpoint(true)
+        val e2 = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+          .unionAll(edges.select(col("src").as("a"), col("dst").as("m"))
+            .join(edges.select(col("src").as("m"), col("dst").as("b")), "m")
+            .filter(col("a") =!= col("b"))
+            .select(col("a").as("src"), col("b").as("dst"), lit(2L).as("w")))
+          .groupBy("src", "dst").agg(min(col("w")).as("w"))
           .repartition(n, col("src"))
           .localCheckpoint(true)
         // dist(v, u, dd): shortest distance dd from v to u, grown by
@@ -1296,21 +1331,21 @@ object GraphWave87 {
         var base = 0L
         while (grew && passes < 12) {
           var cur = dist
-          for (hh <- 1 to Hops) {
-            val nxt = cur.join(edges, col("u") === col("src"))
-              .select(col("v"), col("dst").as("u"), (col("dd") + 1).as("dd"))
+          for (hh <- 1 to Steps) {
+            val nxt = cur.join(e2, col("u") === col("src"))
+              .select(col("v"), col("dst").as("u"), (col("dd") + col("w")).as("dd"))
             cur = cur.unionAll(nxt)
               .groupBy("v", "u").agg(min(col("dd")).as("dd"))
           }
           val step = cur.localCheckpoint(true)
           val st = step.agg(
               count(lit(1)),
-              coalesce(sum(when(col("dd") >= base + Hops, 1L).otherwise(0L)),
+              coalesce(sum(when(col("dd") >= base + Reach, 1L).otherwise(0L)),
                        lit(0L)))
             .first()
-          // nothing first-found at the final fused hop ⇒ frontier dead
+          // nothing first-found at the final fused reach ⇒ frontier dead
           grew = st.getLong(1) > 0L
-          base += Hops
+          base += Reach
           dist = step
           passes += 1
         }
