@@ -110,7 +110,23 @@ object Sql {
     val after = transform(before)
     val staging = Paths.get(warehouse, s"_staging_$dirName")
     after.write.mode("overwrite").parquet(staging.toString)
-    val n = spark.read.parquet(staging.toString).count()
+    // rows_after from the parquet FOOTERS, driver-side: the footer row
+    // count is exact (written by the committer that just produced the
+    // files), and it replaces a whole Spark count job per mutation —
+    // stream_merge_upsert pays that job once per micro-batch (round-13).
+    val n = {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      Files.list(staging).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+                     p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toUri), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+    }
     // swap: drop the old generation, move staging into place
     GraftCatalog.deleteRecursively(dir)
     Files.move(staging, dir)

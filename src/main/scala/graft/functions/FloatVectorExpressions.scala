@@ -169,6 +169,61 @@ case class CentroidAssign(child: Expression, cids: Array[Int],
     copy(child = newChild)
 }
 
+/** `DOUBLE` Euclidean distance ‖v − b‖₂ of an `ARRAY<FLOAT>` column to a
+  * CONSTANT double vector riding the expression as a codegen reference
+  * object — the scan-speed replacement for the
+  * `sqrt(aggregate(zip_with(e, lit(b), (x,y) -> (x-y)²), 0, +))`
+  * higher-order formulation (interpreted per-element closures + an
+  * intermediate array per row; the k-center greedy pass evaluates this
+  * against every chosen center per round). Bit-exact parity with the HOF
+  * form: per element x promotes float→double, d = x − b_i, acc += d·d in
+  * index order, sqrt once (the identical IEEE sequence — asserted in
+  * SketchParitySpec). A length mismatch or a NULL element returns NULL,
+  * exactly as zip_with's null-padding folds to a NULL sum.
+  */
+case class EuclideanToConst(child: Expression, b: Array[Double])
+    extends UnaryExpression {
+  require(b.nonEmpty, "euclidean_to_const needs a non-empty constant vector")
+
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"euclidean_to_const expects array<float>, got $other")
+    }
+  override def dataType: DataType = DoubleType
+
+  def compute(v: ArrayData): Any = {
+    if (v.numElements() != b.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < b.length) {
+      if (v.isNullAt(i)) return null
+      val d = v.getFloat(i).toDouble - b(i)
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("euclideanToConst", this,
+      classOf[EuclideanToConst].getName)
+    val r = ctx.freshName("r")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |Object $r = $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $r).doubleValue(); }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All signed-random-projection bucket keys of an `ARRAY<FLOAT>` vector in
   * ONE fused loop: returns `ARRAY<INT>` of length `planes.length /
   * bitsPerTable`, where element `t` packs the sign bits of planes

@@ -45,4 +45,10 @@ object VectorOps {
     */
   def centroidAssign(v: Column, cids: Array[Int], centroids: Array[Array[Float]]): Column =
     Bridge.column(CentroidAssign(Bridge.expression(v), cids, centroids))
+
+  /** ‖v − b‖₂ against a constant double vector, bit-exact with the
+    * zip_with+aggregate fold it replaces; see `EuclideanToConst`.
+    */
+  def euclideanToConst(v: Column, b: Seq[Double]): Column =
+    Bridge.column(EuclideanToConst(Bridge.expression(v), b.toArray))
 }

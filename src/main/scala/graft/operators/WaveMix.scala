@@ -478,11 +478,15 @@ object Round11m {
   private val Q = 25.0   // process noise variance
   private val R = 400.0  // observation noise variance
 
-  /** ‖a − b‖₂ with b a Scala constant vector, folded in index order. */
+  /** ‖a − b‖₂ with b a Scala constant vector, folded in index order.
+    * Round-13: the codegen `EuclideanToConst` expression — same IEEE
+    * sequence as the zip_with+aggregate HOF it replaces (per-element
+    * float→double, (x−y)² accumulated in index order, one sqrt;
+    * SketchParitySpec asserts bit-parity), without the interpreted
+    * per-element closures and intermediate array the greedy pass paid
+    * against every chosen center per round. */
   private def distToConst(e: Column, b: Seq[Double]): Column =
-    sqrt(aggregate(
-      zip_with(e, typedLit(b), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, x) => acc + x))
+    graft.functions.VectorOps.euclideanToConst(e, b)
 
   val decls: Map[String, Decl] = Map(
     // Greedy k-center from seed vec_id 0: rank, picked vector, and its

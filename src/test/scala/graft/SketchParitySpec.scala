@@ -156,4 +156,23 @@ class SketchParitySpec extends AnyFunSuite {
         size(col("hs")).cast("bigint"))
     assert(self.count() == 0, "self-intersection must equal the set size")
   }
+
+  test("EuclideanToConst equals the zip_with+aggregate fold bit-for-bit") {
+    // the k-center greedy pass's distance — against a real fixture vector
+    // (the seed) and an arbitrary constant; equality is EXACT doubles
+    val emb = Tables(spark, sf, "embeddings").select(col("vec_id"), col("embedding"))
+    val seed = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toSeq
+    def hof(b: Seq[Double]) =
+      sqrt(aggregate(
+        zip_with(col("embedding"), typedLit(b),
+                 (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x))
+    for (b <- Seq(seed, seed.map(_ * 0.5 + 0.125))) {
+      val diverging = emb.filter(
+        functions.VectorOps.euclideanToConst(col("embedding"), b) =!= hof(b))
+      assert(diverging.count() == 0,
+        "euclidean_to_const diverges from the HOF fold")
+    }
+  }
 }
