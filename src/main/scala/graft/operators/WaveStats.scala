@@ -3384,12 +3384,14 @@ object Round11p {
           .crossJoin(broadcast(fit))
           .select(abs(col("yc") - round(col("slope") * col("x") + col("icept"))
                         .cast("bigint")).as("resc"))
-        // Round-13: the residual GRID is checkpointed (PrefixSum's sample
-        // and map passes each re-ran the cal scan + grid aggregate
-        // otherwise) and n_cal is DERIVED from it (Σ cnt == count of cal
-        // rows — same integer), so the calibration split is scanned once.
+        // n_cal and k computed RELATIONALLY from the residual GRID (Σ cnt
+        // == count of cal rows — same integer, one fewer cal scan than the
+        // former cal.count() aggregate), still fully LAZY: this key's
+        // declared contract is zero jobs before an action (round-10
+        // verdict; Round11pSpec gates it), so the round-13 eager-grid
+        // checkpoint the rest of the quantile family took is NOT available
+        // here — the grid recompute is the price of the laziness contract.
         val counts = cal.groupBy("resc").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(true)
         val kk = counts.agg(sum(col("cnt")).as("n_cal"))
           .withColumn("k",
             ceil(lit(0.9) * (col("n_cal") + 1)).cast("bigint"))
